@@ -1,13 +1,34 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in `queries` that is SQL-expressible has a DuckDB oracle in
+  * `oracleSql` under the same key, with identical column names (the driver
+  * sorts columns by name before hashing). Streaming/connector-only
+  * operators are exercised by ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (FeedOps.queries, FeedOps.oracles)
+    )
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * `feed_read_model` — the spec's aggregate-feed purpose in one DataFrame:
+    * current full state of every live subject (reference README.md:168-179).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("feed_read_model")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    groups.map(_._2).reduce(_ ++ _)
 }

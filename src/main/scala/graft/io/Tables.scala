@@ -1,0 +1,52 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver's parquet tables plus the determinism helpers
+  * every oracle-checked query shares (SURVEY.md §2 determinism rules).
+  *
+  * Scale notes (100 TB design): all readers return plain parquet scans so
+  * Catalyst keeps predicate pushdown / column pruning / partition pruning;
+  * nothing here materializes or collects. The nanos shim is a session conf,
+  * not a rewrite, so the vectorized parquet reader stays active.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** `events` is the persisted HTTP feed (FIXTURES.md mapping). Its `ts`
+    * column is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless the
+    * legacy nanosAsLong shim is set — runtime-settable, so we set it here
+    * (the driver owns SparkSession construction; SURVEY.md §1.3).
+    *
+    * Adds `ts_us` (epoch microseconds, BIGINT) via integer division —
+    * exact, unlike a double-typed `floor(ts/1000)` — matching DuckDB's
+    * `epoch_us(ts)` truncation for the oracle.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** Float canonicalization (determinism rule 1): floor(x*scale) as BIGINT.
+    * Identical semantics in Spark and DuckDB; `round` is banned (HALF_UP vs
+    * half-even divergence).
+    */
+  def canon(c: Column, scale: Long = 10000L): Column =
+    floor(c * lit(scale)).cast("long")
+
+  /** Coarser canon for rounding-boundary-prone stats (stddev / cosine). */
+  def canon100(c: Column): Column = canon(c, 100L)
+}

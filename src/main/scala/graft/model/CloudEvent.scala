@@ -1,0 +1,30 @@
+package graft.model
+
+/** CloudEvents envelope — the single data structure the HTTP Feeds spec
+  * defines (reference `README.md:306-316`).
+  *
+  * Spark mapping (SURVEY.md §1.2): fixed `StructType` envelope; the
+  * schemaless `data` payload (`README.md:315-316`) stays a raw JSON
+  * string for lossless late-binding via `from_json`/`get_json_object`.
+  *
+  * `id` is the total-order key of the feed (`README.md:150-151`); the
+  * engine additionally tracks a numeric offset (`seq`) so streaming
+  * offsets support arithmetic (sequence-prefixed id scheme,
+  * `README.md:159`).
+  */
+case class CloudEvent(
+    specversion: String,              // README.md:308
+    id: String,                       // README.md:309 — unique, order key
+    `type`: String,                   // README.md:310
+    source: String,                   // README.md:311
+    time: java.sql.Timestamp,         // README.md:312 — ISO 8601 UTC
+    subject: Option[String],          // README.md:313 — aggregate key
+    method: Option[String],           // README.md:314 — PUT | DELETE
+    datacontenttype: Option[String],  // README.md:315
+    data: Option[String]              // README.md:316 — raw JSON payload
+)
+
+object CloudEvent {
+  val PUT = "PUT"
+  val DELETE = "DELETE"
+}

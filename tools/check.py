@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB against <sfDir>/*.parquet tables,
+sorts columns by name on both sides, and compares row-by-row.
+"""
+import json, sys, glob, os
+import duckdb
+
+def main(sf_dir, out_dir):
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result written"); n_fail += 1; continue
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        s = spark_df[sorted(spark_df.columns)]
+        d = duck_df[sorted(duck_df.columns)]
+        if sorted(s.columns) != sorted(d.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}")
+            n_fail += 1; continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); n_fail += 1; continue
+        # compare stringified values row-by-row (order matters, like the hash)
+        sv = s.astype(str).values.tolist()
+        dv = d.astype(str).values.tolist()
+        if sv != dv:
+            bad = next(i for i, (a, b) in enumerate(zip(sv, dv)) if a != b)
+            print(f"FAIL {name}: first diff at row {bad}:\n  spark={sv[bad]}\n  duck ={dv[bad]}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(s)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
