@@ -13,7 +13,11 @@ object SparkEntry {
 
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (FeedOps.queries, FeedOps.oracles)
+      (FeedOps.queries, FeedOps.oracles),
+      (Relational.queries, Relational.oracles),
+      (Aggregates.queries, Aggregates.oracles),
+      (Windows.queries, Windows.oracles),
+      (Scalars.queries, Scalars.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

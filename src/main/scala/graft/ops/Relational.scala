@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.io.Tables.canon
+
+/** §2.2 relational core (SURVEY.md): scans, the full join family, and
+  * subqueries over the consumer-side read-model star schema.
+  *
+  * Scale notes (100 TB): filters/projections push into the parquet scan
+  * (verify `PushedFilters` in explain); dimension joins broadcast
+  * (region/nation always; customer at sf≤1 — Catalyst's
+  * autoBroadcastJoinThreshold + AQE handle the switch at scale); fact-fact
+  * joins (lineitem ⋈ orders) shuffle on the join key once and would be
+  * bucket-colocated in a real deployment. The as-of join is a single
+  * shuffle window pass — never a per-row correlated probe.
+  */
+object Relational {
+
+  private def withAll(spark: SparkSession, d: String)(f: => DataFrame): DataFrame = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(t => Tables.table(spark, d, t).createOrReplaceTempView(t))
+    Tables.events(spark, d).createOrReplaceTempView("events")
+    f
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // column-pruned, predicate-pushed scan: one ship month of lineitem
+    "scan_project_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-02-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          canon(col("l_quantity"), 100).as("qty_c"),
+          canon(col("l_extendedprice"), 100).as("price_c"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // compound predicates: AND/OR/NOT, IN, BETWEEN, LIKE, null-safe
+    "filter_predicates" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter((col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice").between(50000, 150000) &&
+          !(col("o_orderstatus") === "F")) ||
+          (col("o_orderstatus").eqNullSafe("P") && col("o_orderpriority").like("5%")))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          canon(col("o_totalprice"), 100).as("price_c"))
+        .orderBy("o_orderkey")
+    }),
+
+    // fact ⋈ dim equi-join, aggregated per segment (shuffle/broadcast by size)
+    "join_inner_hash" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(canon(col("o_totalprice"), 100)).as("revenue_c"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // explicit broadcast of the small dimension side
+    "join_broadcast" -> ((s, d) => {
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    // 3-way dim chain; Catalyst reorders, both dims broadcast
+    "join_multiway" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), sum(canon(col("c_acctbal"), 100)).as("bal_c"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // left outer: customers incl. those with zero orders
+    "join_left_outer" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // full outer presence matrix: event users vs customer keys
+    "join_full_outer" -> ((s, d) => {
+      val u = Tables.events(s, d).select(col("user_id")).distinct()
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      u.join(c, col("user_id") === col("c_custkey"), "full_outer")
+        .select(coalesce(col("user_id"), col("c_custkey")).as("k"),
+          col("user_id").isNotNull.as("has_event"),
+          col("c_custkey").isNotNull.as("has_cust"))
+        .orderBy("k")
+    }),
+
+    // EXISTS → left semi
+    "join_semi" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // NOT EXISTS → left anti
+    "join_anti" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // equi-join + theta residual: shipped >60 days after order
+    "join_theta_range" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late"),
+          sum(canon(col("l_extendedprice"), 100)).as("late_c"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // as-of join: latest strictly-earlier click per purchase, same user.
+    // Single shuffle: union-tag + last(ignoreNulls) window — event_id is the
+    // feed's total order key (ts monotone in id), so id-order == time-order.
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_id"))
+        .orderBy("event_id")
+    }),
+
+    // interval join: events within 1h after the same user's signup
+    "join_interval" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su"), col("event_id").as("signup_id"), col("ts_us").as("sts"))
+      ev.join(sg, col("user_id") === col("su") &&
+          col("ts_us") >= col("sts") && col("ts_us") <= col("sts") + lit(3600000000L) &&
+          col("event_id") =!= col("signup_id"))
+        .select(col("signup_id"), col("event_id"), col("user_id"))
+        .orderBy("signup_id", "event_id")
+    }),
+
+    // scalar subquery: orders above the (floored) global average price
+    "subquery_scalar" -> ((s, d) => withAll(s, d) {
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_c
+              |FROM orders
+              |WHERE o_totalprice > (SELECT floor(avg(o_totalprice)) FROM orders)
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // correlated subquery: customers above their nation's average balance
+    "subquery_in_correlated" -> ((s, d) => withAll(s, d) {
+      s.sql("""SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+              |FROM customer c
+              |WHERE c_acctbal > (SELECT floor(avg(c2.c_acctbal))
+              |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+              |ORDER BY c_custkey""".stripMargin)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_quantity * 100) AS BIGINT) AS qty_c,
+        |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-02-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "filter_predicates" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders
+        |WHERE (o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       AND o_totalprice BETWEEN 50000 AND 150000
+        |       AND NOT (o_orderstatus = 'F'))
+        |   OR (o_orderstatus IS NOT DISTINCT FROM 'P' AND o_orderpriority LIKE '5%')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_inner_hash" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "join_multiway" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT coalesce(user_id, c_custkey) AS k,
+        |  user_id IS NOT NULL AS has_event,
+        |  c_custkey IS NOT NULL AS has_cust
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |FULL OUTER JOIN (SELECT c_custkey FROM customer) c ON user_id = c_custkey
+        |ORDER BY k""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT o_orderpriority, count(*) AS n_late,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS late_c
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  (SELECT max(c.event_id) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND c.event_id < p.event_id) AS last_click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "join_interval" ->
+      """SELECT s.event_id AS signup_id, e.event_id, e.user_id
+        |FROM events e JOIN events s
+        |  ON e.user_id = s.user_id AND s.event_type = 'signup'
+        | AND epoch_us(e.ts) >= epoch_us(s.ts)
+        | AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
+        | AND e.event_id <> s.event_id
+        |ORDER BY signup_id, e.event_id""".stripMargin,
+
+    "subquery_scalar" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM orders
+        |WHERE o_totalprice > (SELECT floor(avg(o_totalprice)) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "subquery_in_correlated" ->
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT floor(avg(c2.c_acctbal))
+        |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.io.Tables.canon
+
+/** §2.4 window functions + §2.5 sorts/limits/set ops (SURVEY.md).
+  *
+  * Scale notes: each window is one shuffle on its partition key; frames are
+  * streaming (running/ROWS/RANGE) so no per-partition buffering beyond the
+  * frame. Global top-k compiles to TakeOrderedAndProject (per-partition
+  * heap + driver merge of k rows — no full sort at 100 TB). Set ops are
+  * hash aggregates / joins on the shuffled key.
+  */
+object Windows {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // top-3 orders per customer by (totalprice desc, orderkey)
+    "win_rank_topn_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          canon(col("o_totalprice"), 100).as("price_c"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // cumulative event value per user (exact: integer cents domain)
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("running_c", sum(canon(col("value"), 100)).over(w))
+        .select(col("event_id"), col("user_id"), col("running_c"))
+        .orderBy("event_id")
+    }),
+
+    // per-user deltas between consecutive events
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .withColumn("prev_c", lag(canon(col("value"), 100), 1).over(w))
+        .withColumn("next_c", lead(canon(col("value"), 100), 1).over(w))
+        .withColumn("dt_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("prev_c"), col("next_c"), col("dt_us"))
+        .orderBy("event_id")
+    }),
+
+    // moving average over previous 3 rows per supplier (ROWS frame)
+    "win_sliding_frame" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-3, 0)
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") < 20)
+        .withColumn("mavg_c", canon(avg(canon(col("l_extendedprice"), 100)).over(w), 1))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mavg_c"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // trailing-1-hour sum per user (RANGE frame over epoch_us)
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(s, d)
+        .withColumn("hour_sum_c", sum(canon(col("value"), 100)).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("hour_sum_c"))
+        .orderBy("event_id")
+    }),
+
+    // ranking family: quartiles, dense_rank, percent_rank
+    "win_ntile_dense" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("dr", dense_rank().over(w))
+        .withColumn("pr_c", canon(percent_rank().over(w)))
+        .select(col("c_custkey"), col("quartile"), col("dr"), col("pr_c"))
+        .orderBy("c_custkey")
+    }),
+
+    // global top-20 by (extendedprice desc, orderkey, linenumber)
+    "sort_multikey_topk" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          canon(col("l_extendedprice"), 100).as("price_c"))
+    }),
+
+    // customer nations ∪ supplier nations (UNION distinct)
+    "set_union_distinct" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")
+    }),
+
+    // purchasers ∩ users-with-errors
+    "set_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // viewers ∖ purchasers
+    "set_except" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "view").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "win_rank_topn_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  lag(CAST(floor(value * 100) AS BIGINT), 1) OVER w AS prev_c,
+        |  lead(CAST(floor(value * 100) AS BIGINT), 1) OVER w AS next_c,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS dt_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_sliding_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(floor(avg(CAST(floor(l_extendedprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS BIGINT) AS mavg_c
+        |FROM lineitem WHERE l_suppkey < 20
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_sum_c
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_ntile_dense" ->
+      """SELECT c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  dense_rank() OVER w AS dr,
+        |  CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pr_c
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sort_multikey_topk" ->
+      """SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin
+  )
+}
