@@ -17,7 +17,9 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Aggregates.queries, Aggregates.oracles),
       (Windows.queries, Windows.oracles),
-      (Scalars.queries, Scalars.oracles)
+      (Scalars.queries, Scalars.oracles),
+      (EventTime.queries, EventTime.oracles),
+      (LlmOps.queries, LlmOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

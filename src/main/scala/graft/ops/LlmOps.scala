@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.io.Tables.{canon, canon100}
+
+/** §2.8 LLM-data-pipeline operators (SURVEY.md): tokenization, dedup
+  * (exact + near-dup Jaccard), vector similarity search, centroids, k-NN,
+  * multimodal joins, feed→warehouse enrichment.
+  *
+  * Scale notes (100 TB): tokenize/bigrams are Generator (explode) pipelines
+  * — fully parallel, no shuffle until the final aggregate. Exact dedup is a
+  * hash aggregate on the fingerprint. Near-dup runs as a token-postings
+  * self-join (the classic candidate-pair generator): explode distinct
+  * tokens → shuffle on (lang, token) → pair counts; at 100 TB the
+  * candidate generator becomes MinHash-LSH banding (see
+  * graft.functions.MinHash) so pair growth stays bounded by band
+  * collisions, not vocabulary frequency. Brute cosine/k-NN broadcast the
+  * (small) query side; the IVF-style scale path is in graft.functions.Ann.
+  *
+  * All float folds are in-list-order HOFs with explicit double casts so
+  * Spark and DuckDB produce bit-identical doubles.
+  */
+object LlmOps {
+
+  /** In-order dot product of two float vectors, exact double ops. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  private def ssq(a: Column): Column = dot(a, a)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // whitespace tokenize → explode → global token frequencies, top-50
+    "text_tokenize_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(50)
+    }),
+
+    // top-5 bigrams per language (single-pass HOF, no self-join)
+    "text_bigrams" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val bigrams = transform(sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+      val counted = Tables.documents(s, d)
+        .select(col("lang"), explode(bigrams).as("bg"))
+        .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bg"))
+      counted.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    }),
+
+    // per-language corpus stats
+    "text_stats_lang" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          canon(avg(col("n_chars"))).as("avg_chars_c"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    }),
+
+    // exact duplicate clusters by content fingerprint
+    "text_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("fp")
+    }),
+
+    // near-duplicate pairs: banded candidates + exact Jaccard over distinct
+    // token sets (τ = 0.5). Token-postings self-join = the distributed
+    // candidate generator; MinHash-LSH replaces it at 100 TB scale.
+    "text_dedup_near" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(split(col("text"), " ")).as("tk")).distinct()
+      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntk"))
+      val a = tok.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("n_chars").as("c1"), col("tk"))
+      val b = tok.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("n_chars").as("c2"), col("tk"))
+      val shared = a.join(b, a("tk") === b("tk") && col("l1") === col("l2") &&
+          col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20)
+        .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+      shared
+        .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("ntk", "n1"), "d1")
+        .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("ntk", "n2"), "d2")
+        .withColumn("jac", col("shared") * lit(10000.0) / (col("n1") + col("n2") - col("shared")))
+        .filter(col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared")) >= 0.5)
+        .select(col("d1"), col("d2"), floor(col("jac")).cast("long").as("jac_c"))
+        .orderBy("d1", "d2")
+    }),
+
+    // L2 norm per embedding
+    "vec_norm" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), canon100(sqrt(ssq(col("embedding")))).as("norm_c"))
+        .orderBy("vec_id")
+    }),
+
+    // similarity search: cosine vs query vector (vec 0), top-10
+    "vec_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos",
+          dot(col("embedding"), col("qe")) /
+            (sqrt(ssq(col("embedding"))) * sqrt(ssq(col("qe")))))
+        .select(col("vec_id"), canon(col("cos")).as("cos_c"))
+        .orderBy(col("cos_c").desc, col("vec_id")).limit(10)
+    }),
+
+    // per-label centroid vector (floor-canon per component)
+    "vec_centroid_label" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), canon(col("cv")).as("c")))),
+          s => s.getField("c")).as("centroid_c"))
+        .orderBy("label")
+    }),
+
+    // brute-force k-NN: 5 nearest others for query vecs id<5 (squared L2)
+    "vec_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val dist = aggregate(
+        zip_with(col("embedding"), col("qe"),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, p) => acc + p)
+      val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dist", dist)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id"), canon(col("dist")).as("dist_c"))
+        .orderBy("qid", "rk")
+    }),
+
+    // multimodal: text metadata ⋈ vectors in one relation, per-language
+    "multimodal_join" -> ((s, d) => {
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .withColumn("norm", sqrt(ssq(col("embedding"))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          canon100(avg(col("norm"))).as("avg_norm_c"),
+          canon(avg(col("n_chars"))).as("avg_chars_c"))
+        .orderBy("lang")
+    }),
+
+    // feed → warehouse enrichment: events ⋈ customer + JSON payload field
+    "events_enrich_model" -> ((s, d) => {
+      Tables.events(s, d)
+        .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(when(col("event_type") === "purchase", canon(col("value"), 100)).otherwise(0L)).as("rev_c"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_tokenize_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "text_bigrams" ->
+      """WITH b AS (
+        |  SELECT lang, unnest(list_transform(generate_series(1, len(str_split(text, ' ')) - 1),
+        |    i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1])) AS bg
+        |  FROM documents),
+        |c AS (SELECT lang, bg, count(*) AS n FROM b GROUP BY lang, bg),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bg) AS rk FROM c)
+        |SELECT lang, bg, n, rk FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "text_stats_lang" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(floor(avg(n_chars) * 10000) AS BIGINT) AS avg_chars_c,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS first_doc, count(*) AS n
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "text_dedup_near" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, lang, n_chars,
+        |    unnest(str_split(text, ' ')) AS tk FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS ntk FROM tok GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.lang = b.lang
+        |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(floor(shared * 10000.0 / (ca.ntk + cb.ntk - shared)) AS BIGINT) AS jac_c
+        |FROM pair JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id
+        |WHERE shared * 1.0 / (ca.ntk + cb.ntk - shared) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "vec_norm" ->
+      """SELECT vec_id, CAST(floor(sqrt(list_reduce(list_transform(
+        |    generate_series(1, len(embedding)),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b)) * 100) AS BIGINT) AS norm_c
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "vec_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(embedding)),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(generate_series(1, len(qe)),
+        |    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b))) AS cos
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, CAST(floor(cos * 10000) AS BIGINT) AS cos_c
+        |FROM s ORDER BY cos_c DESC, vec_id LIMIT 10""".stripMargin,
+
+    "vec_centroid_label" ->
+      """WITH p AS (SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+        |a AS (SELECT label, pos, CAST(floor(avg(v) * 10000) AS BIGINT) AS c
+        |  FROM p GROUP BY label, pos)
+        |SELECT label, list(c ORDER BY pos) AS centroid_c
+        |FROM a GROUP BY label ORDER BY label""".stripMargin,
+
+    "vec_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(embedding)),
+        |    i -> (CAST(embedding[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE)) *
+        |         (CAST(embedding[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE))), (a, b) -> a + b) AS dist
+        |  FROM embeddings, q WHERE vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM s)
+        |SELECT qid, rk, vec_id, CAST(floor(dist * 10000) AS BIGINT) AS dist_c
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "multimodal_join" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(floor(avg(sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b))) * 100) AS BIGINT) AS avg_norm_c,
+        |  CAST(floor(avg(n_chars) * 10000) AS BIGINT) AS avg_chars_c
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "events_enrich_model" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_c,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
