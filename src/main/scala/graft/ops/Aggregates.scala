@@ -119,13 +119,14 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
-    // ordered list aggregation (determinism rule 6)
+    // ordered list aggregation (determinism rule 6); the sorted array is
+    // serialized to a CSV string so the oracle harness can hash it
     "agg_collect_sorted" -> ((s, d) => {
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .filter(col("c_custkey") < 200)
         .groupBy("n_name")
-        .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"),
+        .agg(array_join(sort_array(collect_list(col("c_custkey"))).cast("array<string>"), ",").as("custkeys"),
           count(lit(1)).as("n"))
         .orderBy("n_name")
     }),
@@ -215,7 +216,8 @@ object Aggregates {
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_collect_sorted" ->
-      """SELECT n_name, list(c_custkey ORDER BY c_custkey) AS custkeys, count(*) AS n
+      """SELECT n_name, array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS custkeys,
+        |  count(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_custkey < 200
         |GROUP BY n_name ORDER BY n_name""".stripMargin

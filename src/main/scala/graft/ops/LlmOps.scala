@@ -12,13 +12,14 @@ import graft.io.Tables.{canon, canon100}
   *
   * Scale notes (100 TB): tokenize/bigrams are Generator (explode) pipelines
   * — fully parallel, no shuffle until the final aggregate. Exact dedup is a
-  * hash aggregate on the fingerprint. Near-dup runs as a token-postings
-  * self-join (the classic candidate-pair generator): explode distinct
-  * tokens → shuffle on (lang, token) → pair counts; at 100 TB the
-  * candidate generator becomes MinHash-LSH banding (see
-  * graft.functions.MinHash) so pair growth stays bounded by band
-  * collisions, not vocabulary frequency. Brute cosine/k-NN broadcast the
-  * (small) query side; the IVF-style scale path is in graft.functions.Ann.
+  * hash aggregate on the fingerprint. Near-dup uses an EXACT prefix-filtered
+  * candidate generator (All-Pairs / PPJoin prefix principle): tokens are
+  * globally ordered by ascending document frequency and each doc posts only
+  * its rarest floor(n/2)+1 distinct tokens, so a corpus-scale stop-token
+  * never self-joins quadratically; surviving candidate pairs are verified by
+  * intersecting full token sets. Probabilistic MinHash-LSH banding and the
+  * IVF ANN path live in graft.ops.Pipeline as separate operators. Brute
+  * cosine/k-NN broadcast the (small, bounded) query side.
   *
   * All float folds are in-list-order HOFs with explicit double casts so
   * Spark and DuckDB produce bit-identical doubles.
@@ -74,26 +75,45 @@ object LlmOps {
         .orderBy("fp")
     }),
 
-    // near-duplicate pairs: banded candidates + exact Jaccard over distinct
-    // token sets (τ = 0.5). Token-postings self-join = the distributed
-    // candidate generator; MinHash-LSH replaces it at 100 TB scale.
+    // near-duplicate pairs, EXACT at scale: prefix-filtered candidates
+    // (All-Pairs prefix principle) + full-set Jaccard verification (τ=0.5).
+    // Guarantee: for J(A,B) ≥ τ the globally-smallest shared token lies in
+    // BOTH prefixes of length n−⌈τ·n⌉+1 (else all shared tokens fit in one
+    // suffix of size ⌈τ·n⌉−1 < τ·|A∪B|, contradiction) — so joining only
+    // prefix postings misses nothing. Hot tokens land in long-doc suffixes,
+    // which caps posting-list self-join growth at 100 TB.
     "text_dedup_near" -> ((s, d) => {
+      val tau = 0.5
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"), col("n_chars"),
           explode(split(col("text"), " ")).as("tk")).distinct()
       val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntk"))
-      val a = tok.select(col("doc_id").as("d1"), col("lang").as("l1"),
-        col("n_chars").as("c1"), col("tk"))
-      val b = tok.select(col("doc_id").as("d2"), col("lang").as("l2"),
-        col("n_chars").as("c2"), col("tk"))
-      val shared = a.join(b, a("tk") === b("tk") && col("l1") === col("l2") &&
-          col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20)
-        .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
-      shared
-        .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("ntk", "n1"), "d1")
-        .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("ntk", "n2"), "d2")
+      val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+      // per-doc rarity order is partitioned by doc_id — no global window
+      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tk"))
+      val prefix = tok.join(dfreq, "tk").join(cnt, "doc_id")
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("ntk") - ceil(col("ntk") * tau) + 1)
+      val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("n_chars").as("c1"), col("ntk").as("n1"), col("tk").as("tk1"))
+      val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("n_chars").as("c2"), col("ntk").as("n2"), col("tk").as("tk2"))
+      // candidate filters: same lang, id order, |Δchars|, and the Jaccard
+      // size bound τ·|A| ≤ |B| ≤ |A|/τ (J ≥ τ ⇒ min/max ≥ τ)
+      val cand = a.join(b, col("tk1") === col("tk2") && col("l1") === col("l2") &&
+          col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
+          col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
+        .select("d1", "d2").distinct()
+      // verify candidates against full distinct-token sets (exact Jaccard)
+      val sets = tok.groupBy("doc_id").agg(collect_list(col("tk")).as("tks"))
+      cand
+        .join(sets.select(col("doc_id").as("d1"), col("tks").as("t1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("tks").as("t2")), "d2")
+        .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+        .withColumn("n1", size(col("t1")).cast("long"))
+        .withColumn("n2", size(col("t2")).cast("long"))
         .withColumn("jac", col("shared") * lit(10000.0) / (col("n1") + col("n2") - col("shared")))
-        .filter(col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared")) >= 0.5)
+        .filter(col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared")) >= tau)
         .select(col("d1"), col("d2"), floor(col("jac")).cast("long").as("jac_c"))
         .orderBy("d1", "d2")
     }),
@@ -118,14 +138,15 @@ object LlmOps {
         .orderBy(col("cos_c").desc, col("vec_id")).limit(10)
     }),
 
-    // per-label centroid vector (floor-canon per component)
+    // per-label centroid vector (floor-canon per component, CSV-serialized
+    // so the oracle harness can hash the array)
     "vec_centroid_label" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
         .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), canon(col("cv")).as("c")))),
-          s => s.getField("c")).as("centroid_c"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), canon(col("cv")).as("c")))),
+          s => s.getField("c")).cast("array<string>"), ",").as("centroid_c"))
         .orderBy("label")
     }),
 
@@ -237,7 +258,7 @@ object LlmOps {
         |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
         |a AS (SELECT label, pos, CAST(floor(avg(v) * 10000) AS BIGINT) AS c
         |  FROM p GROUP BY label, pos)
-        |SELECT label, list(c ORDER BY pos) AS centroid_c
+        |SELECT label, array_to_string(list(c ORDER BY pos), ',') AS centroid_c
         |FROM a GROUP BY label ORDER BY label""".stripMargin,
 
     "vec_knn_brute" ->

@@ -82,11 +82,11 @@ object Scalars {
         .limit(500)
     }),
 
-    // payload as a typed map: keys + value lookup
+    // payload as a typed map: keys (CSV-serialized for the harness) + lookup
     "fn_map" -> ((s, d) => {
       Tables.events(s, d)
         .select(col("event_id"),
-          sort_array(map_keys(from_json(col("props"), lit("map<string,bigint>")))).as("ks"),
+          array_join(sort_array(map_keys(from_json(col("props"), lit("map<string,bigint>")))), ",").as("ks"),
           element_at(from_json(col("props"), lit("map<string,bigint>")), "k").as("kv"))
         .orderBy("event_id")
         .limit(500)
@@ -158,7 +158,7 @@ object Scalars {
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
 
     "fn_map" ->
-      """SELECT event_id, list_sort(json_keys(props)) AS ks,
+      """SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS ks,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
 

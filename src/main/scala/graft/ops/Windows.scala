@@ -72,13 +72,35 @@ object Windows {
         .orderBy("event_id")
     }),
 
-    // ranking family: quartiles, dense_rank, percent_rank
+    // ranking family: quartiles, dense_rank, percent_rank. A naive
+    // Window.orderBy with no partitionBy would move the whole table into
+    // ONE partition; instead: 2-pass global rank — pass 1 builds a tiny
+    // value-range histogram (|buckets| rows, broadcastable), pass 2 adds
+    // per-bucket row_number to the broadcast cumulative offset. The sort
+    // key (c_acctbal, c_custkey) is unique, so dense_rank ≡ rank ≡
+    // row_number and percent_rank/ntile derive from the global rank in
+    // closed form (ntile: first n%k buckets get ⌈n/k⌉ rows).
     "win_ntile_dense" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("dr", dense_rank().over(w))
-        .withColumn("pr_c", canon(percent_rank().over(w)))
+      val cust = Tables.customer(s, d)
+      val withB = cust.withColumn("b", floor(col("c_acctbal")).cast("long"))
+      val wHist = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+      // histogram + running offsets: single-partition window, but only over
+      // the ~1e4 distinct buckets, never over the data rows
+      val offsets = withB.groupBy("b").agg(count(lit(1)).as("cb"))
+        .withColumn("off", coalesce(sum("cb").over(wHist), lit(0L)))
+        .select("b", "off")
+      val wIn = Window.partitionBy("b").orderBy(col("c_acctbal"), col("c_custkey"))
+      withB.join(broadcast(offsets), "b")
+        .withColumn("rk", row_number().over(wIn).cast("long") + col("off"))
+        .crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
+        .withColumn("quartile", expr(
+          """CASE WHEN n_total DIV 4 = 0 THEN rk
+            |     WHEN rk <= (n_total % 4) * (n_total DIV 4 + 1)
+            |     THEN (rk - 1) DIV (n_total DIV 4 + 1) + 1
+            |     ELSE (n_total % 4) + (rk - 1 - (n_total % 4) * (n_total DIV 4 + 1)) DIV (n_total DIV 4) + 1
+            |END""".stripMargin))
+        .withColumn("dr", col("rk"))
+        .withColumn("pr_c", canon((col("rk") - 1).cast("double") / (col("n_total") - 1)))
         .select(col("c_custkey"), col("quartile"), col("dr"), col("pr_c"))
         .orderBy("c_custkey")
     }),

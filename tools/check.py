@@ -36,7 +36,16 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(s) != len(d):
             print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); n_fail += 1; continue
-        # compare stringified values row-by-row (order matters, like the hash)
+        # Mirror the driver's t2 gate exactly: sort_values over the RAW
+        # frame (this is where an array-typed column crashes the driver —
+        # keeping the same order of operations makes local PASS/FAIL
+        # predict the driver outcome), then stringify and compare.
+        try:
+            s = s.sort_values(by=list(s.columns), ignore_index=True)
+            d = d.sort_values(by=list(d.columns), ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: sort (driver would crash too): {e}")
+            n_fail += 1; continue
         sv = s.astype(str).values.tolist()
         dv = d.astype(str).values.tolist()
         if sv != dv:
