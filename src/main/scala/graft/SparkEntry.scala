@@ -19,7 +19,9 @@ object SparkEntry {
       (Windows.queries, Windows.oracles),
       (Scalars.queries, Scalars.oracles),
       (EventTime.queries, EventTime.oracles),
-      (LlmOps.queries, LlmOps.oracles)
+      (LlmOps.queries, LlmOps.oracles),
+      (ExtOps.queries, ExtOps.oracles),
+      (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

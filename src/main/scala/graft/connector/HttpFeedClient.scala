@@ -1,0 +1,71 @@
+package graft.connector
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal HTTP Feeds protocol client (reference `README.md:84-146`): one
+  * GET endpoint, `lastEventId` cursor + optional long-poll `timeout` query
+  * params (`README.md:298-301`), `application/cloudevents-batch+json`
+  * response pages. Used by both the driver-side offset probe and the
+  * executor-side partition reader of the DSv2 source — pages are
+  * deterministic for a given cursor (`README.md:332` makes them cacheable),
+  * which is what makes offsets replayable and the source exactly-once.
+  */
+object HttpFeedClient {
+
+  private val mapper = new ObjectMapper()
+
+  /** One envelope as parsed JSON (kept as JsonNode; the reader projects). */
+  final case class Page(events: IndexedSeq[JsonNode]) {
+    def isEmpty: Boolean = events.isEmpty
+    def lastId: Option[String] =
+      events.lastOption.map(_.get("id").asText())
+  }
+
+  /** GET one page after `lastEventId` (empty string = feed start,
+    * `README.md:300`); `timeoutMs > 0` requests a long poll. */
+  def fetchPage(url: String, lastEventId: String, timeoutMs: Long): Page = {
+    val sep = if (url.contains("?")) "&" else "?"
+    val params = new StringBuilder
+    if (lastEventId.nonEmpty)
+      params ++= s"lastEventId=${URLEncoder.encode(lastEventId, "UTF-8")}"
+    if (timeoutMs > 0) {
+      if (params.nonEmpty) params ++= "&"
+      params ++= s"timeout=$timeoutMs"
+    }
+    val full = if (params.isEmpty) url else url + sep + params
+    val conn = new URI(full).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout((timeoutMs + 30000).toInt)
+    try {
+      val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      val root = mapper.readTree(body)
+      val buf = new ArrayBuffer[JsonNode](root.size())
+      root.forEach(n => buf += n)
+      Page(buf.toIndexedSeq)
+    } finally conn.disconnect()
+  }
+
+  /** Drain from a cursor to the current head: page until the server answers
+    * with the empty array (`README.md:79-82` end-of-feed). Returns the head
+    * id (or the cursor unchanged if already at head). The first request
+    * long-polls, so an idle feed blocks at most `timeoutMs`. */
+  def drainHead(url: String, fromId: String, timeoutMs: Long, maxPages: Int = 100000): String = {
+    var cursor = fromId
+    var pages = 0
+    var first = true
+    while (pages < maxPages) {
+      val page = fetchPage(url, cursor, if (first) timeoutMs else 0)
+      first = false
+      if (page.isEmpty) return cursor
+      cursor = page.lastId.getOrElse(return cursor)
+      pages += 1
+    }
+    cursor
+  }
+}

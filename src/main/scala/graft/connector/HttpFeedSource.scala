@@ -1,0 +1,188 @@
+package graft.connector
+
+import java.util
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.udf.CloudEventsParse
+
+/** DSv2 HTTP feed source — the subscription half of the spec
+  * (`README.md:84-146`) as a Structured Streaming `MicroBatchStream`:
+  *
+  *  - offset ≙ `lastEventId` (string; "" = feed start, `README.md:300`);
+  *    the checkpoint WAL is the durable cursor the spec mandates
+  *    (`README.md:111`).
+  *  - `latestOffset` performs the polling loop: long-poll GET with the
+  *    `timeout` param (`README.md:126`, :298-301), then page to the head
+  *    (empty array = end of feed, `README.md:79-82`).
+  *  - each micro-batch binds the half-open id range (start, end]; the
+  *    executor re-fetches those pages — deterministic for a fixed cursor
+  *    (`README.md:332`), so ranges are replayable and the spec's
+  *    at-least-once delivery (`README.md:113`) becomes exactly-once inside
+  *    the pipeline.
+  *  - ONE InputPartition per batch: a feed is a single totally-ordered
+  *    stream (`README.md:9`); parallelism comes after ingestion by
+  *    repartitioning on `subject` (SURVEY.md §3.2), never by splitting the
+  *    ordered fetch.
+  *
+  * Batch mode (`spark.read`) is bounded replay: drain to head at plan time,
+  * read (start, head] as one partition.
+  */
+class HttpFeedProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "http-feed"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CloudEventsParse.envelopeSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new HttpFeedTable(HttpFeedOptions(
+      url = Option(properties.get("url"))
+        .getOrElse(throw new IllegalArgumentException("http-feed requires option 'url'")),
+      timeoutMs = Option(properties.get("timeoutms")).map(_.toLong).getOrElse(5000L),
+      startId = Option(properties.get("startid")).getOrElse("")))
+}
+
+case class HttpFeedOptions(url: String, timeoutMs: Long, startId: String)
+
+class HttpFeedTable(opts: HttpFeedOptions) extends Table with SupportsRead {
+  override def name(): String = s"http-feed(${opts.url})"
+  override def schema(): StructType = CloudEventsParse.envelopeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new HttpFeedScan(opts)
+}
+
+class HttpFeedScan(opts: HttpFeedOptions) extends Scan {
+  override def readSchema(): StructType = CloudEventsParse.envelopeSchema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new HttpFeedMicroBatchStream(opts)
+  override def toBatch: Batch = new HttpFeedBatch(opts)
+}
+
+/** Offset = the lastEventId cursor, JSON-serialized into the WAL. */
+case class HttpFeedOffset(lastEventId: String) extends Offset {
+  override def json(): String =
+    HttpFeedOffset.mapper.writeValueAsString(
+      HttpFeedOffset.mapper.createObjectNode().put("lastEventId", lastEventId))
+}
+object HttpFeedOffset {
+  private val mapper = new ObjectMapper()
+  def fromJson(json: String): HttpFeedOffset =
+    HttpFeedOffset(mapper.readTree(json).get("lastEventId").asText())
+}
+
+class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowEnd: Option[HttpFeedOffset] = None
+
+  override def initialOffset(): Offset = HttpFeedOffset(opts.startId)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Trigger.AvailableNow: pin the head once; batches never pass it. */
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val head = HttpFeedClient.drainHead(opts.url, opts.startId, opts.timeoutMs)
+    availableNowEnd = Some(HttpFeedOffset(head))
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowEnd.getOrElse {
+      val from = start.asInstanceOf[HttpFeedOffset].lastEventId
+      HttpFeedOffset(HttpFeedClient.drainHead(opts.url, from, opts.timeoutMs))
+    }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HttpFeedOffset].lastEventId
+    val e = end.asInstanceOf[HttpFeedOffset].lastEventId
+    if (s == e) Array.empty
+    else Array(HttpFeedInputPartition(opts.url, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpFeedReaderFactory
+
+  override def deserializeOffset(json: String): Offset = HttpFeedOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class HttpFeedBatch(opts: HttpFeedOptions) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val head = HttpFeedClient.drainHead(opts.url, opts.startId, 0)
+    if (head == opts.startId) Array.empty
+    else Array(HttpFeedInputPartition(opts.url, opts.startId, head))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new HttpFeedReaderFactory
+}
+
+/** The (startId, endId] page range one task reads. */
+case class HttpFeedInputPartition(url: String, startId: String, endId: String)
+    extends InputPartition
+
+class HttpFeedReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new HttpFeedPartitionReader(partition.asInstanceOf[HttpFeedInputPartition])
+}
+
+/** Executor-side reader: pages through (startId, endId] with the protocol's
+  * cursor loop (`README.md:95-109`), stopping at the empty page or once the
+  * bound is passed. Rows beyond endId (data that arrived after the batch
+  * was planned) are excluded so the batch is exactly the planned range.
+  */
+class HttpFeedPartitionReader(p: HttpFeedInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private var cursor = p.startId
+  private var page: IndexedSeq[JsonNode] = IndexedSeq.empty
+  private var idx = 0
+  private var exhausted = false
+  private var current: InternalRow = _
+
+  private def str(n: JsonNode, field: String): UTF8String = {
+    val v = n.get(field)
+    if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+  }
+
+  private def toRow(n: JsonNode): InternalRow = {
+    val timeUs = Option(n.get("time_us")).filterNot(_.isNull).map(_.asLong())
+    new GenericInternalRow(Array[Any](
+      str(n, "specversion"), str(n, "id"), str(n, "type"), str(n, "source"),
+      timeUs.map(Long.box).orNull, str(n, "subject"), str(n, "method"),
+      str(n, "datacontenttype"), str(n, "data")))
+  }
+
+  override def next(): Boolean = {
+    while (idx >= page.length && !exhausted) {
+      val fetched = HttpFeedClient.fetchPage(p.url, cursor, 0)
+      if (fetched.isEmpty) { exhausted = true }
+      else {
+        page = fetched.events
+        idx = 0
+        cursor = fetched.lastId.get
+        if (cursor >= p.endId) exhausted = true // last page of the range
+      }
+    }
+    if (idx < page.length) {
+      val n = page(idx); idx += 1
+      val id = n.get("id").asText()
+      if (id > p.endId) { page = IndexedSeq.empty; exhausted = true; next() }
+      else { current = toRow(n); true }
+    } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

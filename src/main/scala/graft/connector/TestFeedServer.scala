@@ -1,0 +1,89 @@
+package graft.connector
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Embedded HTTP feed server fixture (JDK built-in httpserver, no deps):
+  * serves a feed of pre-serialized CloudEvents envelope JSONs per the spec —
+  * single GET endpoint (`README.md:8`), `lastEventId` + `timeout` query
+  * params (`README.md:298-301`), `application/cloudevents-batch+json` pages
+  * (`README.md:11`), empty array at head (`README.md:79-82`), long-poll
+  * blocking until data or timeout (`README.md:123-141`).
+  *
+  * Test-only harness: the engine is the CONSUMER; serving feeds is out of
+  * Spark scope (SURVEY.md §0). `append` + long-poll notify lets tests drive
+  * the empty-then-data subscription sequence.
+  */
+class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100) {
+
+  // (id, envelopeJson), kept sorted by id (ids are the total order key)
+  private var events: Vector[(String, String)] = initial.sortBy(_._1).toVector
+  private val lock = new Object
+
+  @volatile private var requests = 0
+
+  // daemon threads + explicit shutdown: the fixture must never keep the
+  // driver JVM alive after stop()
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "test-feed-server"); t.setDaemon(true); t
+  })
+
+  private val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/feed", (exchange: HttpExchange) => handle(exchange))
+    s.setExecutor(pool)
+    s.start()
+    s
+  }
+
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
+  def requestCount: Int = requests
+
+  /** Append new events (notifies long-poll waiters). */
+  def append(more: Seq[(String, String)]): Unit = lock.synchronized {
+    events = (events ++ more).sortBy(_._1)
+    lock.notifyAll()
+  }
+
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  private def pageAfter(lastEventId: String): Vector[String] = lock.synchronized {
+    events.dropWhile(_._1 <= lastEventId).take(pageSize).map(_._2)
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    requests += 1
+    val params = query(ex)
+    val lastId = params.getOrElse("lastEventId", "")
+    val timeoutMs = params.get("timeout").map(_.toLong).getOrElse(0L)
+    var page = pageAfter(lastId)
+    if (page.isEmpty && timeoutMs > 0) {
+      // long poll: hold the connection until data arrives or timeout
+      val deadline = System.currentTimeMillis() + timeoutMs
+      lock.synchronized {
+        while (page.isEmpty && System.currentTimeMillis() < deadline) {
+          lock.wait(math.max(1, deadline - System.currentTimeMillis()))
+          page = events.dropWhile(_._1 <= lastId).take(pageSize).map(_._2)
+        }
+      }
+    }
+    val body = page.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/cloudevents-batch+json")
+    ex.sendResponseHeaders(200, body.length)
+    val os = ex.getResponseBody
+    os.write(body); os.close()
+  }
+}

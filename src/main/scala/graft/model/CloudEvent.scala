@@ -27,4 +27,27 @@ case class CloudEvent(
 object CloudEvent {
   val PUT = "PUT"
   val DELETE = "DELETE"
+
+  /** CloudEvents view of the driver's `events` table (FIXTURES.md mapping:
+    * id = zero-padded event_id so string order ≡ numeric order
+    * (`README.md:159`), subject = user_id, tombstone ≙ event_type='error').
+    * The typed entry point for `Dataset[CloudEvent]` operators
+    * (graft.udf.LatestState, the streaming read-model state machine).
+    */
+  def fromEvents(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[CloudEvent] = {
+    import org.apache.spark.sql.functions._
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(
+      lit("1.0").as("specversion"),
+      lpad(col("event_id").cast("string"), 13, "0").as("id"),
+      col("event_type").as("type"),
+      lit("https://feeds.example/events").as("source"),
+      timestamp_micros(col("ts_us")).as("time"),
+      col("user_id").cast("string").as("subject"),
+      when(col("event_type") === "error", DELETE).otherwise(PUT).as("method"),
+      lit("application/json").as("datacontenttype"),
+      col("props").as("data")
+    ).as[CloudEvent]
+  }
 }

@@ -1,0 +1,46 @@
+package graft.udf
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Codec for the spec's sequence-prefixed order-key scheme (reference
+  * `README.md:159`): `lpad(seq, 13, '0') ‖ "::" ‖ suffix`, e.g.
+  * `0000001000001::5f8de8ff-30d8-4fab-8f5a-c32f326d6f26`. The zero-padded
+  * numeric prefix makes lexicographic string order equal numeric order, so
+  * the feed's `lastEventId` cursor supports both string comparison (HTTP
+  * wire form) and offset arithmetic (streaming source internals).
+  *
+  * Two surfaces:
+  *  - native Column expressions (codegen-friendly; the hot path)
+  *  - registered Scala UDFs (`seq_id_encode` / `seq_id_decode`) — the §2.9
+  *    UDF extension-point showcase, property-tested ≡ the native path.
+  */
+object SeqId {
+
+  val Sep = "::"
+  val Width = 13
+
+  /** Native (codegen'd) encode: zero-pad the sequence and append suffix. */
+  def encode(seq: Column, suffix: Column): Column =
+    concat(lpad(seq.cast("string"), Width, "0"), lit(Sep), suffix)
+
+  /** Native (codegen'd) decode of the numeric prefix. */
+  def decodeSeq(id: Column): Column =
+    split(id, Sep).getItem(0).cast("long")
+
+  /** Scala-function forms backing the registered UDFs. */
+  val encodeFn: (Long, String) => String =
+    (seq, suffix) => ("%0" + Width + "d").format(seq) + Sep + suffix
+
+  val decodeFn: String => Long =
+    id => id.substring(0, id.indexOf(Sep)).toLong
+
+  val encodeUdf = udf(encodeFn)
+  val decodeUdf = udf(decodeFn)
+
+  /** Register both UDFs on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("seq_id_encode", encodeFn)
+    spark.udf.register("seq_id_decode", decodeFn)
+  }
+}
