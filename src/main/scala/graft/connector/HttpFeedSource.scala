@@ -42,12 +42,14 @@ class HttpFeedProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     CloudEventsParse.envelopeSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
     new HttpFeedTable(HttpFeedOptions(
-      url = Option(properties.get("url"))
+      url = Option(opts.get("url"))
         .getOrElse(throw new IllegalArgumentException("http-feed requires option 'url'")),
-      timeoutMs = Option(properties.get("timeoutms")).map(_.toLong).getOrElse(5000L),
-      startId = Option(properties.get("startid")).getOrElse("")))
+      timeoutMs = Option(opts.get("timeoutMs")).map(_.toLong).getOrElse(5000L),
+      startId = Option(opts.get("startId")).getOrElse("")))
+  }
 }
 
 case class HttpFeedOptions(url: String, timeoutMs: Long, startId: String)

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.connector.{HttpFeedClient, TestFeedServer}
+import graft.udf.SeqId
+
+/** End-to-end tests of the DSv2 HTTP feed source against the embedded feed
+  * server: pagination, cursor resume, batch replay, long-poll
+  * empty-then-data (README.md:123-146), and exactly-the-range semantics.
+  */
+class HttpSourceSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def envelopeJson(seq: Long, subject: String, typ: String = "t.example"): (String, String) = {
+    val id = SeqId.encodeFn(seq, f"u$seq%04d")
+    val json =
+      s"""{"specversion":"1.0","id":"$id","type":"$typ","source":"srv",
+         |"time_us":${1700000000000000L + seq * 1000000L},"subject":"$subject",
+         |"method":"PUT","datacontenttype":"application/json","data":"{\\"v\\":$seq}"}"""
+        .stripMargin.replace("\n", "")
+    (id, json)
+  }
+
+  test("streaming replay with AvailableNow drains the feed in order") {
+    val events = (1L to 250L).map(i => envelopeJson(i, s"s${i % 7}"))
+    val server = new TestFeedServer(events, pageSize = 100)
+    try {
+      val q = spark.readStream.format("http-feed")
+        .option("url", server.url).option("timeoutMs", "100").load()
+        .writeStream.format("memory").queryName("http_drain")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+      val got = spark.table("http_drain").orderBy("id").collect()
+      assert(got.length === 250)
+      assert(got.map(_.getAs[String]("id")).toSeq === events.map(_._1))
+      assert(got.head.getAs[String]("data") === """{"v":1}""")
+      assert(server.requestCount >= 3, "expected multiple pages")
+    } finally server.stop()
+  }
+
+  test("batch read replays the full feed (bounded replay, README.md:95-109)") {
+    val events = (1L to 45L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val df = spark.read.format("http-feed").option("url", server.url).load()
+      assert(df.count() === 45)
+      assert(df.agg(min("id")).head.getString(0) === events.head._1)
+    } finally server.stop()
+  }
+
+  test("startId option resumes strictly after the cursor (README.md:68-73)") {
+    val events = (1L to 30L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val cursor = events(9)._1 // resume after event 10
+      val df = spark.read.format("http-feed")
+        .option("url", server.url).option("startId", cursor).load()
+      val ids = df.orderBy("id").collect().map(_.getAs[String]("id")).toSeq
+      assert(ids === events.drop(10).map(_._1))
+    } finally server.stop()
+  }
+
+  test("long poll: empty feed blocks until data arrives, then returns it (README.md:140-141)") {
+    val server = new TestFeedServer(Seq.empty, pageSize = 10)
+    try {
+      val (id1, json1) = envelopeJson(1, "s1")
+      // appender fires while drainHead is long-polling
+      val t = new Thread(() => { Thread.sleep(300); server.append(Seq((id1, json1))) })
+      t.start()
+      val t0 = System.nanoTime()
+      val head = HttpFeedClient.drainHead(server.url, "", timeoutMs = 5000)
+      val waitedMs = (System.nanoTime() - t0) / 1000000
+      t.join()
+      assert(head === id1, "long poll must return the appended event's id")
+      assert(waitedMs >= 250, "must have blocked until the append")
+      assert(waitedMs < 5000, "must not have waited for the full timeout")
+    } finally server.stop()
+  }
+
+  test("subscription picks up events appended between micro-batches") {
+    val first = (1L to 20L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(first, pageSize = 10)
+    try {
+      val q = spark.readStream.format("http-feed")
+        .option("url", server.url).option("timeoutMs", "100").load()
+        .writeStream.format("memory").queryName("http_live").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("http_live").count() === 20)
+        server.append((21L to 25L).map(i => envelopeJson(i, s"s$i")))
+        q.processAllAvailable()
+        assert(spark.table("http_live").count() === 25)
+      } finally q.stop()
+    } finally server.stop()
+  }
+
+  test("empty feed yields an empty batch, not an error (README.md:79-82)") {
+    val server = new TestFeedServer(Seq.empty, pageSize = 10)
+    try {
+      val df = spark.read.format("http-feed")
+        .option("url", server.url).option("timeoutMs", "0").load()
+      assert(df.count() === 0)
+    } finally server.stop()
+  }
+}

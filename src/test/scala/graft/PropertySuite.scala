@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.CloudEvent
+import graft.udf.{JaccardTokens, LatestState, SeqId}
+
+import scala.util.Random
+
+/** Property-style tests (SURVEY §5.4) over seeded random feeds: compaction
+  * algebra, at-least-once safety, codec laws, UDF ≡ native equivalence,
+  * and read-model ≡ fold-left state machine. Deterministic seeds keep the
+  * suite reproducible without a property-testing framework dependency.
+  */
+class PropertySuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randomFeed(rnd: Random, n: Int, subjects: Int): Seq[CloudEvent] =
+    (1L to n.toLong).map { i =>
+      val subj = (rnd.nextInt(subjects) + 1).toString
+      val del = rnd.nextDouble() < 0.15
+      CloudEvent("1.0", SeqId.encodeFn(i, f"u$i%04d"), "t.example", "src",
+        new java.sql.Timestamp(1600000000000L + i * 1000),
+        Some(subj), Some(if (del) CloudEvent.DELETE else CloudEvent.PUT),
+        Some("application/json"), if (del) None else Some(s"""{"v":$i}"""))
+    }
+
+  private def compactDf(feed: Seq[CloudEvent]) = {
+    val w = Window.partitionBy("subject").orderBy(col("id").desc)
+    feed.toDS().toDF()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  test("compaction is idempotent: compact(compact(f)) == compact(f)") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 5) {
+      val feed = randomFeed(rnd, 200, 20)
+      val once = compactDf(feed).as[CloudEvent].collect().sortBy(_.id)
+      val twice = compactDf(once.toIndexedSeq).as[CloudEvent].collect().sortBy(_.id)
+      assert(once.toSeq === twice.toSeq)
+    }
+  }
+
+  test("compaction keeps exactly one entry per subject, a member of the input") {
+    val rnd = new Random(7)
+    val feed = randomFeed(rnd, 300, 25)
+    val out = compactDf(feed).as[CloudEvent].collect()
+    assert(out.map(_.subject).distinct.length === out.length)
+    val inputIds = feed.map(_.id).toSet
+    assert(out.forall(e => inputIds(e.id)))
+    assert(out.map(_.subject.get).toSet === feed.map(_.subject.get).toSet)
+  }
+
+  test("typed LatestState aggregator ≡ window compaction on random feeds") {
+    val rnd = new Random(123)
+    for (_ <- 1 to 3) {
+      val feed = randomFeed(rnd, 250, 15)
+      val viaWindow = compactDf(feed).as[CloudEvent].collect()
+        .map(e => e.subject.get -> e.id).toMap
+      val viaAgg = feed.toDS()
+        .groupByKey(_.subject.getOrElse(""))
+        .agg(LatestState.toColumn.name("state"))
+        .collect().map { case (k, e) => k -> e.id }.toMap
+      assert(viaAgg === viaWindow)
+    }
+  }
+
+  test("at-least-once: replay(dedup(feed ∪ page)) == replay(feed) (README.md:113-114)") {
+    val rnd = new Random(99)
+    val feed = randomFeed(rnd, 200, 20)
+    val page = feed.takeRight(50) // redelivered tail
+    val deduped = (feed ++ page).toDS().dropDuplicates("id")
+      .as[CloudEvent].collect().sortBy(_.id)
+    assert(deduped.toSeq === feed.sortBy(_.id))
+  }
+
+  test("seq-id codec: roundtrip and order preservation (README.md:159)") {
+    val rnd = new Random(5)
+    val seqs = Seq.fill(200)(math.abs(rnd.nextLong()) % 10000000000000L).distinct
+    seqs.foreach { s =>
+      assert(SeqId.decodeFn(SeqId.encodeFn(s, "x-y")) === s)
+    }
+    val sortedBySeq = seqs.sorted
+    val sortedByString = seqs.map(s => SeqId.encodeFn(s, "z")).sorted.map(SeqId.decodeFn)
+    assert(sortedByString === sortedBySeq, "string order must equal numeric order")
+  }
+
+  test("jaccard UDF ≡ native HOF formulation ≡ set definition") {
+    val rnd = new Random(11)
+    val cases = Seq.fill(30) {
+      val a = Seq.fill(rnd.nextInt(20))(s"w${rnd.nextInt(15)}")
+      val b = Seq.fill(rnd.nextInt(20))(s"w${rnd.nextInt(15)}")
+      (a, b)
+    }
+    val df = cases.toDF("a", "b")
+      .withColumn("viaUdf", JaccardTokens.jaccardUdf(col("a"), col("b")))
+      .withColumn("viaNative", JaccardTokens.jaccardNative(col("a"), col("b")))
+    df.collect().zip(cases).foreach { case (r, (a, b)) =>
+      val expected = {
+        val (sa, sb) = (a.toSet, b.toSet)
+        val u = (sa ++ sb).size
+        if (u == 0) 0.0 else (sa & sb).size.toDouble / u
+      }
+      assert(math.abs(r.getAs[Double]("viaUdf") - expected) < 1e-12)
+      assert(math.abs(r.getAs[Double]("viaNative") - expected) < 1e-12)
+    }
+  }
+
+  test("read model ≡ fold-left of the per-event upsert/delete state machine") {
+    val rnd = new Random(77)
+    val feed = randomFeed(rnd, 300, 30)
+    // engine: compaction ∘ tombstone-filter
+    val engine = compactDf(feed).filter(col("method") =!= CloudEvent.DELETE)
+      .as[CloudEvent].collect().map(e => e.subject.get -> e.id).toMap
+    // reference state machine: fold events in id order
+    val folded = feed.sortBy(_.id).foldLeft(Map.empty[String, CloudEvent]) { (st, e) =>
+      if (e.method.contains(CloudEvent.DELETE)) st - e.subject.get
+      else st + (e.subject.get -> e)
+    }.map { case (k, e) => k -> e.id }
+    assert(engine === folded)
+  }
+
+  test("read model parity holds for any prefix split (batch ≡ incremental)") {
+    val rnd = new Random(31)
+    val feed = randomFeed(rnd, 200, 12).sortBy(_.id)
+    val full = compactDf(feed).filter(col("method") =!= CloudEvent.DELETE)
+      .as[CloudEvent].collect().map(e => e.subject.get -> e.id).toMap
+    for (cut <- Seq(0, 50, 100, 199)) {
+      val (p1, p2) = feed.splitAt(cut)
+      // incremental: compact prefix, then merge-compact the remainder
+      val merged = compactDf(compactDf(p1).as[CloudEvent].collect().toIndexedSeq ++ p2)
+        .filter(col("method") =!= CloudEvent.DELETE)
+        .as[CloudEvent].collect().map(e => e.subject.get -> e.id).toMap
+      assert(merged === full, s"prefix split at $cut diverged")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact per event_type (SURVEY §2.3)") {
+    val ev = graft.io.Tables.events(spark, TestSpark.sfDir)
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ev.groupBy("event_type").agg(approx_count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.CloudEvent
+import graft.streaming.StreamOps
+
+/** Read-model emission row (top-level: Spark encoders need a static outer
+  * scope for case classes used in streams). */
+case class RmOut(subject: String, id: String, method: String)
+
+/** Streaming-vs-batch parity (SURVEY §5.4-5.5): the stateful operators fed
+  * in multiple micro-batches must agree with their batch formulations on
+  * the same data, for any batch split.
+  */
+class StreamingSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def feed(n: Int): Seq[CloudEvent] =
+    CloudEvent.fromEvents(graft.io.Tables.events(spark, TestSpark.sfDir))
+      .collect().sortBy(_.id).take(n).toSeq
+
+  private def batchReadModel(events: Seq[CloudEvent]): Map[String, String] = {
+    val w = Window.partitionBy("subject").orderBy(col("id").desc)
+    events.toDS().toDF()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("method") =!= CloudEvent.DELETE)
+      .as[CloudEvent].collect().map(e => e.subject.get -> e.id).toMap
+  }
+
+
+
+  private def streamReadModel(batches: Seq[Seq[CloudEvent]], name: String): Map[String, String] = {
+    val ms = MemoryStream[CloudEvent](spark)
+    def update(subject: String, it: Iterator[CloudEvent],
+               state: GroupState[CloudEvent]): Iterator[RmOut] = {
+      val latest = (state.getOption.iterator ++ it)
+        .reduceLeft((a, b) => if (b.id > a.id) b else a)
+      if (latest.method.contains(CloudEvent.DELETE)) state.remove()
+      else state.update(latest)
+      Iterator.single(RmOut(subject, latest.id, latest.method.getOrElse(CloudEvent.PUT)))
+    }
+    val model = ms.toDS().groupByKey(_.subject.getOrElse(""))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    val q = model.toDF().writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Update).start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val w = Window.partitionBy("subject").orderBy(col("id").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("method") =!= CloudEvent.DELETE)
+      .collect().map(r => r.getAs[String]("subject") -> r.getAs[String]("id")).toMap
+  }
+
+  test("stateful read model ≡ batch compaction for a 2-way batch split") {
+    val all = feed(600)
+    val expected = batchReadModel(all)
+    val (b1, b2) = all.splitAt(300)
+    assert(streamReadModel(Seq(b1, b2), "rm_parity_2") === expected)
+  }
+
+  test("stateful read model ≡ batch compaction for 1-way and 4-way splits") {
+    val all = feed(400)
+    val expected = batchReadModel(all)
+    assert(streamReadModel(Seq(all), "rm_parity_1") === expected)
+    val quarters = all.grouped(100).toSeq
+    assert(streamReadModel(quarters, "rm_parity_4") === expected)
+  }
+
+  test("tombstone in a later batch removes state built in an earlier batch (README.md:290)") {
+    val put = CloudEvent("1.0", "0000000000001::a", "t", "s",
+      new java.sql.Timestamp(1000), Some("subj-1"), Some(CloudEvent.PUT),
+      None, Some("""{"v":1}"""))
+    val del = put.copy(id = "0000000000002::b", method = Some(CloudEvent.DELETE), data = None)
+    val other = put.copy(id = "0000000000003::c", subject = Some("subj-2"))
+    assert(streamReadModel(Seq(Seq(put, other), Seq(del)), "rm_tomb") ===
+      Map("subj-2" -> other.id))
+  }
+
+  test("dropDuplicatesWithinWatermark drops a redelivered batch (README.md:113-114)") {
+    val rows = (1L to 100L).map(i =>
+      StreamOps.Ev(i, 1700000000000000L + i * 1000000L, i % 10, "click", 1.0))
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    val dedup = ms.toDF()
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(rows); q.processAllAvailable()
+      ms.addData(rows.takeRight(40)); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    assert(spark.table("dedup_parity").count() === 100)
+  }
+
+  test("watermark finalizes only windows behind max event time - delay") {
+    val base = 1700000000000000L // µs
+    val hour = 3600000000L
+    // events in 3 consecutive hours; watermark 10 min past the last event
+    val rows = Seq(0, 1, 2).flatMap(h =>
+      (1 to 5).map(i => StreamOps.Ev(h * 10 + i, base + h * hour + i * 60000000L, 1, "e", 1.0)))
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    val agg = ms.toDF()
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("n"))
+    val out = StreamOps.runToMemory(spark, agg, "wm_test", OutputMode.Append) { q =>
+      ms.addData(rows)
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // windows for hours 0 and 1 closed (end <= max - 10min); hour 2 open
+    val h0 = base - base % hour
+    assert(out === Map(h0 -> 5L, (h0 + hour) -> 5L))
+  }
+
+  test("feed sink upsert across batches ≡ batch compaction (stream_feed_sink)") {
+    // the full operator runs inside the query function; parity vs the batch
+    // read model at sf0.001
+    val sinkOut = StreamOps.queries("stream_feed_sink")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getAs[Long]("subject") -> r.getAs[Long]("event_id")).toMap
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    val expected = graft.io.Tables.events(spark, TestSpark.sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("event_type") =!= "error")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(sinkOut === expected)
+  }
+}
