@@ -20,6 +20,7 @@ object SparkEntry {
       (Scalars.queries, Scalars.oracles),
       (EventTime.queries, EventTime.oracles),
       (LlmOps.queries, LlmOps.oracles),
+      (Pipeline.queries, Pipeline.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -85,15 +85,18 @@ object LlmOps {
     "text_dedup_near" -> ((s, d) => {
       val tau = 0.5
       val docs = Tables.documents(s, d)
+      // tok is reused by four downstream branches; materialize it once
       val tok = docs.select(col("doc_id"), col("lang"), col("n_chars"),
           explode(split(col("text"), " ")).as("tk")).distinct()
+        .localCheckpoint()
       val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntk"))
       val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
       // per-doc rarity order is partitioned by doc_id — no global window
-      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tk"))
       val prefix = tok.join(dfreq, "tk").join(cnt, "doc_id")
-        .withColumn("rn", row_number().over(wDoc))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("tk"))))
         .filter(col("rn") <= col("ntk") - ceil(col("ntk") * tau) + 1)
+        .localCheckpoint() // self-joined below: compute the prefix once
       val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
         col("n_chars").as("c1"), col("ntk").as("n1"), col("tk").as("tk1"))
       val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),

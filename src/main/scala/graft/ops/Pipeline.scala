@@ -1,0 +1,485 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.io.Tables.canon
+
+/** Training-data-pipeline operators beyond the core §2.8 set (BASELINE.json
+  * north star: dedup, similarity search, multimodal columns, text analysis
+  * at 100 TB). Every operator is a declarative plan with a DuckDB oracle;
+  * the hash-based ones (MinHash, SimHash) are built exclusively from md5 —
+  * the one hash both engines evaluate identically — so even the
+  * "probabilistic" candidate generators are deterministic and
+  * oracle-checkable end to end.
+  *
+  * Scale shapes:
+  *  - MinHash-LSH: signatures are one shuffle (doc × seeds), banding is one
+  *    shuffle on (band, bandkey) — candidate volume is bounded by band
+  *    collisions, independent of token frequency (the 100 TB near-dup
+  *    path; the exact prefix-filter variant lives in LlmOps).
+  *  - SimHash: fingerprints via bit-vote aggregation, candidates via
+  *    chunk-bucket join (4 chunks of 4 bits catch every pair within
+  *    Hamming distance 3) — never a full cross join.
+  *  - IVF ANN: per-label centroids = the coarse quantizer; queries probe
+  *    one cell (nprobe=1), so search cost is |cell| not |corpus|.
+  *  - Text analytics are pure per-row expression pipelines (no shuffle
+  *    until the final aggregate).
+  */
+object Pipeline {
+
+  /** In-order fold dot product (bit-identical across engines). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Distinct word tokens per document. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      explode(split(col("text"), " ")).as("tk")).distinct()
+
+  private val stopwords = Seq("a", "the", "and", "of", "to")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash-LSH banding: 8 md5-minhashes per doc, 4 bands × 2 rows;
+    // docs sharing any band bucket are candidates; exact Jaccard ≥ 0.5
+    // verification on full token sets (false positives filtered, false
+    // negatives bounded by 1-(1-J²)⁴ by construction).
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val tok = tokens(Tables.documents(s, d)).localCheckpoint() // reused 3x
+      // hash the VOCABULARY once (8 md5s per distinct token, broadcast),
+      // not once per token instance — at corpus scale the vocabulary is
+      // orders of magnitude smaller than the posting list
+      val tkhash = tok.select("tk").distinct()
+        .withColumn("mhs", array((0 until 8).map(sd =>
+          md5(concat(col("tk"), lit(":"), lit(sd.toString)))): _*))
+      // per-doc signature = elementwise min over the doc's token hashes
+      // (one shuffle on doc_id; "g" > every md5 hex char so it never wins)
+      val sig = tok.join(tkhash, "tk") // vocab: auto-broadcast when small, shuffle at scale
+        .groupBy("doc_id", "lang")
+        .agg(aggregate(collect_list(col("mhs")), array_repeat(lit("g"), 8),
+          (acc, x) => zip_with(acc, x, (a, b) => least(a, b))).as("sig"))
+      val bands = sig
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), lit(3))).as("band"), col("sig"))
+        .withColumn("bandkey", md5(concat(
+          element_at(col("sig"), col("band") * 2 + 1), lit("|"),
+          element_at(col("sig"), col("band") * 2 + 2))))
+        .localCheckpoint() // self-joined below: compute signatures once
+      val a = bands.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("band").as("b1"), col("bandkey").as("k1"))
+      val b = bands.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("band").as("b2"), col("bandkey").as("k2"))
+      val cand = a.join(b, col("l1") === col("l2") && col("b1") === col("b2") &&
+          col("k1") === col("k2") && col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val sets = tok.groupBy("doc_id").agg(collect_list(col("tk")).as("tks"))
+      cand
+        .join(sets.select(col("doc_id").as("d1"), col("tks").as("t1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("tks").as("t2")), "d2")
+        .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+        .withColumn("jac", col("shared") * lit(1.0) /
+          (size(col("t1")) + size(col("t2")) - col("shared")))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
+        .orderBy("d1", "d2")
+    }),
+
+    // SimHash: 16-bit fingerprint from per-bit majority votes of token md5
+    // hex parity; candidates from 4-bit chunk buckets (pigeonhole: any two
+    // fingerprints within Hamming 3 agree on ≥1 of 4 chunks); pairs kept
+    // when Hamming(sim1, sim2) ≤ 3 within a language.
+    "dedup_simhash" -> ((s, d) => {
+      val tok = tokens(Tables.documents(s, d)).localCheckpoint() // reused 2x
+      // per-vocabulary-word bit votes (±1 per bit from md5 hex parity),
+      // computed once per distinct token and broadcast
+      val tkvotes = tok.select("tk").distinct()
+        .withColumn("votes", array((0 until 16).map(j =>
+          (ascii(substring(md5(col("tk")), j + 1, 1)) % 2) * 2 - 1): _*))
+      // per-doc fingerprint: elementwise vote sum, then sign → bit
+      val sims = tok.join(tkvotes, "tk")
+        .groupBy("doc_id", "lang")
+        .agg(aggregate(collect_list(col("votes")),
+          array_repeat(lit(0), 16),
+          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("svs"))
+        .withColumn("sim", aggregate(
+          zip_with(col("svs"), sequence(lit(0), lit(15)),
+            (sv, j) => when(sv > 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+      val chunks = sims.select(col("doc_id"), col("lang"), col("sim"),
+          explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("ck", expr("CAST(floor(sim / pow(2.0, c * 4)) AS BIGINT) % 16"))
+        .localCheckpoint() // self-joined below: compute fingerprints once
+      val a = chunks.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("sim").as("s1"), col("c").as("c1"), col("ck").as("k1"))
+      val b = chunks.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("sim").as("s2"), col("c").as("c2"), col("ck").as("k2"))
+      a.join(b, col("l1") === col("l2") && col("c1") === col("c2") &&
+          col("k1") === col("k2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("s1"), col("s2")).distinct()
+        .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy("d1", "d2")
+    }),
+
+    // Character 5-gram shingle Jaccard (τ=0.7): prefix-filtered candidates
+    // (All-Pairs prefix principle over shingles ordered by global document
+    // frequency — each doc posts only its rarest ~30%) + exact intersect
+    // verification. Blocking alone (same lang, ±20 chars) is quadratic in
+    // the language group and does NOT survive scale; the prefix filter is
+    // what bounds candidates, exactly as in text_dedup_near.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val tau = 0.7
+      // per-doc distinct shingle ARRAY is map-only (array_distinct on the
+      // row, no explode+distinct shuffle); everything derives from it
+      val docsG = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          array_distinct(transform(
+            sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+            i => col("text").substr(i, lit(5)))).as("gs"))
+      val gr = docsG.select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(col("gs")).as("g"))
+      val dfreq = gr.groupBy("g").agg(count(lit(1)).as("df"))
+      // prefix selection WITHOUT a window: collect each doc's (df, g)
+      // pairs, sort in-array by global rarity, slice the prefix, re-explode
+      // — one shuffle on doc_id, no per-partition window sort state
+      // materialized once (localCheckpoint): the candidate self-join would
+      // otherwise recompute the whole prefix subtree for each side
+      val prefix = gr.join(dfreq, "g")
+        .groupBy("doc_id", "lang", "n_chars")
+        .agg(collect_list(struct(col("df"), col("g"))).as("dgs"))
+        .withColumn("ng", size(col("dgs")).cast("long"))
+        .withColumn("pfx", slice(array_sort(col("dgs")), lit(1),
+          (col("ng") - ceil(col("ng") * tau) + 1).cast("int")))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("ng"),
+          posexplode(col("pfx")).as(Seq("p0", "dg")))
+        .withColumn("g", col("dg.g"))
+        .withColumn("p", col("p0") + 1) // 1-based rank in the global order
+        .localCheckpoint()
+      val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("n_chars").as("c1"), col("ng").as("n1"), col("g").as("g1"), col("p").as("p1"))
+      val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("n_chars").as("c2"), col("ng").as("n2"), col("g").as("g2"), col("p").as("p2"))
+      // PPJoin positional filter: both docs order grams identically, so the
+      // collision with minimal position IS the globally-smallest shared
+      // gram; every other shared gram sits after it in both lists, giving
+      // the exact upper bound o ≤ 1 + min(n1-p1, n2-p2). Pairs that cannot
+      // reach the τ-overlap α = ⌈τ/(1+τ)·(n1+n2)⌉ never get verified.
+      val cand = a.join(b, col("g1") === col("g2") && col("l1") === col("l2") &&
+          col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
+          col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(min(col("p1")).as("mp1"), min(col("p2")).as("mp2"))
+        .filter(lit(1) + least(col("n1") - col("mp1"), col("n2") - col("mp2")) >=
+          ceil((col("n1") + col("n2")) * lit(tau) / lit(1 + tau)))
+        .select("d1", "d2")
+      // verification joins broadcast the per-doc shingle arrays so the
+      // candidate stream never shuffles array payloads (at 100 TB these
+      // two joins become doc_id-bucketed co-partitioned joins instead)
+      cand
+        .join(broadcast(docsG.select(col("doc_id").as("d1"), col("gs").as("s1"))), "d1")
+        .join(broadcast(docsG.select(col("doc_id").as("d2"), col("gs").as("s2"))), "d2")
+        .withColumn("shared", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("jac", col("shared") * lit(1.0) /
+          (size(col("s1")) + size(col("s2")) - col("shared")))
+        .filter(col("jac") >= tau)
+        .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
+        .orderBy("d1", "d2")
+    }),
+
+    // Embedding-cosine near-dup: same-label blocking (the IVF cell doubles
+    // as the blocking key), pairs with cosine ≥ 0.35. Norms are computed
+    // ONCE per vector and joined in — the pair stage folds only the dot
+    // product (3× fewer per-pair HOF evaluations than the naive form).
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val a = emb.select(col("vec_id").as("v1"), col("label").as("lb1"),
+        col("embedding").as("e1"), col("nrm").as("nrm1"))
+      val b = emb.select(col("vec_id").as("v2"), col("label").as("lb2"),
+        col("embedding").as("e2"), col("nrm").as("nrm2"))
+      a.join(b, col("lb1") === col("lb2") && col("v1") < col("v2"))
+        .withColumn("cos", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
+        .filter(col("cos") >= 0.35)
+        .select(col("v1"), col("v2"), canon(col("cos")).as("cos_c"))
+        .orderBy("v1", "v2")
+    }),
+
+    // IVF approximate nearest neighbor: coarse quantizer = per-label
+    // centroids; each query (vec_id < 5) probes its nearest cell only
+    // (nprobe=1), then exact top-5 by squared L2 within the cell.
+    "ann_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("centroid"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val assign = queries.crossJoin(broadcast(cent))
+        .withColumn("cdist", aggregate(zip_with(col("qe"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, p) => acc + p))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cdist"), col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("qe"), col("label").as("cell"))
+      val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+      emb.join(broadcast(assign), col("label") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("dist", sqDist(col("embedding"), col("qe")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id"), canon(col("dist")).as("dist_c"))
+        .orderBy("qid", "rk")
+    }),
+
+    // Language ID, n-gram/marker-token heuristic: per-language profile =
+    // top-20 tokens by in-language document frequency; prediction = argmax
+    // profile overlap (tie → lang asc); output = confusion matrix.
+    "text_langid" -> ((s, d) => {
+      val tok = tokens(Tables.documents(s, d))
+      val prof = tok.groupBy("lang", "tk").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("tk"))))
+        .filter(col("rk") <= 20)
+        .groupBy(col("lang").as("plang"))
+        .agg(sort_array(collect_list(col("tk"))).as("profile"))
+      val docs = tok.groupBy("doc_id", "lang")
+        .agg(collect_list(col("tk")).as("tks"))
+      val scored = docs.crossJoin(broadcast(prof))
+        .withColumn("score", size(array_intersect(col("tks"), col("profile"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
+        .filter(col("rk") === 1)
+      scored.groupBy(col("lang"), col("plang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Quality scoring: token count, stopword ratio, mean token length,
+    // composite score — the filter stage of a training-data pipeline.
+    "text_quality_score" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("n_stop", size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
+        .withColumn("stop_ratio", col("n_stop") * lit(1.0) / col("n_tok"))
+        .withColumn("mean_len", (length(col("text")) - col("n_tok") + 1) * lit(1.0) / col("n_tok"))
+        .withColumn("score",
+          col("stop_ratio") * 0.5 + col("mean_len") / 10.0 * 0.3 +
+            least(col("n_tok") * lit(1.0) / 100.0, lit(1.0)) * 0.2)
+        .select(col("doc_id"), col("n_tok"), col("n_stop"),
+          canon(col("stop_ratio")).as("stop_c"),
+          canon(col("score")).as("score_c"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish regex lexer
+    // (letter runs / digit runs / single symbols), aggregated per language
+    // — the "how many tokens is this corpus" pipeline stage.
+    "text_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_ws", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_re",
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+        .groupBy("lang")
+        .agg(sum(col("n_ws")).as("ws_tokens"), sum(col("n_re")).as("re_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // Document fingerprinting: rolling 8-gram window, winnowing-style min
+    // hash + distinct shingle count + whole-document fingerprint.
+    "doc_fingerprint" -> ((s, d) => {
+      val shingles = transform(
+        sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+        i => md5(col("text").substr(i, lit(8))))
+      Tables.documents(s, d)
+        .withColumn("fp_min", array_min(shingles))
+        .withColumn("n_shingles", size(array_distinct(shingles)).cast("long"))
+        .withColumn("fp_doc", md5(col("text")))
+        .select(col("doc_id"), col("fp_min"), col("n_shingles"), col("fp_doc"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal column plumbing: content as a binary column with typed
+    // metadata; "decode" is a deterministic stub (no media libs in this
+    // container — see graft.udf.MultimodalStub for the typed mapPartitions
+    // path) whose fake dimensions derive from the content fingerprint.
+    "multimodal_decode_stub" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("content", encode(col("text"), "utf-8"))
+        .withColumn("nbytes", octet_length(col("content")).cast("long"))
+        .withColumn("fp", md5(col("text")))
+        .withColumn("digits", lpad(regexp_replace(col("fp"), "[a-f]", ""), 4, "0"))
+        .withColumn("fake_w", (substring(col("digits"), 1, 2).cast("long") % 8 + 1) * 64)
+        .withColumn("fake_h", (substring(col("digits"), 3, 2).cast("long") % 8 + 1) * 64)
+        .withColumn("n_frames", col("n_chars") % 30 + 1)
+        .select(col("doc_id"), col("nbytes"), col("fp"),
+          col("fake_w"), col("fake_h"), col("n_frames"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+        |             FROM documents),
+        |sig AS (SELECT doc_id, lang, s AS seed,
+        |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
+        |        FROM tok, unnest(generate_series(0, 7)) t(s)
+        |        GROUP BY doc_id, lang, s),
+        |band AS (SELECT doc_id, lang, seed // 2 AS band,
+        |           md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
+        |         FROM sig GROUP BY doc_id, lang, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM band a JOIN band b ON a.lang = b.lang AND a.band = b.band
+        |           AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list(tk) AS tks FROM tok GROUP BY doc_id),
+        |v AS (SELECT d1, d2, len(list_intersect(sa.tks, sb.tks)) AS shared,
+        |        len(sa.tks) AS n1, len(sb.tks) AS n2
+        |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id)
+        |SELECT d1, d2,
+        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
+        |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+        |             FROM documents),
+        |votes AS (SELECT doc_id, lang, j,
+        |            sum((ascii(substr(md5(tk), j + 1, 1)) % 2) * 2 - 1) AS sv
+        |          FROM tok, unnest(generate_series(0, 15)) t(j)
+        |          GROUP BY doc_id, lang, j),
+        |sims AS (SELECT doc_id, lang,
+        |           sum(CASE WHEN sv > 0 THEN CAST(floor(pow(2.0, j)) AS BIGINT) ELSE 0 END) AS sim
+        |         FROM votes GROUP BY doc_id, lang),
+        |chunks AS (SELECT doc_id, lang, sim, c,
+        |             CAST(floor(sim / pow(2.0, c * 4)) AS BIGINT) % 16 AS ck
+        |           FROM sims, unnest(generate_series(0, 3)) t(c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sim AS s1, b.sim AS s2
+        |         FROM chunks a JOIN chunks b ON a.lang = b.lang AND a.c = b.c
+        |           AND a.ck = b.ck AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id, lang, n_chars,
+        |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substr(text, i, 5))) AS gs
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |        len(list_intersect(a.gs, b.gs)) AS shared,
+        |        len(a.gs) AS n1, len(b.gs) AS n2
+        |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |        AND abs(a.n_chars - b.n_chars) <= 20)
+        |SELECT d1, d2,
+        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
+        |FROM p WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7
+        |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+        |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT v1, v2, CAST(floor(cos * 10000) AS BIGINT) AS cos_c
+        |FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin,
+
+    "ann_ivf_topk" ->
+      """WITH cpos AS (SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS cv
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+        |  GROUP BY label, i),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cpos GROUP BY label),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |adist AS (SELECT qid, qe, label,
+        |    list_reduce(list_transform(generate_series(1, len(qe)),
+        |      i -> (CAST(qe[i] AS DOUBLE) - centroid[i]) * (CAST(qe[i] AS DOUBLE) - centroid[i])),
+        |      (x, y) -> x + y) AS cdist
+        |  FROM q, cent),
+        |assign AS (SELECT qid, qe, label AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, label) AS rk
+        |    FROM adist) WHERE rk = 1),
+        |dists AS (SELECT qid, vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> (CAST(embedding[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE)) *
+        |           (CAST(embedding[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE))), (x, y) -> x + y) AS dist
+        |  FROM embeddings JOIN assign ON label = cell AND vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM dists)
+        |SELECT qid, rk, vec_id, CAST(floor(dist * 10000) AS BIGINT) AS dist_c
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "text_langid" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+        |             FROM documents),
+        |freq AS (SELECT lang, tk, count(*) AS n FROM tok GROUP BY lang, tk),
+        |prof AS (SELECT lang AS plang, list_sort(list(tk)) AS profile FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, tk) AS rk
+        |    FROM freq) WHERE rk <= 20 GROUP BY lang),
+        |docs AS (SELECT doc_id, lang, list(tk) AS tks FROM tok GROUP BY doc_id, lang),
+        |scored AS (SELECT doc_id, lang, plang,
+        |    len(list_intersect(tks, profile)) AS score
+        |  FROM docs, prof),
+        |best AS (SELECT doc_id, lang, plang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rk
+        |    FROM scored) WHERE rk = 1)
+        |SELECT lang, plang AS predicted, count(*) AS n
+        |FROM best GROUP BY lang, plang ORDER BY lang, predicted""".stripMargin,
+
+    "text_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |      x -> x IN ('a', 'the', 'and', 'of', 'to'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tok, n_stop,
+        |  CAST(floor((n_stop * 1.0 / n_tok) * 10000) AS BIGINT) AS stop_c,
+        |  CAST(floor(((n_stop * 1.0 / n_tok) * 0.5 +
+        |    ((length(text) - n_tok + 1) * 1.0 / n_tok) / 10.0 * 0.3 +
+        |    least(n_tok * 1.0 / 100.0, 1.0) * 0.2) * 10000) AS BIGINT) AS score_c
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT lang,
+        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_aggregate(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+        |    i -> md5(substr(text, i, 8))), 'min') AS fp_min,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+        |    i -> md5(substr(text, i, 8))))) AS BIGINT) AS n_shingles,
+        |  md5(text) AS fp_doc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_decode_stub" ->
+      """WITH t AS (SELECT doc_id, n_chars, md5(text) AS fp,
+        |    octet_length(encode(text)) AS nbytes,
+        |    lpad(regexp_replace(md5(text), '[a-f]', '', 'g'), 4, '0') AS digits
+        |  FROM documents)
+        |SELECT doc_id, CAST(nbytes AS BIGINT) AS nbytes, fp,
+        |  (CAST(substr(digits, 1, 2) AS BIGINT) % 8 + 1) * 64 AS fake_w,
+        |  (CAST(substr(digits, 3, 2) AS BIGINT) % 8 + 1) * 64 AS fake_h,
+        |  n_chars % 30 + 1 AS n_frames
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

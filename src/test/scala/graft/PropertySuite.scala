@@ -137,6 +137,17 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("typed multimodal stub pipeline ≡ relational formulation") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.sfDir)
+    val typed = graft.udf.MultimodalStub.pipeline(docs)
+      .collect().map(m => m.doc_id -> ((m.nbytes, m.fp, m.fake_w, m.fake_h, m.n_frames))).toMap
+    val relational = graft.ops.Pipeline.queries("multimodal_decode_stub")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nbytes"), r.getAs[String]("fp"), r.getAs[Long]("fake_w"),
+          r.getAs[Long]("fake_h"), r.getAs[Long]("n_frames")))).toMap
+    assert(typed === relational)
+  }
+
   test("approx_count_distinct within 5% of exact per event_type (SURVEY §2.3)") {
     val ev = graft.io.Tables.events(spark, TestSpark.sfDir)
     val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
