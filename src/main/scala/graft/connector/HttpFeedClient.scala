@@ -55,15 +55,18 @@ object HttpFeedClient {
     * with the empty array (`README.md:79-82` end-of-feed). Returns the head
     * id (or the cursor unchanged if already at head). The first request
     * long-polls, so an idle feed blocks at most `timeoutMs`. */
-  def drainHead(url: String, fromId: String, timeoutMs: Long, maxPages: Int = 100000): String = {
+  def drainHead(url: String, fromId: String, timeoutMs: Long,
+                maxPages: Int = 100000, maxEvents: Int = Int.MaxValue): String = {
     var cursor = fromId
     var pages = 0
+    var events = 0
     var first = true
-    while (pages < maxPages) {
+    while (pages < maxPages && events < maxEvents) {
       val page = fetchPage(url, cursor, if (first) timeoutMs else 0)
       first = false
       if (page.isEmpty) return cursor
       cursor = page.lastId.getOrElse(return cursor)
+      events += page.events.length
       pages += 1
     }
     cursor

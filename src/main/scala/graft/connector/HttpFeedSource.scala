@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,14 +61,45 @@ class HttpFeedTable(opts: HttpFeedOptions) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new HttpFeedScan(opts)
+    new HttpFeedScanBuilder(opts)
 }
 
-class HttpFeedScan(opts: HttpFeedOptions) extends Scan {
+/** Scan builder with the two pushdowns the protocol natively supports
+  * (SURVEY.md §4): a `id > cursor` filter becomes the `lastEventId` start
+  * offset (the server skips those pages entirely, `README.md:12`), and a
+  * LIMIT becomes a page budget (bounded batched pagination,
+  * `README.md:11`). Both cut HTTP round-trips, not just rows.
+  */
+class HttpFeedScanBuilder(opts: HttpFeedOptions) extends ScanBuilder
+    with SupportsPushDownLimit with SupportsPushDownFilters {
+
+  private var startId: String = opts.startId
+  private var limit: Option[Int] = None
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  // the source still returns at most `limit` rows but Spark keeps its own
+  // limit for safety across pages
+  override def isPartiallyPushed: Boolean = true
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.collect {
+      case f @ sources.GreaterThan("id", v: String) => if (v > startId) startId = v; f
+      case f @ sources.GreaterThanOrEqual("id", v: String) => f // handled via residual
+    }
+    filters // all remain residual: cursor advance is an optimization, Spark re-checks
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan =
+    new HttpFeedScan(opts.copy(startId = startId), limit)
+}
+
+class HttpFeedScan(opts: HttpFeedOptions, limit: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = CloudEventsParse.envelopeSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new HttpFeedMicroBatchStream(opts)
-  override def toBatch: Batch = new HttpFeedBatch(opts)
+  override def toBatch: Batch = new HttpFeedBatch(opts, limit)
 }
 
 /** Offset = the lastEventId cursor, JSON-serialized into the WAL. */
@@ -121,17 +153,21 @@ class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
   override def stop(): Unit = ()
 }
 
-class HttpFeedBatch(opts: HttpFeedOptions) extends Batch {
+class HttpFeedBatch(opts: HttpFeedOptions, limit: Option[Int] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val head = HttpFeedClient.drainHead(opts.url, opts.startId, 0)
+    // with a pushed limit the head probe stops after `limit` events — the
+    // page budget caps planning-time round-trips too
+    val head = HttpFeedClient.drainHead(opts.url, opts.startId, 0,
+      maxEvents = limit.getOrElse(Int.MaxValue))
     if (head == opts.startId) Array.empty
-    else Array(HttpFeedInputPartition(opts.url, opts.startId, head))
+    else Array(HttpFeedInputPartition(opts.url, opts.startId, head, limit))
   }
   override def createReaderFactory(): PartitionReaderFactory = new HttpFeedReaderFactory
 }
 
-/** The (startId, endId] page range one task reads. */
-case class HttpFeedInputPartition(url: String, startId: String, endId: String)
+/** The (startId, endId] page range one task reads (row budget optional). */
+case class HttpFeedInputPartition(url: String, startId: String, endId: String,
+                                  limit: Option[Int] = None)
     extends InputPartition
 
 class HttpFeedReaderFactory extends PartitionReaderFactory {
@@ -150,6 +186,7 @@ class HttpFeedPartitionReader(p: HttpFeedInputPartition)
   private var cursor = p.startId
   private var page: IndexedSeq[JsonNode] = IndexedSeq.empty
   private var idx = 0
+  private var emitted = 0
   private var exhausted = false
   private var current: InternalRow = _
 
@@ -167,6 +204,7 @@ class HttpFeedPartitionReader(p: HttpFeedInputPartition)
   }
 
   override def next(): Boolean = {
+    if (p.limit.exists(emitted >= _)) return false // pushed-limit row budget
     while (idx >= page.length && !exhausted) {
       val fetched = HttpFeedClient.fetchPage(p.url, cursor, 0)
       if (fetched.isEmpty) { exhausted = true }
@@ -181,7 +219,7 @@ class HttpFeedPartitionReader(p: HttpFeedInputPartition)
       val n = page(idx); idx += 1
       val id = n.get("id").asText()
       if (id > p.endId) { page = IndexedSeq.empty; exhausted = true; next() }
-      else { current = toRow(n); true }
+      else { current = toRow(n); emitted += 1; true }
     } else false
   }
 

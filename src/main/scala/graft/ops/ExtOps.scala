@@ -57,14 +57,18 @@ object ExtOps {
         .orderBy("id")
     }),
 
-    // registered scalar UDF codec for sequence-prefixed ids (README.md:159)
+    // seq-prefixed id codec (README.md:159): encode via the registered
+    // scalar UDF (§2.9 surface), decode via the codegen'd native Catalyst
+    // expression (graft.catalyst.SeqIdDecodeExpr) — both extension points
+    // in one oracle-checked roundtrip
     "seq_id_order" -> ((s, d) => {
       SeqId.register(s)
+      graft.catalyst.GraftExtensions.install(s)
       Tables.events(s, d)
         .filter(col("event_id") % 50 === 0)
         .select(col("event_id"),
           SeqId.encodeUdf(col("event_id"), md5(col("event_id").cast("string"))).as("seq_id"))
-        .withColumn("parsed_seq", SeqId.decodeUdf(col("seq_id")))
+        .withColumn("parsed_seq", expr("seq_id_decode_native(seq_id)"))
         .orderBy("event_id")
     }),
 

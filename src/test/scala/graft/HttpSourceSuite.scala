@@ -96,6 +96,34 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("pushed LIMIT caps rows AND HTTP round-trips (page budget, README.md:11)") {
+    val events = (1L to 100L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val got = spark.read.format("http-feed").option("url", server.url)
+        .load().limit(15).collect()
+      assert(got.length === 15)
+      // planning + read should touch ~2 pages each, nowhere near the 11
+      // requests a full drain takes
+      assert(server.requestCount <= 6,
+        s"limit not pushed: ${server.requestCount} requests")
+    } finally server.stop()
+  }
+
+  test("pushed id > cursor filter advances the start offset (README.md:12)") {
+    val events = (1L to 100L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val cursor = events(79)._1 // skip the first 80 events
+      val got = spark.read.format("http-feed").option("url", server.url)
+        .load().filter(col("id") > cursor).collect()
+      assert(got.length === 20)
+      // without cursor pushdown this is 11 planning + 11 read requests
+      assert(server.requestCount <= 8,
+        s"filter not pushed: ${server.requestCount} requests")
+    } finally server.stop()
+  }
+
   test("empty feed yields an empty batch, not an error (README.md:79-82)") {
     val server = new TestFeedServer(Seq.empty, pageSize = 10)
     try {

@@ -87,6 +87,22 @@ class PropertySuite extends AnyFunSuite {
     assert(sortedByString === sortedBySeq, "string order must equal numeric order")
   }
 
+  test("native seq_id_decode expression ≡ UDF path, null on malformed") {
+    graft.catalyst.GraftExtensions.install(spark)
+    val rnd = new Random(202)
+    val ids = Seq.fill(100)(math.abs(rnd.nextLong()) % 10000000000000L)
+      .map(sq => SeqId.encodeFn(sq, "fixed-suffix"))
+    val df = ids.toDF("id")
+      .withColumn("viaNative", expr("seq_id_decode_native(id)"))
+      .withColumn("viaUdf", SeqId.decodeUdf(col("id")))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("viaNative") === r.getAs[Long]("viaUdf"))
+    }
+    val bad = Seq("no-separator", "abc::x", "::x", "").toDF("id")
+      .selectExpr("seq_id_decode_native(id) AS v")
+    assert(bad.collect().forall(_.isNullAt(0)))
+  }
+
   test("jaccard UDF ≡ native HOF formulation ≡ set definition") {
     val rnd = new Random(11)
     val cases = Seq.fill(30) {
