@@ -147,32 +147,45 @@ object Pipeline {
       val gr = docsG.select(col("doc_id"), col("lang"), col("n_chars"),
         explode(col("gs")).as("g"))
       val dfreq = gr.groupBy("g").agg(count(lit(1)).as("df"))
-      // prefix selection WITHOUT a window: collect each doc's (df, g)
-      // pairs, sort in-array by global rarity, slice the prefix, re-explode
-      // — one shuffle on doc_id, no per-partition window sort state
-      // materialized once (localCheckpoint): the candidate self-join would
-      // otherwise recompute the whole prefix subtree for each side
-      val prefix = gr.join(dfreq, "g")
+      // dictionary-encode shingles to DENSE INT ids in global rarity order
+      // (df asc, g asc) — join keys and intersect arrays become ints, and
+      // rarity order becomes plain integer order. The dictionary window is
+      // over the VOCABULARY (bounded by |alphabet|^5), never the corpus.
+      val dict = dfreq.withColumn("gid",
+        row_number().over(Window.orderBy(col("df"), col("g"))))
+      // per-doc rarity-sorted id array — doubles as the prefix source and
+      // the verification set; materialized once (reused by 4 branches)
+      val sorted = gr.join(dict, "g")
         .groupBy("doc_id", "lang", "n_chars")
-        .agg(collect_list(struct(col("df"), col("g"))).as("dgs"))
-        .withColumn("ng", size(col("dgs")).cast("long"))
-        .withColumn("pfx", slice(array_sort(col("dgs")), lit(1),
-          (col("ng") - ceil(col("ng") * tau) + 1).cast("int")))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("ng"),
-          posexplode(col("pfx")).as(Seq("p0", "dg")))
-        .withColumn("g", col("dg.g"))
-        .withColumn("p", col("p0") + 1) // 1-based rank in the global order
+        .agg(array_sort(collect_list(col("gid"))).as("gids"))
+        .withColumn("ng", size(col("gids")).cast("long"))
         .localCheckpoint()
+      val prefix = sorted
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("ng"),
+          posexplode(slice(col("gids"), lit(1),
+            (col("ng") - ceil(col("ng") * tau) + 1).cast("int"))).as(Seq("p0", "gid")))
+        .withColumn("p", col("p0") + 1) // 1-based rank in the global order
+      // length-band blocking composed INTO the join key: |Δchars| ≤ 20 ⇒
+      // floor(chars/20) bands differ by ≤ 1, so side B enumerates its three
+      // neighboring bands and the join becomes equi on (gid, lang, band) —
+      // posting lists shrink by the band fan-out, cutting the join's
+      // intermediate pair volume (at most one band matches per pair, so no
+      // duplicate pairs are introduced).
+      val bandW = 20
       val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
-        col("n_chars").as("c1"), col("ng").as("n1"), col("g").as("g1"), col("p").as("p1"))
+          col("n_chars").as("c1"), col("ng").as("n1"), col("gid").as("gid1"), col("p").as("p1"))
+        .withColumn("cb1", floor(col("c1") / bandW))
       val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
-        col("n_chars").as("c2"), col("ng").as("n2"), col("g").as("g2"), col("p").as("p2"))
+          col("n_chars").as("c2"), col("ng").as("n2"), col("gid").as("gid2"), col("p").as("p2"))
+        .withColumn("cb2", explode(array(floor(col("c2") / bandW) - 1,
+          floor(col("c2") / bandW), floor(col("c2") / bandW) + 1)))
       // PPJoin positional filter: both docs order grams identically, so the
       // collision with minimal position IS the globally-smallest shared
       // gram; every other shared gram sits after it in both lists, giving
       // the exact upper bound o ≤ 1 + min(n1-p1, n2-p2). Pairs that cannot
       // reach the τ-overlap α = ⌈τ/(1+τ)·(n1+n2)⌉ never get verified.
-      val cand = a.join(b, col("g1") === col("g2") && col("l1") === col("l2") &&
+      val cand = a.join(b, col("gid1") === col("gid2") && col("l1") === col("l2") &&
+          col("cb1") === col("cb2") &&
           col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
           col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
         .groupBy("d1", "d2", "n1", "n2")
@@ -180,12 +193,13 @@ object Pipeline {
         .filter(lit(1) + least(col("n1") - col("mp1"), col("n2") - col("mp2")) >=
           ceil((col("n1") + col("n2")) * lit(tau) / lit(1 + tau)))
         .select("d1", "d2")
-      // verification joins broadcast the per-doc shingle arrays so the
-      // candidate stream never shuffles array payloads (at 100 TB these
-      // two joins become doc_id-bucketed co-partitioned joins instead)
+      // verification joins broadcast the per-doc id arrays so the candidate
+      // stream never shuffles array payloads (at 100 TB these two joins
+      // become doc_id-bucketed co-partitioned joins instead); the encoding
+      // is bijective so int-intersection counts equal shingle-set counts
       cand
-        .join(broadcast(docsG.select(col("doc_id").as("d1"), col("gs").as("s1"))), "d1")
-        .join(broadcast(docsG.select(col("doc_id").as("d2"), col("gs").as("s2"))), "d2")
+        .join(broadcast(sorted.select(col("doc_id").as("d1"), col("gids").as("s1"))), "d1")
+        .join(broadcast(sorted.select(col("doc_id").as("d2"), col("gids").as("s2"))), "d2")
         .withColumn("shared", size(array_intersect(col("s1"), col("s2"))).cast("long"))
         .withColumn("jac", col("shared") * lit(1.0) /
           (size(col("s1")) + size(col("s2")) - col("shared")))
