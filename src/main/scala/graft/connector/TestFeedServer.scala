@@ -22,7 +22,7 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100) {
   private var events: Vector[(String, String)] = initial.sortBy(_._1).toVector
   private val lock = new Object
 
-  @volatile private var requests = 0
+  private val requests = new java.util.concurrent.atomic.AtomicInteger(0)
 
   // daemon threads + explicit shutdown: the fixture must never keep the
   // driver JVM alive after stop()
@@ -39,7 +39,7 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100) {
   }
 
   def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
-  def requestCount: Int = requests
+  def requestCount: Int = requests.get()
 
   /** Append new events (notifies long-poll waiters). */
   def append(more: Seq[(String, String)]): Unit = lock.synchronized {
@@ -65,7 +65,7 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100) {
   }
 
   private def handle(ex: HttpExchange): Unit = {
-    requests += 1
+    requests.incrementAndGet()
     val params = query(ex)
     val lastId = params.getOrElse("lastEventId", "")
     val timeoutMs = params.get("timeout").map(_.toLong).getOrElse(0L)

@@ -100,7 +100,9 @@ object Windows {
             |     ELSE (n_total % 4) + (rk - 1 - (n_total % 4) * (n_total DIV 4 + 1)) DIV (n_total DIV 4) + 1
             |END""".stripMargin))
         .withColumn("dr", col("rk"))
-        .withColumn("pr_c", canon((col("rk") - 1).cast("double") / (col("n_total") - 1)))
+        // single-row table: percent_rank is defined as 0, not 0/0
+        .withColumn("pr_c", canon(when(col("n_total") === 1, lit(0.0))
+          .otherwise((col("rk") - 1).cast("double") / (col("n_total") - 1))))
         .select(col("c_custkey"), col("quartile"), col("dr"), col("pr_c"))
         .orderBy("c_custkey")
     }),
