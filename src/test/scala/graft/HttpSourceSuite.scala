@@ -124,6 +124,48 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("checkpoint persists the cursor: restart resumes exactly after it (README.md:111)") {
+    val first = (1L to 30L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(first, pageSize = 10)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_http_ckpt").toString
+    try {
+      // memory sink cannot recover from a checkpoint; foreachBatch can
+      def runQuery(sink: java.util.List[String]) = {
+        val collect: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (df, _) => df.collect().foreach(r => sink.add(r.getAs[String]("id")))
+        val q = spark.readStream.format("http-feed")
+          .option("url", server.url).option("timeoutMs", "100").load()
+          .writeStream.option("checkpointLocation", ckpt).foreachBatch(collect).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val seen1 = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      runQuery(seen1)
+      assert(seen1.size === 30)
+
+      server.append((31L to 40L).map(i => envelopeJson(i, s"s$i")))
+      val seen2 = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      runQuery(seen2) // fresh query, same durable cursor
+      import scala.jdk.CollectionConverters._
+      val resumed = seen2.asScala.sorted
+      // only the events after the persisted lastEventId — nothing replayed,
+      // nothing skipped (at-least-once upgraded to exactly-once)
+      assert(resumed.toSeq === (31L to 40L).map(i => SeqId.encodeFn(i, f"u$i%04d")))
+    } finally server.stop()
+  }
+
+  test("responses are chronological and ids strongly ordered (README.md:9,150-151)") {
+    val events = (1L to 60L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 7)
+    try {
+      // no orderBy: the arrival order out of the connector must already be
+      // the id order (single ordered partition)
+      val ids = spark.read.format("http-feed").option("url", server.url)
+        .load().collect().map(_.getAs[String]("id")).toSeq
+      assert(ids === ids.sorted, "connector must deliver the feed in id order")
+      assert(ids === events.map(_._1))
+    } finally server.stop()
+  }
+
   test("empty feed yields an empty batch, not an error (README.md:79-82)") {
     val server = new TestFeedServer(Seq.empty, pageSize = 10)
     try {
