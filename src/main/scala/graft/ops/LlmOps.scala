@@ -84,34 +84,57 @@ object LlmOps {
     // which caps posting-list self-join growth at 100 TB.
     "text_dedup_near" -> ((s, d) => {
       val tau = 0.5
-      val docs = Tables.documents(s, d)
-      // tok is reused by four downstream branches; materialize it once
-      val tok = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-          explode(split(col("text"), " ")).as("tk")).distinct()
-        .localCheckpoint()
-      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntk"))
+      // per-doc distinct token ARRAY is map-only; everything derives from it
+      val docsT = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          array_distinct(split(col("text"), " ")).as("tks"))
+      val tok = docsT.select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(col("tks")).as("tk"))
       val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
-      // per-doc rarity order is partitioned by doc_id — no global window
-      val prefix = tok.join(dfreq, "tk").join(cnt, "doc_id")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("tk"))))
-        .filter(col("rn") <= col("ntk") - ceil(col("ntk") * tau) + 1)
-        .localCheckpoint() // self-joined below: compute the prefix once
+      // dictionary-encode tokens to dense ints in global rarity order
+      // (vocabulary-sized window, never corpus-sized)
+      val dict = dfreq.withColumn("tid",
+        row_number().over(Window.orderBy(col("df"), col("tk"))))
+      // per-doc rarity-sorted id array: prefix source AND verification set;
+      // materialized once for the self-join
+      val sorted = tok.join(dict, "tk")
+        .groupBy("doc_id", "lang", "n_chars")
+        .agg(array_sort(collect_list(col("tid"))).as("tids"))
+        .withColumn("ntk", size(col("tids")).cast("long"))
+        .localCheckpoint()
+      val prefix = sorted
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("ntk"),
+          posexplode(slice(col("tids"), lit(1),
+            (col("ntk") - ceil(col("ntk") * tau) + 1).cast("int"))).as(Seq("p0", "tid")))
+        .withColumn("p", col("p0") + 1)
+      // length-band blocking in the join key (|Δchars| ≤ 20 ⇒ adjacent
+      // 20-char bands; at most one band matches per pair, so no duplicates)
+      val bandW = 20
       val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
-        col("n_chars").as("c1"), col("ntk").as("n1"), col("tk").as("tk1"))
+          col("n_chars").as("c1"), col("ntk").as("n1"), col("tid").as("tid1"), col("p").as("p1"))
+        .withColumn("cb1", floor(col("c1") / bandW))
       val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
-        col("n_chars").as("c2"), col("ntk").as("n2"), col("tk").as("tk2"))
-      // candidate filters: same lang, id order, |Δchars|, and the Jaccard
-      // size bound τ·|A| ≤ |B| ≤ |A|/τ (J ≥ τ ⇒ min/max ≥ τ)
-      val cand = a.join(b, col("tk1") === col("tk2") && col("l1") === col("l2") &&
+          col("n_chars").as("c2"), col("ntk").as("n2"), col("tid").as("tid2"), col("p").as("p2"))
+        .withColumn("cb2", explode(array(floor(col("c2") / bandW) - 1,
+          floor(col("c2") / bandW), floor(col("c2") / bandW) + 1)))
+      // candidate filters: same lang, id order, |Δchars|, the Jaccard size
+      // bound τ·|A| ≤ |B| ≤ |A|/τ, and the PPJoin positional upper bound
+      // o ≤ 1 + min(n1-p1, n2-p2) at the smallest shared token
+      val cand = a.join(b, col("tid1") === col("tid2") && col("l1") === col("l2") &&
+          col("cb1") === col("cb2") &&
           col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
           col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
-        .select("d1", "d2").distinct()
-      // verify candidates against full distinct-token sets (exact Jaccard)
-      val sets = tok.groupBy("doc_id").agg(collect_list(col("tk")).as("tks"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(min(col("p1")).as("mp1"), min(col("p2")).as("mp2"))
+        .filter(lit(1) + least(col("n1") - col("mp1"), col("n2") - col("mp2")) >=
+          ceil((col("n1") + col("n2")) * lit(tau) / lit(1 + tau)))
+        .select("d1", "d2")
+      // verify against full distinct-token id sets (bijective encoding ⇒
+      // identical intersection counts); broadcast so candidate rows never
+      // shuffle array payloads (bucketed co-partitioned joins at 100 TB)
       cand
-        .join(sets.select(col("doc_id").as("d1"), col("tks").as("t1")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("tks").as("t2")), "d2")
+        .join(broadcast(sorted.select(col("doc_id").as("d1"), col("tids").as("t1"))), "d1")
+        .join(broadcast(sorted.select(col("doc_id").as("d2"), col("tids").as("t2"))), "d2")
         .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
         .withColumn("n1", size(col("t1")).cast("long"))
         .withColumn("n2", size(col("t2")).cast("long"))

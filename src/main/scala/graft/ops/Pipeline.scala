@@ -81,8 +81,8 @@ object Pipeline {
         .select("d1", "d2").distinct()
       val sets = tok.groupBy("doc_id").agg(collect_list(col("tk")).as("tks"))
       cand
-        .join(sets.select(col("doc_id").as("d1"), col("tks").as("t1")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("tks").as("t2")), "d2")
+        .join(broadcast(sets.select(col("doc_id").as("d1"), col("tks").as("t1"))), "d1")
+        .join(broadcast(sets.select(col("doc_id").as("d2"), col("tks").as("t2"))), "d2")
         .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
         .withColumn("jac", col("shared") * lit(1.0) /
           (size(col("t1")) + size(col("t2")) - col("shared")))
