@@ -1,6 +1,13 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  private def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+  private def queriesJson(qs: Iterable[(String, Double)]): String =
+    qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,10 +30,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full contract line (every query), also persisted to a file: the
+    // harness that collects this output keeps only a bounded tail of stdout,
+    // and with ~95 queries the full line alone exceeds that window.
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir"}"""
+    println(full)
+    try Files.write(Paths.get("bench_full.json"),
+      (full + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    // Compact final line sized to fit the tail window even after the build
+    // tool appends its own trailer: same shape, top slowest queries only.
+    val top = results.toSeq.sortBy(-_._2).take(20)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(top)},"sf":"$sfDir","n_queries":${results.size},"queries_full":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -28,7 +28,9 @@ object SeqIdCodec {
     while (k < i) {
       val c = str.charAt(k)
       if (c < '0' || c > '9') return -1L
-      acc = acc * 10 + (c - '0')
+      val d = c - '0'
+      if (acc > (Long.MaxValue - d) / 10) return -1L // overflow ⇒ malformed
+      acc = acc * 10 + d
       k += 1
     }
     acc

@@ -83,9 +83,11 @@ class HttpFeedScanBuilder(opts: HttpFeedOptions) extends ScanBuilder
   override def isPartiallyPushed: Boolean = true
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    // Only a strict `id > v` maps onto the exclusive lastEventId cursor; a
+    // `>=` cannot (the cursor always skips the named id), so it stays purely
+    // residual and is NOT reported as pushed.
     pushed = filters.collect {
       case f @ sources.GreaterThan("id", v: String) => if (v > startId) startId = v; f
-      case f @ sources.GreaterThanOrEqual("id", v: String) => f // handled via residual
     }
     filters // all remain residual: cursor advance is an optimization, Spark re-checks
   }

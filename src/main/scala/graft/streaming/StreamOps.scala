@@ -111,7 +111,7 @@ object StreamOps {
 
     // Cross-batch idempotency (README.md:113-114): dedup on id within the
     // watermark. Batch 1 delivers the feed; batch 2 redelivers the most
-    // recent 10 minutes (at-least-once); state built in batch 1 drops every
+    // recent 5 minutes (at-least-once); state built in batch 1 drops every
     // redelivered row in batch 2 — output is exactly the distinct feed.
     "stream_dedup_state" -> ((s, d) => {
       import s.implicits._
@@ -187,22 +187,27 @@ object StreamOps {
       val sinkCols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "bucket")
       val upsert: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
         val sp = batch.sparkSession
+        // dynamic partition overwrite is scoped to this write — save/restore
+        // so the shared session doesn't leak the mode into later queries
+        val oldMode = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        val incoming = batch.withColumn("bucket", col("user_id") % 16)
-          .select(sinkCols.map(col): _*)
-        val files = new java.io.File(stateDir).listFiles()
-        val existing =
-          if (files == null || files.isEmpty) incoming.limit(0)
-          else sp.read.parquet(stateDir)
-            .withColumn("bucket", col("bucket").cast("long"))
+        try {
+          val incoming = batch.withColumn("bucket", col("user_id") % 16)
             .select(sinkCols.map(col): _*)
-        val touched = incoming.select("bucket").distinct()
-        val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
-        val merged = existing.join(touched, Seq("bucket"), "left_semi")
-          .unionByName(incoming)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-          .localCheckpoint(true) // sever lineage: about to overwrite inputs
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
+          val files = new java.io.File(stateDir).listFiles()
+          val existing =
+            if (files == null || files.isEmpty) incoming.limit(0)
+            else sp.read.parquet(stateDir)
+              .withColumn("bucket", col("bucket").cast("long"))
+              .select(sinkCols.map(col): _*)
+          val touched = incoming.select("bucket").distinct()
+          val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+          val merged = existing.join(touched, Seq("bucket"), "left_semi")
+            .unionByName(incoming)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+            .localCheckpoint(true) // sever lineage: about to overwrite inputs
+          merged.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
+        } finally sp.conf.set("spark.sql.sources.partitionOverwriteMode", oldMode)
       }
 
       val old = s.conf.get("spark.sql.shuffle.partitions", "200")

@@ -32,8 +32,21 @@ object SeqId {
   val encodeFn: (Long, String) => String =
     (seq, suffix) => ("%0" + Width + "d").format(seq) + Sep + suffix
 
-  val decodeFn: String => Long =
-    id => id.substring(0, id.indexOf(Sep)).toLong
+  /** Null-safe decode mirroring the native `decodeSeq` contract: null input,
+    * a missing `::` separator, or a non-numeric/overflowing prefix all yield
+    * null (None) instead of failing the task — one malformed id must not
+    * kill a 100 TB job, and both decode surfaces must agree.
+    */
+  val decodeFn: String => Option[Long] = id => {
+    if (id == null) None
+    else {
+      val cut = id.indexOf(Sep)
+      if (cut <= 0) None
+      else
+        try Some(id.substring(0, cut).toLong)
+        catch { case _: NumberFormatException => None }
+    }
+  }
 
   val encodeUdf = udf(encodeFn)
   val decodeUdf = udf(decodeFn)

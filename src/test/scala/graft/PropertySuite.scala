@@ -80,10 +80,11 @@ class PropertySuite extends AnyFunSuite {
     val rnd = new Random(5)
     val seqs = Seq.fill(200)(math.abs(rnd.nextLong()) % 10000000000000L).distinct
     seqs.foreach { s =>
-      assert(SeqId.decodeFn(SeqId.encodeFn(s, "x-y")) === s)
+      assert(SeqId.decodeFn(SeqId.encodeFn(s, "x-y")) === Some(s))
     }
     val sortedBySeq = seqs.sorted
-    val sortedByString = seqs.map(s => SeqId.encodeFn(s, "z")).sorted.map(SeqId.decodeFn)
+    val sortedByString =
+      seqs.map(s => SeqId.encodeFn(s, "z")).sorted.flatMap(SeqId.decodeFn(_))
     assert(sortedByString === sortedBySeq, "string order must equal numeric order")
   }
 
@@ -98,9 +99,14 @@ class PropertySuite extends AnyFunSuite {
     df.collect().foreach { r =>
       assert(r.getAs[Long]("viaNative") === r.getAs[Long]("viaUdf"))
     }
-    val bad = Seq("no-separator", "abc::x", "::x", "").toDF("id")
-      .selectExpr("seq_id_decode_native(id) AS v")
-    assert(bad.collect().forall(_.isNullAt(0)))
+    val bad = Seq(Some("no-separator"), Some("abc::x"), Some("::x"), Some(""),
+        Some("99999999999999999999999::overflow"), None)
+      .toDF("id")
+    assert(bad.selectExpr("seq_id_decode_native(id) AS v")
+      .collect().forall(_.isNullAt(0)))
+    // registered UDF surface mirrors the native null-on-malformed contract
+    assert(bad.select(SeqId.decodeUdf(col("id")).as("v"))
+      .collect().forall(_.isNullAt(0)))
   }
 
   test("jaccard UDF ≡ native HOF formulation ≡ set definition") {

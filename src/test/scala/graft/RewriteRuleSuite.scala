@@ -63,6 +63,35 @@ class RewriteRuleSuite extends AnyFunSuite {
     assert(viaRule === viaWindow)
   }
 
+  test("rule ranks NULL order keys like the window: NULLS LAST/FIRST, all-null partition") {
+    // partition 1 has one null among non-nulls (placement decides the winner),
+    // partition 2 is entirely null (the window still keeps its real row),
+    // partition 3 is the plain case — every winner is deterministic.
+    val data = Seq(
+      (1L, Some(10L), "a"), (1L, None, "b"), (1L, Some(30L), "c"),
+      (2L, None, "d"),
+      (3L, Some(12L), "f")
+    ).toDF("subject", "event_id", "payload")
+    def q(nullsFirst: Boolean) = {
+      val ord = if (nullsFirst) col("event_id").desc_nulls_first
+                else col("event_id").desc_nulls_last
+      val w = Window.partitionBy("subject").orderBy(ord)
+      data.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    for (nullsFirst <- Seq(true, false)) {
+      val expected = q(nullsFirst).collect().map(_.toSeq).toSet
+      val got = withRule {
+        val plan = q(nullsFirst).queryExecution.optimizedPlan
+        assert(plan.toString.contains("max_by"),
+          s"rule must fire on nullable keys (nullsFirst=$nullsFirst):\n$plan")
+        q(nullsFirst).collect().map(_.toSeq).toSet
+      }
+      assert(got === expected, s"nullsFirst=$nullsFirst")
+      assert(got.exists(r => r(0) == 2L && r(2) == "d"),
+        "all-null partition must keep its real row")
+    }
+  }
+
   test("rule does not fire for rank(), ascending order, top-3, or no partition") {
     withRule {
       val w = Window.partitionBy("subject").orderBy(col("event_id").desc)

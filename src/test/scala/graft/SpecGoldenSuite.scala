@@ -132,7 +132,7 @@ class SpecGoldenSuite extends AnyFunSuite {
   test("sequence-prefixed id example round-trips (README.md:159)") {
     val spec = "0000001000001::5f8de8ff-30d8-4fab-8f5a-c32f326d6f26"
     assert(SeqId.encodeFn(1000001L, "5f8de8ff-30d8-4fab-8f5a-c32f326d6f26") === spec)
-    assert(SeqId.decodeFn(spec) === 1000001L)
+    assert(SeqId.decodeFn(spec) === Some(1000001L))
     // native Column path agrees with the UDF path
     val df = Seq((1000001L, "5f8de8ff-30d8-4fab-8f5a-c32f326d6f26")).toDF("seq", "sfx")
       .select(SeqId.encode(col("seq"), col("sfx")).as("enc"))
