@@ -1,0 +1,130 @@
+package graft.catalyst
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels the generated code calls (same pattern as
+  * [[SeqIdCodec]]): single pass over primitive array data, no boxing, no
+  * per-element lambda dispatch. These back the dense-bitset strategy of the
+  * set-similarity operators (graft.ops.Pipeline): when a dictionary is
+  * small enough that every document's id set fits a fixed number of 64-bit
+  * words, set intersection is a popcount fold — orders of magnitude cheaper
+  * than `array_intersect`, and (unlike a higher-order-function chain) it
+  * stays inside whole-stage codegen.
+  */
+object Bitsets {
+
+  /** Bitset (array of `nWords` 64-bit words) from 1-based dictionary ids.
+    * Ids outside [1, nWords*64] are ignored rather than faulting. */
+  def fromIds(ids: ArrayData, nWords: Int): ArrayData = {
+    val words = new Array[Long](nWords)
+    val n = ids.numElements()
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i) - 1
+      val w = id >>> 6
+      if (id >= 0 && w < nWords) words(w) |= (1L << (id & 63))
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** |A ∩ B| of two bitsets (popcount of the pairwise AND). */
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  /** Distinct character n-gram shingles, in first-occurrence order —
+    * semantically `array_distinct(transform(sequence(1, greatest(len-n+1,
+    * 1)), i -> substr(text, i, n)))` (1-indexed SQL substring over code
+    * points, so a text shorter than n yields the single truncated gram),
+    * evaluated in one pass instead of an interpreted lambda per position.
+    */
+  def ngramShingles(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    val count = math.max(len - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 1
+    while (i <= count) {
+      seen.add(text.substringSQL(i, n))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    seen.toArray(out)
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+}
+
+/** `bitset_from_ids(ids, nWords)`: dense bitset (array<bigint> of `nWords`
+  * words) from an array of 1-based dictionary ids. `nWords` must be a
+  * foldable non-negative integer. */
+case class BitsetFromIdsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(ids: Any, nWords: Any): Any =
+    Bitsets.fromIds(ids.asInstanceOf[ArrayData], nWords.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ids, n) =>
+      s"${ev.value} = graft.catalyst.Bitsets.fromIds($ids, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitsetFromIdsExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bitset_from_ids"
+}
+
+/** `bitset_intersect_count(a, b)`: BIGINT popcount of the pairwise AND of
+  * two equal-width bitsets. */
+case class BitsetIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitsets.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.catalyst.Bitsets.intersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitsetIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bitset_intersect_count"
+}
+
+/** `ngram_shingles(text, n)`: distinct character n-gram array of a string
+  * (see [[Bitsets.ngramShingles]] for the exact SQL-equivalent semantics). */
+case class NgramShinglesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    Bitsets.ngramShingles(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, n) =>
+      s"${ev.value} = graft.catalyst.Bitsets.ngramShingles($text, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramShinglesExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "ngram_shingles"
+}

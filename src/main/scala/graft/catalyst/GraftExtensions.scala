@@ -17,23 +17,38 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.seqIdDecodeDescriptor)
+    GraftExtensions.functionDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => CompactLatestRewrite)
   }
 }
 
 object GraftExtensions {
 
-  private[catalyst] val seqIdDecodeDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("seq_id_decode_native"),
-    new ExpressionInfo(classOf[SeqIdDecodeExpr].getName, "seq_id_decode_native"),
-    (children: Seq[Expression]) => SeqIdDecodeExpr(children.head)
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def descriptor(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression): Descriptor =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  private[catalyst] val functionDescriptors: Seq[Descriptor] = Seq(
+    descriptor("seq_id_decode_native", classOf[SeqIdDecodeExpr]) {
+      children => SeqIdDecodeExpr(children.head)
+    },
+    descriptor("bitset_from_ids", classOf[BitsetFromIdsExpr]) {
+      children => BitsetFromIdsExpr(children(0), children(1))
+    },
+    descriptor("bitset_intersect_count", classOf[BitsetIntersectCountExpr]) {
+      children => BitsetIntersectCountExpr(children(0), children(1))
+    },
+    descriptor("ngram_shingles", classOf[NgramShinglesExpr]) {
+      children => NgramShinglesExpr(children(0), children(1))
+    }
   )
 
   /** Idempotently register the native functions on a live session. */
-  def install(spark: SparkSession): Unit = {
-    val (ident, info, builder) = seqIdDecodeDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def install(spark: SparkSession): Unit =
+    functionDescriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

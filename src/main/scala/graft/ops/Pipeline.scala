@@ -44,6 +44,20 @@ object Pipeline {
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
       explode(split(col("text"), " ")).as("tk")).distinct()
 
+  /** Fixed-width bitset over a 1-based dictionary-id array: `nWords` 64-bit
+    * words built by the native codegen'd expression
+    * [[graft.catalyst.BitsetFromIdsExpr]] in one pass (a higher-order
+    * function chain would pay interpreted per-element lambda dispatch and
+    * break whole-stage codegen). Requires [[graft.catalyst.GraftExtensions]]
+    * installed on the session.
+    */
+  private def bitset(ids: Column, nWords: Int): Column =
+    call_function("bitset_from_ids", ids, lit(nWords))
+
+  /** |A ∩ B| of two equal-width bitsets (native popcount fold). */
+  private def bitsetShared(a: Column, b: Column): Column =
+    call_function("bitset_intersect_count", a, b)
+
   private val stopwords = Seq("a", "the", "and", "of", "to")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -52,6 +66,7 @@ object Pipeline {
     // verification on full token sets (false positives filtered, false
     // negatives bounded by 1-(1-J²)⁴ by construction).
     "dedup_minhash_lsh" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s) // native bitset expressions
       val tok = tokens(Tables.documents(s, d)).localCheckpoint() // reused 3x
       // hash the VOCABULARY once (8 md5s per distinct token, broadcast),
       // not once per token instance — at corpus scale the vocabulary is
@@ -79,13 +94,39 @@ object Pipeline {
       val cand = a.join(b, col("l1") === col("l2") && col("b1") === col("b2") &&
           col("k1") === col("k2") && col("d1") < col("d2"))
         .select("d1", "d2").distinct()
-      val sets = tok.groupBy("doc_id").agg(collect_list(col("tk")).as("tks"))
-      cand
-        .join(broadcast(sets.select(col("doc_id").as("d1"), col("tks").as("t1"))), "d1")
-        .join(broadcast(sets.select(col("doc_id").as("d2"), col("tks").as("t2"))), "d2")
-        .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
-        .withColumn("jac", col("shared") * lit(1.0) /
-          (size(col("t1")) + size(col("t2")) - col("shared")))
+      // exact-Jaccard verification; the SET REPRESENTATION is adaptive on
+      // the measured token-dictionary size (the LSH banding above is
+      // untouched): a small dictionary turns each doc's token set into a
+      // fixed-width bitset so every candidate verifies with a popcount
+      // fold instead of a string-array intersect.
+      val tdict = tok.select("tk").distinct()
+        .withColumn("tid", row_number().over(Window.orderBy(col("tk"))))
+      val tvocab = tdict.count()
+      val verified =
+        if (tvocab <= 4096) {
+          val nWords = ((tvocab + 63) / 64).toInt
+          val sets = tok.join(tdict, "tk").groupBy("doc_id")
+            .agg(collect_list(col("tid")).as("tids"))
+            .select(col("doc_id"), size(col("tids")).cast("long").as("n"),
+              bitset(col("tids"), nWords).as("bs"))
+          cand
+            .join(broadcast(sets.select(col("doc_id").as("d1"),
+              col("n").as("n1"), col("bs").as("bs1"))), "d1")
+            .join(broadcast(sets.select(col("doc_id").as("d2"),
+              col("n").as("n2"), col("bs").as("bs2"))), "d2")
+            .withColumn("shared", bitsetShared(col("bs1"), col("bs2")))
+            .withColumn("jac", col("shared") * lit(1.0) /
+              (col("n1") + col("n2") - col("shared")))
+        } else {
+          val sets = tok.groupBy("doc_id").agg(collect_list(col("tk")).as("tks"))
+          cand
+            .join(broadcast(sets.select(col("doc_id").as("d1"), col("tks").as("t1"))), "d1")
+            .join(broadcast(sets.select(col("doc_id").as("d2"), col("tks").as("t2"))), "d2")
+            .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+            .withColumn("jac", col("shared") * lit(1.0) /
+              (size(col("t1")) + size(col("t2")) - col("shared")))
+        }
+      verified
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
         .orderBy("d1", "d2")
@@ -129,23 +170,35 @@ object Pipeline {
         .orderBy("d1", "d2")
     }),
 
-    // Character 5-gram shingle Jaccard (τ=0.7): prefix-filtered candidates
-    // (All-Pairs prefix principle over shingles ordered by global document
-    // frequency — each doc posts only its rarest ~30%) + exact intersect
-    // verification. Blocking alone (same lang, ±20 chars) is quadratic in
-    // the language group and does NOT survive scale; the prefix filter is
-    // what bounds candidates, exactly as in text_dedup_near.
+    // Character 5-gram shingle Jaccard (τ=0.7) with an ADAPTIVE physical
+    // strategy picked at plan time from the measured dictionary size (a
+    // tiny vocabulary aggregate, AQE-style):
+    //  - small dictionary (≤ 4096 shingles — bounded corpora, tight
+    //    alphabets): per-doc gram sets become fixed-width bitsets and the
+    //    length-band blocked self-join verifies every pair with a popcount
+    //    fold — candidate generation would cost more than it saves when
+    //    posting lists are uniformly fat (no Zipf tail to prune).
+    //  - large dictionary (the 100 TB shape): All-Pairs prefix filtering
+    //    over shingles ordered by global document frequency (each doc
+    //    posts only its rarest ~30%) + PPJoin positional filter + exact
+    //    intersect verification — candidate volume is bounded by rare-gram
+    //    collisions, which is what survives a Zipfian corpus at scale.
+    // Blocking alone (same lang, ±20 chars) is quadratic in the language
+    // group; one of the two strategies above always bounds the work.
     "dedup_ngram_jaccard" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s) // native bitset expressions
       val tau = 0.7
-      // per-doc distinct shingle ARRAY is map-only (array_distinct on the
-      // row, no explode+distinct shuffle); everything derives from it
+      // per-doc distinct shingle ARRAY is map-only (no explode+distinct
+      // shuffle) and built by the native codegen'd shingling expression —
+      // the equivalent transform/array_distinct HOF chain pays an
+      // interpreted lambda per text position and dominated this operator's
+      // runtime; everything below derives from this array
       val docsG = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          array_distinct(transform(
-            sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-            i => col("text").substr(i, lit(5)))).as("gs"))
+          call_function("ngram_shingles", col("text"), lit(5)).as("gs"))
       val gr = docsG.select(col("doc_id"), col("lang"), col("n_chars"),
         explode(col("gs")).as("g"))
+        .localCheckpoint() // shingle generation feeds 3 consumers; do it once
       val dfreq = gr.groupBy("g").agg(count(lit(1)).as("df"))
       // dictionary-encode shingles to DENSE INT ids in global rarity order
       // (df asc, g asc) — join keys and intersect arrays become ints, and
@@ -153,59 +206,89 @@ object Pipeline {
       // over the VOCABULARY (bounded by |alphabet|^5), never the corpus.
       val dict = dfreq.withColumn("gid",
         row_number().over(Window.orderBy(col("df"), col("g"))))
-      // per-doc rarity-sorted id array — doubles as the prefix source and
-      // the verification set; materialized once (reused by 4 branches)
+        .localCheckpoint() // reused by the strategy pick and the encode join
+      val vocab = dict.count() // tiny vocabulary aggregate → strategy pick
+      // per-doc rarity-sorted id array — the prefix source, the
+      // verification set, and (small-dict path) the bitset source
       val sorted = gr.join(dict, "g")
         .groupBy("doc_id", "lang", "n_chars")
         .agg(array_sort(collect_list(col("gid"))).as("gids"))
         .withColumn("ng", size(col("gids")).cast("long"))
         .localCheckpoint()
-      val prefix = sorted
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("ng"),
-          posexplode(slice(col("gids"), lit(1),
-            (col("ng") - ceil(col("ng") * tau) + 1).cast("int"))).as(Seq("p0", "gid")))
-        .withColumn("p", col("p0") + 1) // 1-based rank in the global order
       // length-band blocking composed INTO the join key: |Δchars| ≤ 20 ⇒
       // floor(chars/20) bands differ by ≤ 1, so side B enumerates its three
-      // neighboring bands and the join becomes equi on (gid, lang, band) —
-      // posting lists shrink by the band fan-out, cutting the join's
-      // intermediate pair volume (at most one band matches per pair, so no
-      // duplicate pairs are introduced).
+      // neighboring bands and the join gains an equi key on band — at most
+      // one band matches per pair, so no duplicate pairs are introduced.
       val bandW = 20
-      val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
-          col("n_chars").as("c1"), col("ng").as("n1"), col("gid").as("gid1"), col("p").as("p1"))
-        .withColumn("cb1", floor(col("c1") / bandW))
-      val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
-          col("n_chars").as("c2"), col("ng").as("n2"), col("gid").as("gid2"), col("p").as("p2"))
-        .withColumn("cb2", explode(array(floor(col("c2") / bandW) - 1,
-          floor(col("c2") / bandW), floor(col("c2") / bandW) + 1)))
-      // PPJoin positional filter: both docs order grams identically, so the
-      // collision with minimal position IS the globally-smallest shared
-      // gram; every other shared gram sits after it in both lists, giving
-      // the exact upper bound o ≤ 1 + min(n1-p1, n2-p2). Pairs that cannot
-      // reach the τ-overlap α = ⌈τ/(1+τ)·(n1+n2)⌉ never get verified.
-      val cand = a.join(b, col("gid1") === col("gid2") && col("l1") === col("l2") &&
-          col("cb1") === col("cb2") &&
-          col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
-          col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
-        .groupBy("d1", "d2", "n1", "n2")
-        .agg(min(col("p1")).as("mp1"), min(col("p2")).as("mp2"))
-        .filter(lit(1) + least(col("n1") - col("mp1"), col("n2") - col("mp2")) >=
-          ceil((col("n1") + col("n2")) * lit(tau) / lit(1 + tau)))
-        .select("d1", "d2")
-      // verification joins broadcast the per-doc id arrays so the candidate
-      // stream never shuffles array payloads (at 100 TB these two joins
-      // become doc_id-bucketed co-partitioned joins instead); the encoding
-      // is bijective so int-intersection counts equal shingle-set counts
-      cand
-        .join(broadcast(sorted.select(col("doc_id").as("d1"), col("gids").as("s1"))), "d1")
-        .join(broadcast(sorted.select(col("doc_id").as("d2"), col("gids").as("s2"))), "d2")
-        .withColumn("shared", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-        .withColumn("jac", col("shared") * lit(1.0) /
-          (size(col("s1")) + size(col("s2")) - col("shared")))
-        .filter(col("jac") >= tau)
-        .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
-        .orderBy("d1", "d2")
+      if (vocab <= 4096) {
+        // ---- dense-bitset strategy ----
+        val nWords = ((vocab + 63) / 64).toInt
+        val sets = sorted
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("ng"),
+            bitset(col("gids"), nWords).as("bs"))
+        val a = sets.select(col("doc_id").as("d1"), col("lang").as("l1"),
+            col("n_chars").as("c1"), col("ng").as("n1"), col("bs").as("b1"))
+          .withColumn("cb1", floor(col("c1") / bandW))
+        val b = sets.select(col("doc_id").as("d2"), col("lang").as("l2"),
+            col("n_chars").as("c2"), col("ng").as("n2"), col("bs").as("b2"))
+          .withColumn("cb2", explode(array(floor(col("c2") / bandW) - 1,
+            floor(col("c2") / bandW), floor(col("c2") / bandW) + 1)))
+        // the bitset side fits executor memory by construction (|docs| ×
+        // nWords words) → broadcast hash join, zero shuffle; every blocked
+        // pair is verified inline by the popcount fold
+        a.join(broadcast(b), col("l1") === col("l2") && col("cb1") === col("cb2") &&
+            col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
+            col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
+          .withColumn("shared", bitsetShared(col("b1"), col("b2")))
+          .withColumn("jac", col("shared") * lit(1.0) /
+            (col("n1") + col("n2") - col("shared")))
+          .filter(col("jac") >= tau)
+          .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
+          .orderBy("d1", "d2")
+      } else {
+        // ---- prefix-filter strategy ----
+        val prefix = sorted
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("ng"),
+            posexplode(slice(col("gids"), lit(1),
+              (col("ng") - ceil(col("ng") * tau) + 1).cast("int"))).as(Seq("p0", "gid")))
+          .withColumn("p", col("p0") + 1) // 1-based rank in the global order
+        val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
+            col("n_chars").as("c1"), col("ng").as("n1"), col("gid").as("gid1"), col("p").as("p1"))
+          .withColumn("cb1", floor(col("c1") / bandW))
+        val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
+            col("n_chars").as("c2"), col("ng").as("n2"), col("gid").as("gid2"), col("p").as("p2"))
+          .withColumn("cb2", explode(array(floor(col("c2") / bandW) - 1,
+            floor(col("c2") / bandW), floor(col("c2") / bandW) + 1)))
+        // PPJoin positional filter INSIDE the join condition: both docs
+        // order grams identically, so the collision on the globally
+        // smallest shared gram carries the minimal p1 AND the minimal p2
+        // simultaneously — if that row fails the exact upper bound
+        // o ≤ 1 + min(n1-p1, n2-p2) against the τ-overlap
+        // α = ⌈τ/(1+τ)·(n1+n2)⌉, every other collision of the pair fails
+        // it too. Filtering per collision row inside the probe therefore
+        // admits exactly the pairs the aggregated min-position form would,
+        // without materializing failing rows into a shuffle.
+        val cand = a.join(b, col("gid1") === col("gid2") && col("l1") === col("l2") &&
+            col("cb1") === col("cb2") &&
+            col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
+            col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau &&
+            lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")) >=
+              ceil((col("n1") + col("n2")) * lit(tau) / lit(1 + tau)))
+          .select("d1", "d2").distinct()
+        // verification joins broadcast the per-doc id arrays so the candidate
+        // stream never shuffles array payloads (at 100 TB these two joins
+        // become doc_id-bucketed co-partitioned joins instead); the encoding
+        // is bijective so int-intersection counts equal shingle-set counts
+        cand
+          .join(broadcast(sorted.select(col("doc_id").as("d1"), col("gids").as("s1"))), "d1")
+          .join(broadcast(sorted.select(col("doc_id").as("d2"), col("gids").as("s2"))), "d2")
+          .withColumn("shared", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+          .withColumn("jac", col("shared") * lit(1.0) /
+            (size(col("s1")) + size(col("s2")) - col("shared")))
+          .filter(col("jac") >= tau)
+          .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
+          .orderBy("d1", "d2")
+      }
     }),
 
     // Embedding-cosine near-dup: same-label blocking (the IVF cell doubles
