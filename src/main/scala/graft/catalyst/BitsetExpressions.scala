@@ -1,8 +1,8 @@
 package graft.catalyst
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -42,6 +42,41 @@ object Bitsets {
       i += 1
     }
     acc
+  }
+
+  /** Bitset directly from token STRINGS via a hashed dictionary — the
+    * zero-shuffle encode path: when the dictionary is small enough to sit
+    * in the plan as a map literal, per-doc sets become bitsets in a single
+    * projection (no explode, no dictionary join, no re-aggregation).
+    * Tokens absent from the dictionary are ignored. */
+  def fromTokens(tokens: ArrayData, dict: java.util.HashMap[UTF8String, Integer],
+                 nWords: Int): ArrayData = {
+    val words = new Array[Long](nWords)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val id = dict.get(tokens.getUTF8String(i))
+      if (id != null) {
+        val bit = id.intValue() - 1
+        val w = bit >>> 6
+        if (bit >= 0 && w < nWords) words(w) |= (1L << (bit & 63))
+      }
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Hash a map-literal's MapData (string → int) once per operator. */
+  def hashDict(md: MapData): java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](md.numElements() * 2)
+    val keys = md.keyArray()
+    val vals = md.valueArray()
+    var i = 0
+    while (i < md.numElements()) {
+      m.put(keys.getUTF8String(i).clone(), Integer.valueOf(vals.getInt(i)))
+      i += 1
+    }
+    m
   }
 
   /** Distinct character n-gram shingles, in first-occurrence order —
@@ -106,6 +141,36 @@ case class BitsetIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "bitset_intersect_count"
+}
+
+/** `bitset_from_tokens(tokens, dictMap, nWords)`: dense bitset from an
+  * array of token strings and a foldable string→int dictionary map literal
+  * (1-based ids). The dictionary is hashed once per operator instance, so
+  * the per-row cost is one hash lookup per token — the zero-shuffle
+  * dictionary-encode used by the small-dictionary dedup strategies. */
+case class BitsetFromTokensExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val dict: java.util.HashMap[UTF8String, Integer] =
+    Bitsets.hashDict(second.eval(null).asInstanceOf[MapData])
+  @transient private lazy val nWords: Int = third.eval(null).asInstanceOf[Int]
+
+  override protected def nullSafeEval(tokens: Any, dictMap: Any, n: Any): Any =
+    Bitsets.fromTokens(tokens.asInstanceOf[ArrayData], dict, nWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("bitsetDict", dict, classOf[java.util.HashMap[_, _]].getName)
+    nullSafeCodeGen(ctx, ev, (tokens, _, _) =>
+      s"${ev.value} = graft.catalyst.Bitsets.fromTokens($tokens, $dictRef, $nWords);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BitsetFromTokensExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "bitset_from_tokens"
 }
 
 /** `ngram_shingles(text, n)`: distinct character n-gram array of a string

@@ -43,6 +43,15 @@ object GraftExtensions {
     },
     descriptor("ngram_shingles", classOf[NgramShinglesExpr]) {
       children => NgramShinglesExpr(children(0), children(1))
+    },
+    descriptor("bitset_from_tokens", classOf[BitsetFromTokensExpr]) {
+      children => BitsetFromTokensExpr(children(0), children(1), children(2))
+    },
+    descriptor("vec_dot", classOf[VecDotExpr]) {
+      children => VecDotExpr(children(0), children(1))
+    },
+    descriptor("vec_sqdist", classOf[VecSqDistExpr]) {
+      children => VecSqDistExpr(children(0), children(1))
     }
   )
 

@@ -1,0 +1,87 @@
+package graft.catalyst
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector kernels for the embedding operators (similarity search,
+  * k-NN, near-dup, IVF ANN). Semantically identical to the in-order
+  * higher-order-function folds they replace —
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0, +)` —
+  * including left-to-right double accumulation, so floor-canonicalized
+  * outputs stay bit-identical to the DuckDB oracle. The HOF form pays an
+  * interpreted lambda dispatch per element; these run as one fused loop
+  * inside whole-stage codegen. Element types may be FLOAT or DOUBLE on
+  * either side (embeddings are float; derived centroids are double).
+  */
+abstract class VecFoldExpr extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Java accessor snippet for element i of `arr`, widened to double. */
+  protected def access(arr: String, tpe: DataType, i: String): String = tpe match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+
+  protected def get(arr: ArrayData, tpe: DataType, i: Int): Double = tpe match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  /** Java expression combining one element pair (names `x` and `y`). */
+  protected def combine(x: String, y: String): String
+
+  protected def combineEval(x: Double, y: Double): Double
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(aa.numElements(), bb.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc = acc + combineEval(get(aa, ta, i), get(bb, tb, i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, acc) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("acc"))
+      val x = access(a, elemType(left), i)
+      val y = access(b, elemType(right), i)
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc = $acc + (${combine(x, y)}); }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+}
+
+/** `vec_dot(a, b)`: in-order double dot product of two numeric arrays. */
+case class VecDotExpr(left: Expression, right: Expression) extends VecFoldExpr {
+  override protected def combine(x: String, y: String): String = s"($x) * ($y)"
+  override protected def combineEval(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
+/** `vec_sqdist(a, b)`: in-order squared L2 distance of two numeric arrays. */
+case class VecSqDistExpr(left: Expression, right: Expression) extends VecFoldExpr {
+  override protected def combine(x: String, y: String): String =
+    s"(($x) - ($y)) * (($x) - ($y))"
+  override protected def combineEval(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSqDistExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_sqdist"
+}

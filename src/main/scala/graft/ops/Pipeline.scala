@@ -29,32 +29,22 @@ import graft.io.Tables.canon
   */
 object Pipeline {
 
-  /** In-order fold dot product (bit-identical across engines). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, p) => acc + p)
+  /** In-order fold dot product / squared L2 via the native codegen'd
+    * kernels (graft.catalyst.VecExpressions) — bit-identical to the HOF
+    * folds they replace, and to the DuckDB oracle's list_reduce form.
+    * Queries using them install GraftExtensions first. */
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, p) => acc + p)
+  private def sqDist(a: Column, b: Column): Column = call_function("vec_sqdist", a, b)
 
   /** Distinct word tokens per document. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
       explode(split(col("text"), " ")).as("tk")).distinct()
 
-  /** Fixed-width bitset over a 1-based dictionary-id array: `nWords` 64-bit
-    * words built by the native codegen'd expression
-    * [[graft.catalyst.BitsetFromIdsExpr]] in one pass (a higher-order
-    * function chain would pay interpreted per-element lambda dispatch and
-    * break whole-stage codegen). Requires [[graft.catalyst.GraftExtensions]]
-    * installed on the session.
-    */
-  private def bitset(ids: Column, nWords: Int): Column =
-    call_function("bitset_from_ids", ids, lit(nWords))
-
-  /** |A ∩ B| of two equal-width bitsets (native popcount fold). */
+  /** |A ∩ B| of two equal-width bitsets via the native popcount-fold
+    * expression (graft.catalyst.BitsetIntersectCountExpr). Requires
+    * [[graft.catalyst.GraftExtensions]] installed on the session. */
   private def bitsetShared(a: Column, b: Column): Column =
     call_function("bitset_intersect_count", a, b)
 
@@ -97,18 +87,19 @@ object Pipeline {
       // exact-Jaccard verification; the SET REPRESENTATION is adaptive on
       // the measured token-dictionary size (the LSH banding above is
       // untouched): a small dictionary turns each doc's token set into a
-      // fixed-width bitset so every candidate verifies with a popcount
-      // fold instead of a string-array intersect.
-      val tdict = tok.select("tk").distinct()
-        .withColumn("tid", row_number().over(Window.orderBy(col("tk"))))
-      val tvocab = tdict.count()
+      // fixed-width bitset — encoded by a shuffle-free map-literal
+      // projection — so every candidate verifies with a popcount fold
+      // instead of a string-array intersect.
+      val probe = tok.select("tk").distinct().limit(4097).collect().map(_.getString(0))
       val verified =
-        if (tvocab <= 4096) {
-          val nWords = ((tvocab + 63) / 64).toInt
-          val sets = tok.join(tdict, "tk").groupBy("doc_id")
-            .agg(collect_list(col("tid")).as("tids"))
-            .select(col("doc_id"), size(col("tids")).cast("long").as("n"),
-              bitset(col("tids"), nWords).as("bs"))
+        if (probe.length <= 4096) {
+          val nWords = (probe.length + 63) / 64
+          val dictMap = typedLit(
+            probe.sorted.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+          val sets = Tables.documents(s, d)
+            .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tks"))
+            .select(col("doc_id"), size(col("tks")).cast("long").as("n"),
+              call_function("bitset_from_tokens", col("tks"), dictMap, lit(nWords)).as("bs"))
           cand
             .join(broadcast(sets.select(col("doc_id").as("d1"),
               col("n").as("n1"), col("bs").as("bs1"))), "d1")
@@ -196,36 +187,28 @@ object Pipeline {
       val docsG = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           call_function("ngram_shingles", col("text"), lit(5)).as("gs"))
-      val gr = docsG.select(col("doc_id"), col("lang"), col("n_chars"),
-        explode(col("gs")).as("g"))
-        .localCheckpoint() // shingle generation feeds 3 consumers; do it once
-      val dfreq = gr.groupBy("g").agg(count(lit(1)).as("df"))
-      // dictionary-encode shingles to DENSE INT ids in global rarity order
-      // (df asc, g asc) — join keys and intersect arrays become ints, and
-      // rarity order becomes plain integer order. The dictionary window is
-      // over the VOCABULARY (bounded by |alphabet|^5), never the corpus.
-      val dict = dfreq.withColumn("gid",
-        row_number().over(Window.orderBy(col("df"), col("g"))))
-        .localCheckpoint() // reused by the strategy pick and the encode join
-      val vocab = dict.count() // tiny vocabulary aggregate → strategy pick
-      // per-doc rarity-sorted id array — the prefix source, the
-      // verification set, and (small-dict path) the bitset source
-      val sorted = gr.join(dict, "g")
-        .groupBy("doc_id", "lang", "n_chars")
-        .agg(array_sort(collect_list(col("gid"))).as("gids"))
-        .withColumn("ng", size(col("gids")).cast("long"))
-        .localCheckpoint()
+        .localCheckpoint() // shingling feeds the vocab probe and both strategies
+      // bounded dictionary probe: collect at most 4097 distinct shingles.
+      // This both PICKS the strategy and, on the small side, IS the
+      // dictionary — a ≤4096-entry driver collect is the same pattern as
+      // broadcasting a small dim table, not a corpus-sized collect.
+      val probe = docsG.select(explode(col("gs")).as("g")).distinct()
+        .limit(4097).collect().map(_.getString(0))
       // length-band blocking composed INTO the join key: |Δchars| ≤ 20 ⇒
       // floor(chars/20) bands differ by ≤ 1, so side B enumerates its three
       // neighboring bands and the join gains an equi key on band — at most
       // one band matches per pair, so no duplicate pairs are introduced.
       val bandW = 20
-      if (vocab <= 4096) {
-        // ---- dense-bitset strategy ----
-        val nWords = ((vocab + 63) / 64).toInt
-        val sets = sorted
-          .select(col("doc_id"), col("lang"), col("n_chars"), col("ng"),
-            bitset(col("gids"), nWords).as("bs"))
+      if (probe.length <= 4096) {
+        // ---- dense-bitset strategy: a single shuffle-free projection
+        // dictionary-encodes every doc via the plan-literal map ----
+        val nWords = (probe.length + 63) / 64
+        val dictMap = typedLit(
+          probe.sorted.zipWithIndex.map { case (g, i) => g -> (i + 1) }.toMap)
+        val sets = docsG
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            size(col("gs")).cast("long").as("ng"),
+            call_function("bitset_from_tokens", col("gs"), dictMap, lit(nWords)).as("bs"))
         val a = sets.select(col("doc_id").as("d1"), col("lang").as("l1"),
             col("n_chars").as("c1"), col("ng").as("n1"), col("bs").as("b1"))
           .withColumn("cb1", floor(col("c1") / bandW))
@@ -247,6 +230,21 @@ object Pipeline {
           .orderBy("d1", "d2")
       } else {
         // ---- prefix-filter strategy ----
+        val gr = docsG.select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(col("gs")).as("g"))
+        val dfreq = gr.groupBy("g").agg(count(lit(1)).as("df"))
+        // dictionary-encode shingles to DENSE INT ids in global rarity
+        // order (df asc, g asc) — join keys and intersect arrays become
+        // ints, and rarity order becomes plain integer order. The window
+        // is over the VOCABULARY (bounded by |alphabet|^5), never the corpus.
+        val dict = dfreq.withColumn("gid",
+          row_number().over(Window.orderBy(col("df"), col("g"))))
+        // per-doc rarity-sorted id array — prefix source AND verification set
+        val sorted = gr.join(dict, "g")
+          .groupBy("doc_id", "lang", "n_chars")
+          .agg(array_sort(collect_list(col("gid"))).as("gids"))
+          .withColumn("ng", size(col("gids")).cast("long"))
+          .localCheckpoint()
         val prefix = sorted
           .select(col("doc_id"), col("lang"), col("n_chars"), col("ng"),
             posexplode(slice(col("gids"), lit(1),
@@ -296,6 +294,7 @@ object Pipeline {
     // ONCE per vector and joined in — the pair stage folds only the dot
     // product (3× fewer per-pair HOF evaluations than the naive form).
     "dedup_embedding_cosine" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s) // native vector kernels
       val emb = Tables.embeddings(s, d)
         .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       val a = emb.select(col("vec_id").as("v1"), col("label").as("lb1"),
@@ -313,6 +312,7 @@ object Pipeline {
     // centroids; each query (vec_id < 5) probes its nearest cell only
     // (nprobe=1), then exact top-5 by squared L2 within the cell.
     "ann_ivf_topk" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s) // native vector kernels
       val emb = Tables.embeddings(s, d)
       val cent = emb
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -323,9 +323,7 @@ object Pipeline {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val assign = queries.crossJoin(broadcast(cent))
-        .withColumn("cdist", aggregate(zip_with(col("qe"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, p) => acc + p))
+        .withColumn("cdist", sqDist(col("qe"), col("centroid"))) // float vs double sides
         .withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cdist"), col("label"))))
         .filter(col("rk") === 1)

@@ -39,6 +39,19 @@ object StreamOps {
   private def freshName(prefix: String): String =
     s"${prefix}_${nameCounter.incrementAndGet()}"
 
+  /** Scratch dir for streaming checkpoints/state: tmpfs when available —
+    * the offset/commit WAL fsyncs every micro-batch, and for a bounded
+    * test fixture that durability adds pure latency on a disk-backed
+    * filesystem. A real deployment points the checkpoint at durable
+    * storage; only the fixture harness makes this trade.
+    */
+  private def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix).toString
+    else Files.createTempDirectory(prefix).toString
+  }
+
   /** Bounded subscription-replay window for the MemoryStream fixtures:
     * the operators themselves are unbounded streams; the bound only keeps
     * the driver-side fixture collect proportionate at larger sf (covers
@@ -69,16 +82,18 @@ object StreamOps {
     // spark.sql.shuffle.partitions to the cluster before starting the
     // stream — this scopes the fixture's choice to the streaming query.
     val old = s.conf.get("spark.sql.shuffle.partitions", "200")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", scratchDir(s"graft_${name}_ckpt"))
+      .outputMode(mode).start()
     try {
       feed(q)
       q.processAllAvailable()
       var prev = -1L
       var cur = s.table(name).count()
       var spins = 0
-      while (cur != prev && spins < 40) {
-        prev = cur; Thread.sleep(250)
+      while (cur != prev && spins < 100) {
+        prev = cur; Thread.sleep(100)
         q.processAllAvailable()
         cur = s.table(name).count(); spins += 1
       }
@@ -180,8 +195,8 @@ object StreamOps {
       import s.implicits._
       val rows = evRows(s, d).collect().sortBy(_.event_id)
       val (b1, b2) = rows.splitAt(rows.length / 2)
-      val stateDir = Files.createTempDirectory("graft_feed_sink").toString
-      val ckpt = Files.createTempDirectory("graft_feed_sink_ckpt").toString
+      val stateDir = scratchDir("graft_feed_sink")
+      val ckpt = scratchDir("graft_feed_sink_ckpt")
       val ms = MemoryStream[Ev](s)
 
       val sinkCols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "bucket")
@@ -211,7 +226,7 @@ object StreamOps {
       }
 
       val old = s.conf.get("spark.sql.shuffle.partitions", "200")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // fixture-sized, see runToMemory
+      s.conf.set("spark.sql.shuffle.partitions", "2") // fixture-sized, see runToMemory
       val q = ms.toDF().writeStream
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Update)

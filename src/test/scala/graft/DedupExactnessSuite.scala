@@ -69,24 +69,39 @@ class DedupExactnessSuite extends AnyFunSuite {
   private val scoreRatio: (Int, Int) => Long =
     (sh, un) => math.floor((sh * 1.0 / un) * 10000).toLong
 
-  test("text_dedup_near (prefix filter) ≡ brute force on random planted corpora") {
-    for (seed <- Seq(1, 2, 3)) {
-      val (dir, docs) = corpus(seed, nBase = 60, vocab = 120)
+  /** Distinct token count of a corpus — used to assert WHICH adaptive
+    * strategy a test corpus exercises (≤4096 → bitset, >4096 → prefix). */
+  private def distinctTokens(docs: Seq[(Long, String, String)],
+                             tokensOf: String => Set[String]): Int =
+    docs.iterator.flatMap(d => tokensOf(d._2)).toSet.size
+
+  test("text_dedup_near ≡ brute force on random planted corpora (both strategies)") {
+    // small vocab → dense-bitset strategy; large vocab → prefix strategy
+    for ((seed, nBase, vocab, wantPrefix) <- Seq((1, 60, 120, false), (2, 60, 120, false),
+        (3, 60, 120, false), (4, 220, 9000, true))) {
+      val (dir, docs) = corpus(seed, nBase, vocab)
+      val nTok = distinctTokens(docs, _.split(" ").toSet)
+      assert((nTok > 4096) === wantPrefix,
+        s"seed $seed: corpus has $nTok tokens; does not exercise the intended strategy")
       val got = graft.ops.LlmOps.queries("text_dedup_near")(spark, dir)
         .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("jac_c"))).toSet
       val expected = brutePairs(docs, 0.5, t => t.split(" ").toSet, scoreNear)
-      assert(got === expected, s"seed $seed: prefix-filtered result diverged from brute force")
+      assert(got === expected, s"seed $seed: filtered result diverged from brute force")
       assert(expected.nonEmpty, s"seed $seed: test corpus planted no near-dups (weak test)")
     }
   }
 
-  test("dedup_ngram_jaccard (prefix + positional + band filters) ≡ brute force") {
-    for (seed <- Seq(11, 12)) {
-      val (dir, docs) = corpus(seed, nBase = 50, vocab = 100)
+  test("dedup_ngram_jaccard ≡ brute force (both strategies)") {
+    def grams(t: String): Set[String] =
+      (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
+    for ((seed, nBase, vocab, wantPrefix) <- Seq((11, 50, 100, false), (12, 50, 100, false),
+        (13, 120, 9000, true))) {
+      val (dir, docs) = corpus(seed, nBase, vocab)
+      val nGrams = distinctTokens(docs, grams)
+      assert((nGrams > 4096) === wantPrefix,
+        s"seed $seed: corpus has $nGrams grams; does not exercise the intended strategy")
       val got = graft.ops.Pipeline.queries("dedup_ngram_jaccard")(spark, dir)
         .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("jac_c"))).toSet
-      def grams(t: String): Set[String] =
-        (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
       val expected = brutePairs(docs, 0.7, grams, scoreRatio)
       assert(got === expected, s"seed $seed: ngram pipeline diverged from brute force")
     }

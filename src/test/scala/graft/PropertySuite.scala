@@ -109,6 +109,55 @@ class PropertySuite extends AnyFunSuite {
       .collect().forall(_.isNullAt(0)))
   }
 
+  test("native kernels ≡ SQL formulations (bitset, shingles, vec folds)") {
+    graft.catalyst.GraftExtensions.install(spark)
+    val rnd = new Random(77)
+    // bitset intersect count == array_intersect size on random 1-based id sets
+    val idCases = Seq.fill(40)((
+      Seq.fill(rnd.nextInt(50))(rnd.nextInt(300) + 1).distinct,
+      Seq.fill(rnd.nextInt(50))(rnd.nextInt(300) + 1).distinct))
+    val nWords = (300 + 63) / 64
+    idCases.toDF("a", "b")
+      .selectExpr(
+        s"bitset_intersect_count(bitset_from_ids(a, $nWords), bitset_from_ids(b, $nWords)) AS viaBits",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS viaArr")
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // ngram_shingles == array_distinct(transform(sequence(...), substr))
+    val texts = Seq("", "ab", "abcde", "aaaaaaaa", "hello world hello world",
+      "überstraße größe", Seq.fill(30)(s"w${rnd.nextInt(9)}").mkString(" "))
+    texts.toDF("t")
+      .selectExpr("ngram_shingles(t, 5) AS viaNative",
+        "array_distinct(transform(sequence(1, greatest(length(t) - 4, 1)), i -> substr(t, i, 5))) AS viaSql")
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0).sorted === r.getSeq[String](1).sorted)
+      }
+    // vec_dot / vec_sqdist == in-order HOF folds, bit-identical doubles
+    val vecs = Seq.fill(25)((
+      Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat())))
+    vecs.toDF("a", "b")
+      .selectExpr(
+        "vec_dot(a, b) AS dN",
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) AS dH",
+        "vec_sqdist(a, b) AS sN",
+        "aggregate(zip_with(a, b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) AS sH")
+      .collect().foreach { r =>
+        assert(r.getDouble(0) === r.getDouble(1)) // exact: same op order
+        assert(r.getDouble(2) === r.getDouble(3))
+      }
+    // bitset_from_tokens (map-literal encode) == bitset_from_ids ∘ dictionary
+    val dictTokens = (1 to 100).map(i => s"tok$i")
+    val dictMap = dictTokens.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val tokCases = Seq.fill(20)(
+      Seq.fill(rnd.nextInt(30))(dictTokens(rnd.nextInt(100))).distinct)
+    val tw = (100 + 63) / 64
+    tokCases.toDF("tks")
+      .withColumn("viaTok", call_function("bitset_from_tokens",
+        col("tks"), typedLit(dictMap), lit(tw)))
+      .withColumn("viaIds", call_function("bitset_from_ids",
+        transform(col("tks"), t => element_at(typedLit(dictMap), t)), lit(tw)))
+      .collect().foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2)))
+  }
+
   test("jaccard UDF ≡ native HOF formulation ≡ set definition") {
     val rnd = new Random(11)
     val cases = Seq.fill(30) {
