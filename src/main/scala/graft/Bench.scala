@@ -17,13 +17,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: first Spark job in a JVM pays ~6s of classloading /
-    // codegen / shuffle-infra startup that would otherwise be billed to
-    // whichever query happens to run first.
+    // Untimed warmup: the first use of each engine subsystem in a JVM pays
+    // multi-second classloading / codegen / JIT costs that would otherwise
+    // be billed to whichever query touches it first. Exercise each once:
+    // scans+shuffles, broadcast joins, localCheckpoint, the native graft
+    // kernels, higher-order functions, and a streaming micro-batch.
     try {
+      import org.apache.spark.sql.functions._
       spark.range(100000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy("n_regionkey").count().collect()
+      graft.catalyst.GraftExtensions.install(spark)
+      val w = spark.range(1000).toDF("id").localCheckpoint()
+      w.join(broadcast(w.select(col("id").as("j"))), col("id") === col("j"))
+        .selectExpr(
+          "bitset_intersect_count(bitset_from_ids(array(CAST(id % 64 AS INT) + 1), 1)," +
+            " bitset_from_ids(array(CAST(j % 64 AS INT) + 1), 1))",
+          "ngram_shingles('warmup text', 5)", "word_bigrams('warmup text here')",
+          "vec_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))",
+          "vec_sqdist(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))",
+          "aggregate(sequence(1, 3), 0L, (a, x) -> a + x)")
+        .collect()
+      graft.streaming.StreamOps.warmup(spark)
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -79,6 +79,22 @@ object Bitsets {
     m
   }
 
+  /** Consecutive word bigrams of a space-separated text — semantically
+    * `transform(sequence(0, size(toks)-2), i -> concat(toks[i+1], ' ',
+    * toks[i+2]))` with `toks = split(text, ' ')` (Java regex split,
+    * limit -1), evaluated in one pass. */
+  def wordBigrams(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character n-gram shingles, in first-occurrence order —
     * semantically `array_distinct(transform(sequence(1, greatest(len-n+1,
     * 1)), i -> substr(text, i, n)))` (1-indexed SQL substring over code
@@ -141,6 +157,26 @@ case class BitsetIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "bitset_intersect_count"
+}
+
+/** `word_bigrams(text)`: consecutive space-separated word bigrams (see
+  * [[Bitsets.wordBigrams]]). */
+case class WordBigramsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(text: Any): Any =
+    Bitsets.wordBigrams(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.catalyst.Bitsets.wordBigrams($text);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigramsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_bigrams"
 }
 
 /** `bitset_from_tokens(tokens, dictMap, nWords)`: dense bitset from an

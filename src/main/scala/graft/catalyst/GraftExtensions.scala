@@ -47,6 +47,9 @@ object GraftExtensions {
     descriptor("bitset_from_tokens", classOf[BitsetFromTokensExpr]) {
       children => BitsetFromTokensExpr(children(0), children(1), children(2))
     },
+    descriptor("word_bigrams", classOf[WordBigramsExpr]) {
+      children => WordBigramsExpr(children.head)
+    },
     descriptor("vec_dot", classOf[VecDotExpr]) {
       children => VecDotExpr(children(0), children(1))
     },

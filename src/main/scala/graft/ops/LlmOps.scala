@@ -46,13 +46,11 @@ object LlmOps {
         .orderBy(col("n").desc, col("token")).limit(50)
     }),
 
-    // top-5 bigrams per language (single-pass HOF, no self-join)
-    "text_bigrams" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val bigrams = transform(sequence(lit(0), size(toks) - 2),
-        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+    // top-5 bigrams per language — single pass, no self-join; the native
+    // word_bigrams kernel replaces a per-position interpreted HOF concat
+    "text_bigrams" -> native((s, d) => {
       val counted = Tables.documents(s, d)
-        .select(col("lang"), explode(bigrams).as("bg"))
+        .select(col("lang"), explode(call_function("word_bigrams", col("text"))).as("bg"))
         .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bg"))
       counted.withColumn("rk", row_number().over(w))

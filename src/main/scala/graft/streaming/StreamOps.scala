@@ -104,6 +104,30 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Warm the streaming machinery (micro-batch planner, state store,
+    * memory sink) with a minimal query so the first REAL streaming
+    * operator in a session doesn't absorb the one-time startup cost. */
+  def warmup(s: SparkSession): Unit = {
+    import s.implicits._
+    val old = s.conf.get("spark.sql.shuffle.partitions", "200")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val ms = MemoryStream[Ev](s)
+      val q = ms.toDF()
+        .withColumn("ets", timestamp_micros(col("ts_us")))
+        .withWatermark("ets", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(freshName("warmup"))
+        .option("checkpointLocation", scratchDir("graft_warmup_ckpt"))
+        .outputMode(OutputMode.Append).start()
+      ms.addData(Ev(1L, 1000000L, 1L, "t", 1.0))
+      q.processAllAvailable()
+      q.stop()
+    } catch { case _: Throwable => () } finally {
+      s.conf.set("spark.sql.shuffle.partitions", old)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Event-time watermark (README.md:113 — at-least-once implies
     // out-of-order arrival): 10-minute watermark over 1h tumbling windows,
