@@ -21,6 +21,7 @@ object SparkEntry {
       (EventTime.queries, EventTime.oracles),
       (LlmOps.queries, LlmOps.oracles),
       (Pipeline.queries, Pipeline.oracles),
+      (TrainOps.queries, TrainOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.io.Tables.canon
+
+/** §2.11 training-data curation operators: the stages that sit AROUND the
+  * dedup/similarity core in a real pretraining pipeline — deterministic
+  * sampling, text normalization, benchmark decontamination, duplicate
+  * clustering, and corpus mix rebalancing. All oracle-checked; sampling
+  * and fingerprints are md5-based so both engines compute identical
+  * results.
+  *
+  * Scale shapes:
+  *  - sampling is a map-only hash predicate (stable under reruns and
+  *    partition moves — never `rand()`);
+  *  - scrub is a pure per-row expression pipeline;
+  *  - decontamination joins corpus shingles against a BROADCAST benchmark
+  *    gram set (benchmarks are tiny by definition; at 100 TB the corpus
+  *    side stays partition-local);
+  *  - duplicate clustering is iterative min-label propagation over the
+  *    near-dup pair graph, converging in O(component diameter) rounds —
+  *    the driver loop only schedules; per-round work is a shuffled
+  *    aggregate (swap in large-star/small-star for planet-scale graphs);
+  *  - mix weights are one aggregate plus a bucket-count window.
+  */
+object TrainOps {
+
+  private val stopwords = Seq("a", "the", "and", "of", "to")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic stratified sample: md5(doc_id) first hex digit in
+    // {0,1} ⇒ a stable 1/8 sample, reproducible across engines, reruns,
+    // and repartitioning (rand()-based sampling is none of those).
+    "sample_stratified" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Normalization/scrub stage: drop stopword tokens, re-join on single
+    // spaces, fingerprint the scrubbed text. Token-filter formulation (no
+    // regex) keeps semantics engine-portable.
+    "text_scrub_normalize" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val kept = filter(toks, t => !t.isin(stopwords: _*))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(array_join(kept, " ")).as("scrub_fp"),
+          (size(toks) - size(kept)).cast("long").as("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing any 8-gram
+    // shingle with a held-out benchmark set (doc_id % 100 = 0 stands in
+    // for the benchmark), reporting how many benchmark docs each hits.
+    "decontaminate" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s) // native shingling
+      val grams8 = call_function("ngram_shingles", col("text"), lit(8))
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("bdoc"), explode(grams8).as("g"))
+      val corp = docs.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(grams8).as("g"))
+      corp.join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("bdoc")).as("n_bench_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicate clustering: connected components over the exact near-dup
+    // pair graph (dedup_ngram_jaccard), labeling every member with the
+    // smallest doc_id of its component — the keep-one-per-cluster step
+    // that follows pair generation in a dedup pipeline.
+    "dedup_cluster_cc" -> ((s, d) => {
+      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) { // diameter-bounded; 20 ≫ any real cluster
+        val nb = edges
+          .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+          .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels
+          .join(nb, Seq("node"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        converged = next.select(col("node"), col("lbl").as("lbl2"))
+          .join(labels, "node")
+          .filter(col("lbl") =!= col("lbl2")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus mix rebalancing: per (lang, length-bucket) counts and the
+    // uniform-target importance weight tot/(nBuckets·n) a sampler would
+    // apply to flatten the mix.
+    "corpus_mix_weights" -> ((s, d) => {
+      val buckets = Tables.documents(s, d)
+        .groupBy(col("lang"), floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+      // bucket relation is |langs|×|bands| rows — a global window is fine
+      val w = Window.partitionBy()
+      buckets
+        .withColumn("tot", sum(col("n")).over(w))
+        .withColumn("nb", count(lit(1)).over(w))
+        .select(col("lang"), col("len_bucket"), col("n"),
+          canon(col("tot") * lit(1.0) / (col("nb") * col("n"))).as("weight_c"))
+        .orderBy("lang", "len_bucket")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_scrub_normalize" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(str_split(text, ' '),
+        |    t -> t NOT IN ('a', 'the', 'and', 'of', 'to')), ' ')) AS scrub_fp,
+        |  CAST(len(str_split(text, ' ')) - len(list_filter(str_split(text, ' '),
+        |    t -> t NOT IN ('a', 'the', 'and', 'of', 'to'))) AS BIGINT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(length(text) - 7, 1)),
+        |      i -> substr(text, i, 8)))) AS g
+        |  FROM documents),
+        |bench AS (SELECT doc_id AS bdoc, g FROM g WHERE doc_id % 100 = 0),
+        |corp AS (SELECT doc_id, g FROM g WHERE doc_id % 100 <> 0)
+        |SELECT corp.doc_id, count(DISTINCT bdoc) AS n_bench_hits
+        |FROM corp JOIN bench USING (g)
+        |GROUP BY corp.doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_cc" ->
+      """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+        |      i -> substr(text, i, 5))) AS gs
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |        len(list_intersect(a.gs, b.gs)) AS shared,
+        |        len(a.gs) AS n1, len(b.gs) AS n2
+        |      FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |        AND abs(a.n_chars - b.n_chars) <= 20),
+        |pairs AS (SELECT d1, d2 FROM p
+        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |r(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src)
+        |SELECT node AS doc_id, min(lbl) AS cluster_rep
+        |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix_weights" ->
+      """WITH b AS (SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+        |    count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS tot, count(*) AS nb FROM b)
+        |SELECT lang, len_bucket, n,
+        |  CAST(floor((tot * 1.0 / (nb * n)) * 10000) AS BIGINT) AS weight_c
+        |FROM b, t ORDER BY lang, len_bucket""".stripMargin
+  )
+}
