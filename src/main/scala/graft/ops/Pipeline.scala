@@ -339,8 +339,12 @@ object Pipeline {
 
     // Language ID, n-gram/marker-token heuristic: per-language profile =
     // top-20 tokens by in-language document frequency; prediction = argmax
-    // profile overlap (tie → lang asc); output = confusion matrix.
+    // profile overlap (tie → lang asc); output = confusion matrix. The
+    // overlap scoring uses the same small-dictionary bitset trick as the
+    // dedup family when it applies (popcount AND instead of a per-(doc,
+    // lang) string-array intersect).
     "text_langid" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
       val tok = tokens(Tables.documents(s, d))
       val prof = tok.groupBy("lang", "tk").agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(
@@ -348,14 +352,31 @@ object Pipeline {
         .filter(col("rk") <= 20)
         .groupBy(col("lang").as("plang"))
         .agg(sort_array(collect_list(col("tk"))).as("profile"))
-      val docs = tok.groupBy("doc_id", "lang")
-        .agg(collect_list(col("tk")).as("tks"))
-      val scored = docs.crossJoin(broadcast(prof))
-        .withColumn("score", size(array_intersect(col("tks"), col("profile"))))
+      val probe = tok.select("tk").distinct().limit(4097).collect().map(_.getString(0))
+      val scored =
+        if (probe.length <= 4096) {
+          val nWords = (probe.length + 63) / 64
+          val dictMap = typedLit(
+            probe.sorted.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"),
+              call_function("bitset_from_tokens",
+                array_distinct(split(col("text"), " ")), dictMap, lit(nWords)).as("bs"))
+          docs.crossJoin(broadcast(prof.select(col("plang"),
+              call_function("bitset_from_tokens", col("profile"), dictMap, lit(nWords)).as("pbs"))))
+            .withColumn("score",
+              call_function("bitset_intersect_count", col("bs"), col("pbs")))
+        } else {
+          val docs = tok.groupBy("doc_id", "lang")
+            .agg(collect_list(col("tk")).as("tks"))
+          docs.crossJoin(broadcast(prof))
+            .withColumn("score", size(array_intersect(col("tks"), col("profile"))))
+        }
+      scored
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
         .filter(col("rk") === 1)
-      scored.groupBy(col("lang"), col("plang").as("predicted"))
+        .groupBy(col("lang"), col("plang").as("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     }),
