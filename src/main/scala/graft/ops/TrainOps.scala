@@ -30,6 +30,47 @@ object TrainOps {
 
   private val stopwords = Seq("a", "the", "and", "of", "to")
 
+  /** Connected components over an undirected edge list `(src, dst)`:
+    * returns `(node, cluster_rep)` with the component's smallest node id
+    * as representative. Hook + pointer-jumping compression — each round
+    * takes the min label over neighbors (hook), then replaces every label
+    * by its label's label (compress), so chains collapse in O(log
+    * diameter) rounds rather than O(diameter); the 30-round cap therefore
+    * covers any component with diameter up to ~2^30. Per-round work is
+    * two shuffled joins + an aggregate — the driver loop only schedules
+    * (at planet scale swap in large-star/small-star, same round shape).
+    */
+  def connectedComponents(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.toDF("src", "dst")
+    val edgesBi = edges.union(edges.select(col("dst"), col("src")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edgesBi.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      // hook: min label over self + neighbors
+      val nb = edgesBi
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nlbl"))
+      val hooked = labels
+        .join(nb, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // compress: lbl ← lbl(lbl) (pointer jumping)
+      val lookup = hooked.select(col("node").as("plbl"), col("lbl").as("lbl2"))
+      val next = hooked
+        .join(lookup, col("lbl") === col("plbl"), "left")
+        .select(col("node"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next.select(col("node"), col("lbl").as("lbl2"))
+        .join(labels, "node")
+        .filter(col("lbl") =!= col("lbl2")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("lbl").as("cluster_rep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic stratified sample: md5(doc_id) first hex digit in
     // {0,1} ⇒ a stable 1/8 sample, reproducible across engines, reruns,
@@ -78,27 +119,8 @@ object TrainOps {
     "dedup_cluster_cc" -> ((s, d) => {
       val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
         .select(col("d1"), col("d2")).localCheckpoint()
-      val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) { // diameter-bounded; 20 ≫ any real cluster
-        val nb = edges
-          .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
-          .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nlbl"))
-        val next = labels
-          .join(nb, Seq("node"), "left")
-          .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        converged = next.select(col("node"), col("lbl").as("lbl2"))
-          .join(labels, "node")
-          .filter(col("lbl") =!= col("lbl2")).isEmpty
-        labels = next
-        iter += 1
-      }
-      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("cluster_rep"))
         .orderBy("doc_id")
     }),
 
