@@ -40,8 +40,31 @@ object TrainOps {
     * two shuffled joins + an aggregate — the driver loop only schedules
     * (at planet scale swap in large-star/small-star, same round shape).
     */
-  def connectedComponents(edgesIn: DataFrame): DataFrame = {
+  def connectedComponents(edgesIn: DataFrame, driverLimit: Int = 1000000): DataFrame = {
     val edges = edgesIn.toDF("src", "dst")
+    // Physical strategy pick, same philosophy as the dedup operators: a
+    // near-dup PAIR graph is usually orders of magnitude smaller than the
+    // corpus, and when it fits the driver (≤ driverLimit edges) a single
+    // union-find pass beats scheduling log(diameter) distributed rounds.
+    // Larger graphs take the hook+compress rounds below.
+    val bounded = edges.limit(driverLimit + 1).collect()
+    if (bounded.length <= driverLimit) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      bounded.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val spark = edgesIn.sparkSession
+      import spark.implicits._
+      val out = bounded.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+        .map(x => (x, find(x)))
+      return out.toDF("node", "cluster_rep")
+    }
     val edgesBi = edges.union(edges.select(col("dst"), col("src")))
       .toDF("src", "dst").localCheckpoint()
     var labels = edgesBi.select(col("src").as("node")).distinct()

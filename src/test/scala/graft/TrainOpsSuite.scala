@@ -15,30 +15,38 @@ class TrainOpsSuite extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    TrainOps.connectedComponents(edges.toDF("src", "dst"))
+  /** driverLimit=0 forces the distributed hook+compress path; the default
+    * exercises the driver union-find path. Both must agree. */
+  private def cc(edges: Seq[(Long, Long)], distributed: Boolean): Map[Long, Long] =
+    TrainOps.connectedComponents(edges.toDF("src", "dst"),
+        driverLimit = if (distributed) 0 else 1000000)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("connected components: long path (diameter 300) fully collapses") {
+  test("connected components: long path (diameter 300) fully collapses (both paths)") {
     val path = (0L until 300L).map(i => (i, i + 1))
-    val got = cc(path)
-    assert(got.size === 301)
-    assert(got.values.toSet === Set(0L), "every path node must label to node 0")
+    for (distributed <- Seq(true, false)) {
+      val got = cc(path, distributed)
+      assert(got.size === 301)
+      assert(got.values.toSet === Set(0L),
+        s"every path node must label to node 0 (distributed=$distributed)")
+    }
   }
 
-  test("connected components: star, clique, and disjoint components") {
+  test("connected components: star, clique, and disjoint components (both paths)") {
     val star = (1L to 50L).map(i => (100L, 100L + i))
     val clique = for (i <- 200L to 205L; j <- (i + 1) to 205L) yield (i, j)
     val pair = Seq((900L, 901L))
-    val got = cc(star ++ clique ++ pair)
-    assert(got(100L) === 100L && got(150L) === 100L)
-    assert((200L to 205L).forall(got(_) === 200L))
-    assert(got(900L) === 900L && got(901L) === 900L)
-    // representative is always the component minimum and a member
-    got.foreach { case (n, rep) => assert(rep <= n) }
+    for (distributed <- Seq(true, false)) {
+      val got = cc(star ++ clique ++ pair, distributed)
+      assert(got(100L) === 100L && got(150L) === 100L)
+      assert((200L to 205L).forall(got(_) === 200L))
+      assert(got(900L) === 900L && got(901L) === 900L)
+      // representative is always the component minimum and a member
+      got.foreach { case (n, rep) => assert(rep <= n) }
+    }
   }
 
-  test("connected components: random graphs agree with brute-force union-find") {
+  test("connected components: random graphs, both paths agree with union-find") {
     val rnd = new Random(7)
     for (_ <- 1 to 3) {
       val n = 120
@@ -57,7 +65,8 @@ class TrainOpsSuite extends AnyFunSuite {
       edges.foreach { case (a, b) => union(a, b) }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(x => x -> find(x)).toMap
-      assert(cc(edges) === expected)
+      assert(cc(edges, distributed = true) === expected)
+      assert(cc(edges, distributed = false) === expected)
     }
   }
 
