@@ -1,20 +1,21 @@
 package graft
 
-// Throwaway plan dumper (not part of the library).
+// Throwaway timing harness for individual queries (not part of the library).
 import org.apache.spark.sql.SparkSession
 
 object Profile {
   def main(args: Array[String]): Unit = {
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("dedup_minhash_lsh", "dedup_simhash")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, d)
-      println(s"===== $n =====")
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100000).selectExpr("sum(id)").collect() // warmup
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(n)(spark, d).count()
+      println(f"QUERY $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$c")
     }
     spark.stop()
   }

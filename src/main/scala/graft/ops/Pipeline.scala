@@ -64,12 +64,17 @@ object Pipeline {
       val tkhash = tok.select("tk").distinct()
         .withColumn("mhs", array((0 until 8).map(sd =>
           md5(concat(col("tk"), lit(":"), lit(sd.toString)))): _*))
-      // per-doc signature = elementwise min over the doc's token hashes
-      // (one shuffle on doc_id; "g" > every md5 hex char so it never wins)
+      // per-doc signature = elementwise min over the doc's token hashes —
+      // 8 plain min() aggregates (codegen'd, map-side combinable: the
+      // shuffle carries one 8-hash row per doc per task, never a token
+      // list; a collect_list + interpreted fold carries every token hash
+      // through the shuffle and evaluates lambdas per element)
       val sig = tok.join(tkhash, "tk") // vocab: auto-broadcast when small, shuffle at scale
         .groupBy("doc_id", "lang")
-        .agg(aggregate(collect_list(col("mhs")), array_repeat(lit("g"), 8),
-          (acc, x) => zip_with(acc, x, (a, b) => least(a, b))).as("sig"))
+        .agg((1 to 8).map(i => min(element_at(col("mhs"), i)).as(s"m$i")).head,
+          (2 to 8).map(i => min(element_at(col("mhs"), i)).as(s"m$i")): _*)
+        .select(col("doc_id"), col("lang"),
+          array((1 to 8).map(i => col(s"m$i")): _*).as("sig"))
       val bands = sig
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(0), lit(3))).as("band"), col("sig"))
@@ -134,16 +139,15 @@ object Pipeline {
       val tkvotes = tok.select("tk").distinct()
         .withColumn("votes", array((0 until 16).map(j =>
           (ascii(substring(md5(col("tk")), j + 1, 1)) % 2) * 2 - 1): _*))
-      // per-doc fingerprint: elementwise vote sum, then sign → bit
+      // per-doc fingerprint: 16 plain sum() vote aggregates (codegen'd,
+      // map-side combinable — the shuffle carries one 16-int row per doc
+      // per task), then sign → bit weights summed row-wise
       val sims = tok.join(tkvotes, "tk")
         .groupBy("doc_id", "lang")
-        .agg(aggregate(collect_list(col("votes")),
-          array_repeat(lit(0), 16),
-          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("svs"))
-        .withColumn("sim", aggregate(
-          zip_with(col("svs"), sequence(lit(0), lit(15)),
-            (sv, j) => when(sv > 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x))
+        .agg((0 until 16).map(j => sum(element_at(col("votes"), j + 1)).as(s"sv$j")).head,
+          (1 until 16).map(j => sum(element_at(col("votes"), j + 1)).as(s"sv$j")): _*)
+        .withColumn("sim", (0 until 16).map(j =>
+          when(col(s"sv$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
       val chunks = sims.select(col("doc_id"), col("lang"), col("sim"),
           explode(sequence(lit(0), lit(3))).as("c"))
         .withColumn("ck", expr("CAST(floor(sim / pow(2.0, c * 4)) AS BIGINT) % 16"))

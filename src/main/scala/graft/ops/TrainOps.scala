@@ -50,9 +50,14 @@ object TrainOps {
     val bounded = edges.limit(driverLimit + 1).collect()
     if (bounded.length <= driverLimit) {
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find with path compression (a recursive form would
+      // overflow the stack on a degenerate million-edge chain)
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       bounded.foreach { r =>
         val (a, b) = (r.getLong(0), r.getLong(1))
