@@ -1,0 +1,144 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** User-facing training-data curation API: DataFrame-in/DataFrame-out,
+  * column-parameterized — the library surface an adopter calls on their
+  * OWN tables (the `graft.ops.*` query maps are the same operators bound
+  * to the benchmark fixtures, and delegate here where the logic is
+  * shared).
+  */
+object Curation {
+
+  /** Exact near-duplicate pairs by set Jaccard ≥ `tau` within groups.
+    *
+    * `tokens` must be an array column with DISTINCT elements (the doc's
+    * token or shingle set); `group` is a blocking key (e.g. language);
+    * `len` a length proxy — only pairs with |Δlen| ≤ `lenBand` are
+    * considered (composed into the join key as adjacent bands, so the
+    * band is an equi key, not a residual-only predicate).
+    *
+    * Returns `(d1, d2, shared, n1, n2)` for every qualifying pair with
+    * d1 < d2 — integer-exact counts so callers can apply their own score
+    * canonicalization.
+    *
+    * Physical strategy is picked at plan time from the measured
+    * dictionary size (a bounded ≤`denseDictLimit`+1 collect — dim-table
+    * sized): small dictionaries encode every doc's set as a fixed-width
+    * bitset via a shuffle-free map-literal projection and verify every
+    * blocked pair with a native popcount fold; large dictionaries (the
+    * 100 TB shape) use exact All-Pairs prefix filtering + the PPJoin
+    * positional filter, bounding candidates by rare-token collisions.
+    * Both strategies are brute-force-verified in DedupExactnessSuite.
+    */
+  def nearDupPairs(docs: DataFrame, id: Column, tokens: Column, group: Column,
+                   len: Column, tau: Double, lenBand: Int = 20,
+                   denseDictLimit: Int = 4096): DataFrame = {
+    val s = docs.sparkSession
+    graft.catalyst.GraftExtensions.install(s)
+    val docsT = docs.select(id.cast("long").as("doc_id"), group.as("grp"),
+        len.cast("long").as("len"), tokens.as("tks"))
+      .localCheckpoint() // feeds the vocab probe and both strategies
+    val probe = docsT.select(explode(col("tks")).as("tk")).distinct()
+      .limit(denseDictLimit + 1).collect().map(_.getString(0))
+    if (probe.length <= denseDictLimit) {
+      // ---- dense-bitset strategy: shuffle-free map-literal encode ----
+      val nWords = (probe.length + 63) / 64
+      val dictMap = typedLit(
+        probe.sorted.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+      val sets = docsT.select(col("doc_id"), col("grp"), col("len"),
+        size(col("tks")).cast("long").as("n"),
+        call_function("bitset_from_tokens", col("tks"), dictMap, lit(nWords)).as("bs"))
+      val a = sets.select(col("doc_id").as("d1"), col("grp").as("g1"),
+          col("len").as("c1"), col("n").as("n1"), col("bs").as("b1"))
+        .withColumn("cb1", floor(col("c1") / lenBand))
+      val b = sets.select(col("doc_id").as("d2"), col("grp").as("g2"),
+          col("len").as("c2"), col("n").as("n2"), col("bs").as("b2"))
+        .withColumn("cb2", explode(array(floor(col("c2") / lenBand) - 1,
+          floor(col("c2") / lenBand), floor(col("c2") / lenBand) + 1)))
+      a.join(broadcast(b), col("g1") === col("g2") && col("cb1") === col("cb2") &&
+          col("d1") < col("d2") && abs(col("c1") - col("c2")) <= lenBand &&
+          col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
+        .withColumn("shared", call_function("bitset_intersect_count", col("b1"), col("b2")))
+        .filter(col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared")) >= tau)
+        .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"))
+    } else {
+      // ---- exact prefix-filter strategy (All-Pairs + PPJoin) ----
+      val tok = docsT.select(col("doc_id"), col("grp"), col("len"),
+        explode(col("tks")).as("tk"))
+      val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+      // dictionary-encode tokens to dense ints in global rarity order
+      // (vocabulary-sized window, never corpus-sized)
+      val dict = dfreq.withColumn("tid",
+        row_number().over(Window.orderBy(col("df"), col("tk"))))
+      val sorted = tok.join(dict, "tk")
+        .groupBy("doc_id", "grp", "len")
+        .agg(array_sort(collect_list(col("tid"))).as("tids"))
+        .withColumn("n", size(col("tids")).cast("long"))
+        .localCheckpoint()
+      val prefix = sorted
+        .select(col("doc_id"), col("grp"), col("len"), col("n"),
+          posexplode(slice(col("tids"), lit(1),
+            (col("n") - ceil(col("n") * tau) + 1).cast("int"))).as(Seq("p0", "tid")))
+        .withColumn("p", col("p0") + 1) // 1-based rank in the global order
+      val a = prefix.select(col("doc_id").as("d1"), col("grp").as("g1"),
+          col("len").as("c1"), col("n").as("n1"), col("tid").as("tid1"), col("p").as("p1"))
+        .withColumn("cb1", floor(col("c1") / lenBand))
+      val b = prefix.select(col("doc_id").as("d2"), col("grp").as("g2"),
+          col("len").as("c2"), col("n").as("n2"), col("tid").as("tid2"), col("p").as("p2"))
+        .withColumn("cb2", explode(array(floor(col("c2") / lenBand) - 1,
+          floor(col("c2") / lenBand), floor(col("c2") / lenBand) + 1)))
+      // PPJoin positional filter per collision row: the collision on the
+      // globally smallest shared token carries BOTH minimal positions, so
+      // if that row fails the bound o ≤ 1 + min(n1-p1, n2-p2) against the
+      // τ-overlap α = ⌈τ/(1+τ)·(n1+n2)⌉ every other collision fails too —
+      // per-row filtering admits exactly the aggregated-min pairs.
+      val cand = a.join(b, col("tid1") === col("tid2") && col("g1") === col("g2") &&
+          col("cb1") === col("cb2") &&
+          col("d1") < col("d2") && abs(col("c1") - col("c2")) <= lenBand &&
+          col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau &&
+          lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")) >=
+            ceil((col("n1") + col("n2")) * lit(tau) / lit(1 + tau)))
+        .select("d1", "d2").distinct()
+      // verify on full id sets; broadcast so candidates never shuffle
+      // array payloads (bucketed co-partitioned joins at 100 TB)
+      cand
+        .join(broadcast(sorted.select(col("doc_id").as("d1"), col("tids").as("t1"))), "d1")
+        .join(broadcast(sorted.select(col("doc_id").as("d2"), col("tids").as("t2"))), "d2")
+        .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+        .withColumn("n1", size(col("t1")).cast("long"))
+        .withColumn("n2", size(col("t2")).cast("long"))
+        .filter(col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared")) >= tau)
+        .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"))
+    }
+  }
+
+  /** Connected components over an undirected `(src, dst)` edge list —
+    * see [[graft.ops.TrainOps.connectedComponents]]. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    graft.ops.TrainOps.connectedComponents(edges)
+
+  /** Deterministic hash sample: keep rows whose md5(key) first hex digit
+    * falls in `digits` — stable across engines, reruns, and repartitioning
+    * (each hex digit keeps 1/16 of rows). */
+  def sampleByHash(df: DataFrame, key: Column, digits: Seq[String]): DataFrame =
+    df.filter(substring(md5(key.cast("string")), 1, 1).isin(digits: _*))
+
+  /** Benchmark decontamination: rows of `corpus` sharing at least one
+    * character `n`-gram with any `bench` row, with the count of distinct
+    * benchmark ids each hits. The benchmark gram set broadcasts. */
+  def decontaminate(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                    bench: DataFrame, benchId: Column, benchText: Column,
+                    n: Int): DataFrame = {
+    graft.catalyst.GraftExtensions.install(corpus.sparkSession)
+    val c = corpus.select(corpusId.as("doc_id"),
+      explode(call_function("ngram_shingles", corpusText, lit(n))).as("g"))
+    val b = bench.select(benchId.as("bdoc"),
+      explode(call_function("ngram_shingles", benchText, lit(n))).as("g"))
+    c.join(broadcast(b), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("bdoc")).as("n_bench_hits"))
+  }
+}

@@ -77,108 +77,20 @@ object LlmOps {
         .orderBy("fp")
     }),
 
-    // near-duplicate pairs, EXACT at scale, with the same plan-time
-    // adaptive strategy as Pipeline's dedup_ngram_jaccard:
-    //  - small token dictionary → per-doc token sets as fixed-width
-    //    bitsets; the length-band blocked broadcast self-join verifies
-    //    every pair with a native popcount fold (uniformly fat posting
-    //    lists leave a prefix filter nothing to prune).
-    //  - large dictionary (the 100 TB shape) → All-Pairs prefix principle:
-    //    for J(A,B) ≥ τ the globally-smallest shared token lies in BOTH
-    //    prefixes of length n−⌈τ·n⌉+1 (else all shared tokens fit in one
-    //    suffix of size ⌈τ·n⌉−1 < τ·|A∪B|, contradiction), so joining only
-    //    prefix postings misses nothing; hot tokens land in long-doc
-    //    suffixes, capping posting-list self-join growth.
-    "text_dedup_near" -> native((s, d) => {
-      val tau = 0.5
-      // per-doc distinct token ARRAY is map-only; everything derives from it
+    // near-duplicate word-token pairs, EXACT at scale — delegates to the
+    // shared adaptive set-similarity join (graft.api.Curation.nearDupPairs:
+    // dense-bitset popcount verify for small dictionaries, All-Pairs
+    // prefix + PPJoin for the 100 TB large-dictionary shape).
+    "text_dedup_near" -> ((s, d) => {
       val docsT = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           array_distinct(split(col("text"), " ")).as("tks"))
-        .localCheckpoint() // feeds the vocab probe and both strategies
-      // bounded dictionary probe (≤ 4097 rows collected — dim-table sized):
-      // picks the strategy and, on the small side, IS the dictionary
-      val probe = docsT.select(explode(col("tks")).as("tk")).distinct()
-        .limit(4097).collect().map(_.getString(0))
-      // length-band blocking in the join key (|Δchars| ≤ 20 ⇒ adjacent
-      // 20-char bands; at most one band matches per pair, so no duplicates)
-      val bandW = 20
-      val jaccardOut = (df: DataFrame) => df
-        .withColumn("jac", col("shared") * lit(10000.0) / (col("n1") + col("n2") - col("shared")))
-        .filter(col("shared") * lit(1.0) / (col("n1") + col("n2") - col("shared")) >= tau)
+      graft.api.Curation.nearDupPairs(docsT, col("doc_id"), col("tks"),
+          col("lang"), col("n_chars"), tau = 0.5)
+        .withColumn("jac",
+          col("shared") * lit(10000.0) / (col("n1") + col("n2") - col("shared")))
         .select(col("d1"), col("d2"), floor(col("jac")).cast("long").as("jac_c"))
         .orderBy("d1", "d2")
-      if (probe.length <= 4096) {
-        // ---- dense-bitset strategy: shuffle-free map-literal encode ----
-        val nWords = (probe.length + 63) / 64
-        val dictMap = typedLit(
-          probe.sorted.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
-        val sets = docsT.select(col("doc_id"), col("lang"), col("n_chars"),
-          size(col("tks")).cast("long").as("ntk"),
-          call_function("bitset_from_tokens", col("tks"), dictMap, lit(nWords)).as("bs"))
-        val a = sets.select(col("doc_id").as("d1"), col("lang").as("l1"),
-            col("n_chars").as("c1"), col("ntk").as("n1"), col("bs").as("b1"))
-          .withColumn("cb1", floor(col("c1") / bandW))
-        val b = sets.select(col("doc_id").as("d2"), col("lang").as("l2"),
-            col("n_chars").as("c2"), col("ntk").as("n2"), col("bs").as("b2"))
-          .withColumn("cb2", explode(array(floor(col("c2") / bandW) - 1,
-            floor(col("c2") / bandW), floor(col("c2") / bandW) + 1)))
-        jaccardOut(
-          a.join(broadcast(b), col("l1") === col("l2") && col("cb1") === col("cb2") &&
-              col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
-              col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
-            .withColumn("shared", call_function("bitset_intersect_count", col("b1"), col("b2"))))
-      } else {
-        // ---- prefix-filter strategy ----
-        val tok = docsT.select(col("doc_id"), col("lang"), col("n_chars"),
-          explode(col("tks")).as("tk"))
-        val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
-        // dictionary-encode tokens to dense ints in global rarity order
-        // (vocabulary-sized window, never corpus-sized)
-        val dict = dfreq.withColumn("tid",
-          row_number().over(Window.orderBy(col("df"), col("tk"))))
-        // per-doc rarity-sorted id array: prefix source AND verification set
-        val sorted = tok.join(dict, "tk")
-          .groupBy("doc_id", "lang", "n_chars")
-          .agg(array_sort(collect_list(col("tid"))).as("tids"))
-          .withColumn("ntk", size(col("tids")).cast("long"))
-          .localCheckpoint()
-        val prefix = sorted
-          .select(col("doc_id"), col("lang"), col("n_chars"), col("ntk"),
-            posexplode(slice(col("tids"), lit(1),
-              (col("ntk") - ceil(col("ntk") * tau) + 1).cast("int"))).as(Seq("p0", "tid")))
-          .withColumn("p", col("p0") + 1)
-        val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
-            col("n_chars").as("c1"), col("ntk").as("n1"), col("tid").as("tid1"), col("p").as("p1"))
-          .withColumn("cb1", floor(col("c1") / bandW))
-        val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
-            col("n_chars").as("c2"), col("ntk").as("n2"), col("tid").as("tid2"), col("p").as("p2"))
-          .withColumn("cb2", explode(array(floor(col("c2") / bandW) - 1,
-            floor(col("c2") / bandW), floor(col("c2") / bandW) + 1)))
-        // candidate filters: same lang, id order, |Δchars|, the Jaccard size
-        // bound τ·|A| ≤ |B| ≤ |A|/τ, and the PPJoin positional upper bound
-        // o ≤ 1 + min(n1-p1, n2-p2) applied per collision row — the
-        // collision on the smallest shared token carries both minimal
-        // positions, so the per-row form admits exactly the same pairs as
-        // aggregating min positions first
-        val cand = a.join(b, col("tid1") === col("tid2") && col("l1") === col("l2") &&
-            col("cb1") === col("cb2") &&
-            col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
-            col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau &&
-            lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")) >=
-              ceil((col("n1") + col("n2")) * lit(tau) / lit(1 + tau)))
-          .select("d1", "d2").distinct()
-        // verify against full distinct-token id sets (bijective encoding ⇒
-        // identical intersection counts); broadcast so candidate rows never
-        // shuffle array payloads (bucketed co-partitioned joins at 100 TB)
-        jaccardOut(
-          cand
-            .join(broadcast(sorted.select(col("doc_id").as("d1"), col("tids").as("t1"))), "d1")
-            .join(broadcast(sorted.select(col("doc_id").as("d2"), col("tids").as("t2"))), "d2")
-            .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
-            .withColumn("n1", size(col("t1")).cast("long"))
-            .withColumn("n2", size(col("t2")).cast("long")))
-      }
     }),
 
     // L2 norm per embedding

@@ -165,132 +165,23 @@ object Pipeline {
         .orderBy("d1", "d2")
     }),
 
-    // Character 5-gram shingle Jaccard (τ=0.7) with an ADAPTIVE physical
-    // strategy picked at plan time from the measured dictionary size (a
-    // tiny vocabulary aggregate, AQE-style):
-    //  - small dictionary (≤ 4096 shingles — bounded corpora, tight
-    //    alphabets): per-doc gram sets become fixed-width bitsets and the
-    //    length-band blocked self-join verifies every pair with a popcount
-    //    fold — candidate generation would cost more than it saves when
-    //    posting lists are uniformly fat (no Zipf tail to prune).
-    //  - large dictionary (the 100 TB shape): All-Pairs prefix filtering
-    //    over shingles ordered by global document frequency (each doc
-    //    posts only its rarest ~30%) + PPJoin positional filter + exact
-    //    intersect verification — candidate volume is bounded by rare-gram
-    //    collisions, which is what survives a Zipfian corpus at scale.
-    // Blocking alone (same lang, ±20 chars) is quadratic in the language
-    // group; one of the two strategies above always bounds the work.
+    // Character 5-gram shingle Jaccard (τ=0.7): shingles come from the
+    // native codegen'd ngram_shingles kernel (per-doc distinct array,
+    // map-only), then the shared adaptive set-similarity join
+    // (graft.api.Curation.nearDupPairs) picks dense-bitset popcount
+    // verification for small dictionaries or exact All-Pairs prefix +
+    // PPJoin filtering for the 100 TB large-dictionary shape.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      graft.catalyst.GraftExtensions.install(s) // native bitset expressions
-      val tau = 0.7
-      // per-doc distinct shingle ARRAY is map-only (no explode+distinct
-      // shuffle) and built by the native codegen'd shingling expression —
-      // the equivalent transform/array_distinct HOF chain pays an
-      // interpreted lambda per text position and dominated this operator's
-      // runtime; everything below derives from this array
+      graft.catalyst.GraftExtensions.install(s) // native shingling kernel
       val docsG = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           call_function("ngram_shingles", col("text"), lit(5)).as("gs"))
-        .localCheckpoint() // shingling feeds the vocab probe and both strategies
-      // bounded dictionary probe: collect at most 4097 distinct shingles.
-      // This both PICKS the strategy and, on the small side, IS the
-      // dictionary — a ≤4096-entry driver collect is the same pattern as
-      // broadcasting a small dim table, not a corpus-sized collect.
-      val probe = docsG.select(explode(col("gs")).as("g")).distinct()
-        .limit(4097).collect().map(_.getString(0))
-      // length-band blocking composed INTO the join key: |Δchars| ≤ 20 ⇒
-      // floor(chars/20) bands differ by ≤ 1, so side B enumerates its three
-      // neighboring bands and the join gains an equi key on band — at most
-      // one band matches per pair, so no duplicate pairs are introduced.
-      val bandW = 20
-      if (probe.length <= 4096) {
-        // ---- dense-bitset strategy: a single shuffle-free projection
-        // dictionary-encodes every doc via the plan-literal map ----
-        val nWords = (probe.length + 63) / 64
-        val dictMap = typedLit(
-          probe.sorted.zipWithIndex.map { case (g, i) => g -> (i + 1) }.toMap)
-        val sets = docsG
-          .select(col("doc_id"), col("lang"), col("n_chars"),
-            size(col("gs")).cast("long").as("ng"),
-            call_function("bitset_from_tokens", col("gs"), dictMap, lit(nWords)).as("bs"))
-        val a = sets.select(col("doc_id").as("d1"), col("lang").as("l1"),
-            col("n_chars").as("c1"), col("ng").as("n1"), col("bs").as("b1"))
-          .withColumn("cb1", floor(col("c1") / bandW))
-        val b = sets.select(col("doc_id").as("d2"), col("lang").as("l2"),
-            col("n_chars").as("c2"), col("ng").as("n2"), col("bs").as("b2"))
-          .withColumn("cb2", explode(array(floor(col("c2") / bandW) - 1,
-            floor(col("c2") / bandW), floor(col("c2") / bandW) + 1)))
-        // the bitset side fits executor memory by construction (|docs| ×
-        // nWords words) → broadcast hash join, zero shuffle; every blocked
-        // pair is verified inline by the popcount fold
-        a.join(broadcast(b), col("l1") === col("l2") && col("cb1") === col("cb2") &&
-            col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
-            col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
-          .withColumn("shared", bitsetShared(col("b1"), col("b2")))
-          .withColumn("jac", col("shared") * lit(1.0) /
-            (col("n1") + col("n2") - col("shared")))
-          .filter(col("jac") >= tau)
-          .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
-          .orderBy("d1", "d2")
-      } else {
-        // ---- prefix-filter strategy ----
-        val gr = docsG.select(col("doc_id"), col("lang"), col("n_chars"),
-          explode(col("gs")).as("g"))
-        val dfreq = gr.groupBy("g").agg(count(lit(1)).as("df"))
-        // dictionary-encode shingles to DENSE INT ids in global rarity
-        // order (df asc, g asc) — join keys and intersect arrays become
-        // ints, and rarity order becomes plain integer order. The window
-        // is over the VOCABULARY (bounded by |alphabet|^5), never the corpus.
-        val dict = dfreq.withColumn("gid",
-          row_number().over(Window.orderBy(col("df"), col("g"))))
-        // per-doc rarity-sorted id array — prefix source AND verification set
-        val sorted = gr.join(dict, "g")
-          .groupBy("doc_id", "lang", "n_chars")
-          .agg(array_sort(collect_list(col("gid"))).as("gids"))
-          .withColumn("ng", size(col("gids")).cast("long"))
-          .localCheckpoint()
-        val prefix = sorted
-          .select(col("doc_id"), col("lang"), col("n_chars"), col("ng"),
-            posexplode(slice(col("gids"), lit(1),
-              (col("ng") - ceil(col("ng") * tau) + 1).cast("int"))).as(Seq("p0", "gid")))
-          .withColumn("p", col("p0") + 1) // 1-based rank in the global order
-        val a = prefix.select(col("doc_id").as("d1"), col("lang").as("l1"),
-            col("n_chars").as("c1"), col("ng").as("n1"), col("gid").as("gid1"), col("p").as("p1"))
-          .withColumn("cb1", floor(col("c1") / bandW))
-        val b = prefix.select(col("doc_id").as("d2"), col("lang").as("l2"),
-            col("n_chars").as("c2"), col("ng").as("n2"), col("gid").as("gid2"), col("p").as("p2"))
-          .withColumn("cb2", explode(array(floor(col("c2") / bandW) - 1,
-            floor(col("c2") / bandW), floor(col("c2") / bandW) + 1)))
-        // PPJoin positional filter INSIDE the join condition: both docs
-        // order grams identically, so the collision on the globally
-        // smallest shared gram carries the minimal p1 AND the minimal p2
-        // simultaneously — if that row fails the exact upper bound
-        // o ≤ 1 + min(n1-p1, n2-p2) against the τ-overlap
-        // α = ⌈τ/(1+τ)·(n1+n2)⌉, every other collision of the pair fails
-        // it too. Filtering per collision row inside the probe therefore
-        // admits exactly the pairs the aggregated min-position form would,
-        // without materializing failing rows into a shuffle.
-        val cand = a.join(b, col("gid1") === col("gid2") && col("l1") === col("l2") &&
-            col("cb1") === col("cb2") &&
-            col("d1") < col("d2") && abs(col("c1") - col("c2")) <= 20 &&
-            col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau &&
-            lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")) >=
-              ceil((col("n1") + col("n2")) * lit(tau) / lit(1 + tau)))
-          .select("d1", "d2").distinct()
-        // verification joins broadcast the per-doc id arrays so the candidate
-        // stream never shuffles array payloads (at 100 TB these two joins
-        // become doc_id-bucketed co-partitioned joins instead); the encoding
-        // is bijective so int-intersection counts equal shingle-set counts
-        cand
-          .join(broadcast(sorted.select(col("doc_id").as("d1"), col("gids").as("s1"))), "d1")
-          .join(broadcast(sorted.select(col("doc_id").as("d2"), col("gids").as("s2"))), "d2")
-          .withColumn("shared", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-          .withColumn("jac", col("shared") * lit(1.0) /
-            (size(col("s1")) + size(col("s2")) - col("shared")))
-          .filter(col("jac") >= tau)
-          .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
-          .orderBy("d1", "d2")
-      }
+      graft.api.Curation.nearDupPairs(docsG, col("doc_id"), col("gs"),
+          col("lang"), col("n_chars"), tau = 0.7)
+        .withColumn("jac", col("shared") * lit(1.0) /
+          (col("n1") + col("n2") - col("shared")))
+        .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
+        .orderBy("d1", "d2")
     }),
 
     // Embedding-cosine near-dup: same-label blocking (the IVF cell doubles

@@ -104,8 +104,7 @@ object TrainOps {
     // {0,1} ⇒ a stable 1/8 sample, reproducible across engines, reruns,
     // and repartitioning (rand()-based sampling is none of those).
     "sample_stratified" -> ((s, d) => {
-      Tables.documents(s, d)
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      graft.api.Curation.sampleByHash(Tables.documents(s, d), col("doc_id"), Seq("0", "1"))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
@@ -127,16 +126,11 @@ object TrainOps {
     // shingle with a held-out benchmark set (doc_id % 100 = 0 stands in
     // for the benchmark), reporting how many benchmark docs each hits.
     "decontaminate" -> ((s, d) => {
-      graft.catalyst.GraftExtensions.install(s) // native shingling
-      val grams8 = call_function("ngram_shingles", col("text"), lit(8))
       val docs = Tables.documents(s, d)
-      val bench = docs.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("bdoc"), explode(grams8).as("g"))
-      val corp = docs.filter(col("doc_id") % 100 =!= 0)
-        .select(col("doc_id"), explode(grams8).as("g"))
-      corp.join(broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("bdoc")).as("n_bench_hits"))
+      graft.api.Curation.decontaminate(
+          docs.filter(col("doc_id") % 100 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 100 === 0), col("doc_id"), col("text"),
+          n = 8)
         .orderBy("doc_id")
     }),
 

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{Curation, Feeds}
+
+/** Tests for the user-facing DataFrame API (graft.api) — the operators a
+  * library adopter calls on their OWN tables, with their own column
+  * names. The fixture query maps delegate to these, so the oracle gate
+  * covers the semantics; this suite covers the API shape itself.
+  */
+class ApiSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def feed = Seq(
+    // (eid, subj, kind)
+    (1L, "s1", "put"), (2L, "s2", "put"), (3L, "s1", "put"),
+    (4L, "s3", "put"), (5L, "s2", "del"), (6L, "s4", "put"), (3L, "s1", "put")
+  ).toDF("eid", "subj", "kind")
+
+  test("Feeds: scanAfter/page/latestOffset honor the cursor contract") {
+    assert(Feeds.scanAfter(feed, col("eid"), lit(3L)).count() === 3)
+    assert(Feeds.page(feed, col("eid"), lit(0L), 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(Feeds.latestOffset(feed, col("eid")).collect().head.getLong(0) === 6L)
+  }
+
+  test("Feeds: dedup, compaction, and read model") {
+    assert(Feeds.dedupById(feed, "eid").count() === 6)
+    val compact = Feeds.compactLatest(Feeds.dedupById(feed, "eid"),
+      col("subj"), col("eid"))
+    assert(compact.count() === 4) // one row per subject
+    assert(compact.filter(col("subj") === "s1").head().getLong(0) === 3L)
+    val model = Feeds.readModel(Feeds.dedupById(feed, "eid"),
+      col("subj"), col("eid"), col("kind") === "del")
+    assert(model.count() === 3) // s2's latest is a tombstone
+    assert(!model.collect().map(_.getString(1)).contains("s2"))
+  }
+
+  test("Feeds: mergeFeeds unions by name; seq-id codec round-trips") {
+    val other = Seq((10L, "s9", "put")).toDF("eid", "subj", "kind")
+    assert(Feeds.mergeFeeds(Seq(feed, other)).count() === 8)
+    val enc = spark.range(5).select(
+      Feeds.seqIdDecode(Feeds.seqIdEncode(col("id"), lit("sfx"))).as("back"))
+    assert(enc.collect().map(_.getLong(0)).toSeq === (0L until 5L))
+  }
+
+  test("Curation.nearDupPairs works on arbitrary column names") {
+    val docs = Seq(
+      (1L, "g", 10L, Seq("a", "b", "c", "d")),
+      (2L, "g", 11L, Seq("a", "b", "c", "e")),  // J = 3/5 = 0.6 vs doc 1
+      (3L, "g", 90L, Seq("a", "b", "c", "d")),  // outside length band
+      (4L, "h", 10L, Seq("a", "b", "c", "d"))   // other group
+    ).toDF("my_id", "my_grp", "my_len", "my_toks")
+    val pairs = Curation.nearDupPairs(docs, col("my_id"), col("my_toks"),
+        col("my_grp"), col("my_len"), tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 3L)))
+  }
+
+  test("Curation.sampleByHash keeps exactly the hash-selected rows") {
+    val df = spark.range(1000).toDF("k")
+    val sampled = Curation.sampleByHash(df, col("k"), Seq("0", "1", "2", "3"))
+    val frac = sampled.count().toDouble / 1000
+    assert(frac > 0.15 && frac < 0.35) // ~4/16 expected
+    // deterministic: same rows every time
+    assert(sampled.collect().map(_.getLong(0)).toSet ===
+      Curation.sampleByHash(df, col("k"), Seq("0", "1", "2", "3"))
+        .collect().map(_.getLong(0)).toSet)
+  }
+
+  test("Curation.decontaminate flags only overlapping docs") {
+    val corpus = Seq((1L, "the quick brown fox jumps"),
+      (2L, "completely different words here")).toDF("id", "txt")
+    val bench = Seq((100L, "a quick brown fox ran")).toDF("bid", "btxt")
+    val hits = Curation.decontaminate(corpus, col("id"), col("txt"),
+        bench, col("bid"), col("btxt"), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(1L))
+    assert(hits(1L) === 1L)
+  }
+}
