@@ -82,7 +82,7 @@ object StreamOps {
     // spark.sql.shuffle.partitions to the cluster before starting the
     // stream — this scopes the fixture's choice to the streaming query.
     val old = s.conf.get("spark.sql.shuffle.partitions", "200")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     val q = df.writeStream.format("memory").queryName(name)
       .option("checkpointLocation", scratchDir(s"graft_${name}_ckpt"))
       .outputMode(mode).start()
@@ -110,7 +110,7 @@ object StreamOps {
   def warmup(s: SparkSession): Unit = {
     import s.implicits._
     val old = s.conf.get("spark.sql.shuffle.partitions", "200")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val ms = MemoryStream[Ev](s)
       val q = ms.toDF()
@@ -250,7 +250,7 @@ object StreamOps {
       }
 
       val old = s.conf.get("spark.sql.shuffle.partitions", "200")
-      s.conf.set("spark.sql.shuffle.partitions", "2") // fixture-sized, see runToMemory
+      s.conf.set("spark.sql.shuffle.partitions", "1") // fixture-sized, see runToMemory
       val q = ms.toDF().writeStream
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Update)
