@@ -1,0 +1,61 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** User-facing vector/similarity API over embedding columns
+  * (`array<float>` or `array<double>`). The scalar helpers are Column
+  * functions backed by the native codegen'd kernels
+  * (graft.catalyst.VecExpressions) — call [[graft.catalyst
+  * .GraftExtensions.install]] on the session first (the DataFrame
+  * operators below do it for you); accumulation order is fixed
+  * left-to-right double, so results are reproducible across engines.
+  */
+object Vectors {
+
+  /** In-order double dot product of two vector columns. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** L2 norm of a vector column. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two vector columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance of two vector columns. */
+  def sqDist(a: Column, b: Column): Column = call_function("vec_sqdist", a, b)
+
+  /** Exact k-nearest-neighbors by squared L2: for every query row, the
+    * `k` nearest data rows (self-matches by id excluded). The query side
+    * broadcasts — it is the small, bounded side by construction; the data
+    * side streams partition-local. Returns
+    * `(qid, rank, id, dist)` with rank 1..k (ties broken by id). */
+  def knn(data: DataFrame, id: Column, vec: Column,
+          queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+    graft.catalyst.GraftExtensions.install(data.sparkSession)
+    val d = data.select(id.cast("long").as("id"), vec.as("v"))
+    val q = queries.select(qid.cast("long").as("qid"), qvec.as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    d.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("dist", sqDist(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("dist"))
+  }
+
+  /** Top-k most cosine-similar data rows to a single query vector column
+    * (one-row `queries` DataFrame). Returns `(id, cos)`, best first. */
+  def cosineTopK(data: DataFrame, id: Column, vec: Column,
+                 query: DataFrame, qvec: Column, k: Int): DataFrame = {
+    graft.catalyst.GraftExtensions.install(data.sparkSession)
+    val d = data.select(id.cast("long").as("id"), vec.as("v"))
+    val q = query.select(qvec.as("qv"))
+    d.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+}

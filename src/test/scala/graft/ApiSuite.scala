@@ -70,6 +70,30 @@ class ApiSuite extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet)
   }
 
+  test("Vectors: dot/norm/cosine/knn/cosineTopK on small known vectors") {
+    graft.catalyst.GraftExtensions.install(spark)
+    import graft.api.Vectors
+    val data = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f))
+    ).toDF("vid", "emb")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "qemb")
+    // knn of (1,0): nearest is vid 1 (dist 0), then 3 (dist 1), then 2 (dist 2)
+    val nn = Vectors.knn(data, col("vid"), col("emb"), q, col("qid"), col("qemb"), 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(nn.toSeq === Seq((1, 1L, 0.0), (2, 3L, 1.0), (3, 2L, 2.0)))
+    // cosine top-2: vid 1 (cos 1), vid 3 (cos ~0.707)
+    val top = Vectors.cosineTopK(data, col("vid"), col("emb"), q, col("qemb"), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(1L, 3L))
+    // scalar helpers
+    val r = data.filter(col("vid") === 3L)
+      .select(Vectors.dot(col("emb"), col("emb")).as("d"),
+        Vectors.norm(col("emb")).as("n")).head()
+    assert(r.getDouble(0) === 2.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(2)) < 1e-12)
+  }
+
   test("Curation.decontaminate flags only overlapping docs") {
     val corpus = Seq((1L, "the quick brown fox jumps"),
       (2L, "completely different words here")).toDF("id", "txt")
