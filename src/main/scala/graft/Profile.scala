@@ -1,22 +1,40 @@
 package graft
 
-// Throwaway timing harness for individual queries (not part of the library).
 import org.apache.spark.sql.SparkSession
 
+/** Developer harness (not part of the library surface): time individual
+  * queries or dump their physical plans outside the full Bench run.
+  *
+  *   sbt "runMain graft.Profile q1 q2"            # per-query wall time
+  *   sbt "runMain graft.Profile --explain q1 q2"  # physical plans
+  *
+  * Data dir via SPARK_GRAFT_SF_DIR (defaults to sf0.1 for timing; use
+  * sf0.01 for plan dumps to match docs/PLANS.md).
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
+    val explain = args.headOption.contains("--explain")
+    val names = (if (explain) args.drop(1) else args).toSeq
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = if (args.nonEmpty) args.toSeq else Seq("stream_dedup_state")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(100000).selectExpr("sum(id)").collect() // warmup
-    graft.streaming.StreamOps.warmup(spark)
+    spark.sparkContext.setLogLevel(if (explain) "ERROR" else "WARN")
+    if (!explain) {
+      spark.range(100000).selectExpr("sum(id)").collect() // warmup
+      graft.streaming.StreamOps.warmup(spark)
+    }
     names.foreach { n =>
-      val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, d).count()
-      println(f"QUERY $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$c")
+      val df = SparkEntry.queries(n)(spark, d)
+      if (explain) {
+        println(s"===== $n =====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+      } else {
+        val t0 = System.nanoTime()
+        val c = df.count()
+        println(f"QUERY $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$c")
+      }
     }
     spark.stop()
   }
