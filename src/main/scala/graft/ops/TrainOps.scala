@@ -146,6 +146,39 @@ object TrainOps {
         .orderBy("doc_id")
     }),
 
+    // The full curation pipeline as ONE composed query — what an adopter
+    // actually runs: stopword scrub → exact dedup on the scrubbed
+    // fingerprint (keep smallest doc_id) → quality filter (≥ 20 tokens) →
+    // near-dup clustering over 5-gram shingles (τ=0.7, adaptive
+    // set-similarity join + connected components) keeping each cluster's
+    // representative → deterministic 50% hash sample. Every stage is one
+    // of the library's operators; the composition itself is oracle-checked
+    // end to end.
+    "curation_pipeline_e2e" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ")
+      val kept = filter(toks, t => !t.isin(stopwords: _*))
+      val scrubbed = docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        md5(array_join(kept, " ")).as("fp"), size(toks).cast("long").as("n_tok"))
+      val exactKept = scrubbed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val quality = exactKept.filter(col("n_tok") >= 20).localCheckpoint()
+      val docsG = quality.select(col("doc_id"), col("lang"), col("n_chars"),
+        call_function("ngram_shingles", col("text"), lit(5)).as("gs"))
+      val pairs = graft.api.Curation.nearDupPairs(docsG, col("doc_id"), col("gs"),
+        col("lang"), col("n_chars"), tau = 0.7).select("d1", "d2")
+      val dropped = connectedComponents(pairs)
+        .filter(col("node") =!= col("cluster_rep"))
+        .select(col("node").as("doc_id"))
+      val deduped = quality.join(dropped, Seq("doc_id"), "left_anti")
+      graft.api.Curation.sampleByHash(deduped, col("doc_id"), (0 to 7).map(_.toString))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus mix rebalancing: per (lang, length-bucket) counts and the
     // uniform-target importance weight tot/(nBuckets·n) a sampler would
     // apply to flatten the mix.
@@ -210,6 +243,41 @@ object TrainOps {
         |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src)
         |SELECT node AS doc_id, min(lbl) AS cluster_rep
         |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline_e2e" ->
+      """WITH RECURSIVE scrub AS (SELECT doc_id, lang, n_chars, text,
+        |    md5(array_to_string(list_filter(str_split(text, ' '),
+        |      t -> t NOT IN ('a', 'the', 'and', 'of', 'to')), ' ')) AS fp,
+        |    len(str_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |exact AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM scrub) WHERE rn = 1),
+        |quality AS (SELECT * FROM exact WHERE n_tok >= 20),
+        |g AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+        |      i -> substr(text, i, 5))) AS gs
+        |  FROM quality),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |        len(list_intersect(a.gs, b.gs)) AS shared,
+        |        len(a.gs) AS n1, len(b.gs) AS n2
+        |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |        AND abs(a.n_chars - b.n_chars) <= 20),
+        |pairs AS (SELECT d1, d2 FROM p
+        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |r(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src),
+        |clusters AS (SELECT node, min(lbl) AS rep FROM r GROUP BY node),
+        |dropped AS (SELECT node AS doc_id FROM clusters WHERE node <> rep)
+        |SELECT doc_id, lang FROM quality
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0', '1', '2', '3', '4', '5', '6', '7')
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_mix_weights" ->
       """WITH b AS (SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
