@@ -37,10 +37,13 @@ object Pipeline {
 
   private def sqDist(a: Column, b: Column): Column = call_function("vec_sqdist", a, b)
 
-  /** Distinct word tokens per document. */
+  /** Distinct word tokens per document. `array_distinct` BEFORE the
+    * explode keeps the dedup row-local (doc_id is unique, so per-doc
+    * distinct equals the global distinct of (doc_id, …, tk)) — no
+    * corpus-wide distinct shuffle. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
-      explode(split(col("text"), " ")).as("tk")).distinct()
+      explode(array_distinct(split(col("text"), " "))).as("tk"))
 
   /** |A ∩ B| of two equal-width bitsets via the native popcount-fold
     * expression (graft.catalyst.BitsetIntersectCountExpr). Requires
