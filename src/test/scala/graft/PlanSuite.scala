@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: docs/PLANS.md documents the plans each
+  * operator is DESIGNED to produce; this suite pins the load-bearing
+  * properties so a refactor cannot silently regress them — filters and
+  * projections reaching the parquet scan, dimensions broadcasting, top-k
+  * compiling to TakeOrderedAndProject, and the dense-bitset dedup
+  * strategy staying shuffle-free up to its output sort.
+  */
+class PlanSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+
+  test("scan_project_filter pushes the shipdate range into the parquet scan") {
+    val p = planOf("scan_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filters must reach the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint"), "projection must prune columns")
+    assert(!p.contains("l_comment"), "unreferenced columns must not be read")
+  }
+
+  test("feed_scan_offset pushes the cursor as a scalar-subquery scan filter") {
+    val p = planOf("feed_scan_offset")
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,ScalarSubquery"),
+      s"cursor must reach the scan:\n$p")
+  }
+
+  test("join_broadcast broadcasts the dimension side") {
+    val p = planOf("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "the dimension join must not shuffle both sides")
+  }
+
+  test("sort_multikey_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("sort_multikey_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-k must use per-partition heaps:\n$p")
+  }
+
+  test("dedup_ngram_jaccard (small dict) is shuffle-free up to the output sort") {
+    val p = planOf("dedup_ngram_jaccard")
+    assert(p.contains("bitset_intersect_count"),
+      s"small-dictionary corpus must take the bitset strategy:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "the blocked self-join must broadcast")
+    // the ONLY repartitioning exchange is the final orderBy; no
+    // hash-partitioned shuffle anywhere in the operator
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bitset strategy must not hash-shuffle:\n$p")
+  }
+
+  test("feed_compact_latest rewrites to max_by under GraftExtensions") {
+    graft.catalyst.GraftExtensions.install(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.catalyst.CompactLatestRewrite
+    try {
+      val p = SparkEntry.queries("feed_compact_latest")(spark, TestSpark.sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("max_by"), s"compaction window must rewrite to max_by:\n$p")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.catalyst.CompactLatestRewrite)
+    }
+  }
+
+  test("vector ops keep the native kernels in the plan (no interpreted HOF folds)") {
+    val p = planOf("vec_knn_brute")
+    assert(p.contains("vec_sqdist"), s"kNN must use the native distance kernel:\n$p")
+    assert(!p.contains("aggregate(zip_with"), "no interpreted fold in the hot path")
+  }
+}
