@@ -12,6 +12,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
+  /** Stopword list shared by the scrub/quality operators (and inlined in
+    * their DuckDB oracles — keep the two in sync). */
+  val Stopwords: Seq[String] = Seq("a", "the", "and", "of", "to")
+
+  /** Probe a single-string-column relation's distinct values: when the
+    * dictionary fits `limit` entries, return the plan-literal map (token →
+    * dense 1-based id) and the bitset width in 64-bit words — the
+    * shuffle-free dictionary-encode used by the dense-bitset strategies.
+    * The bounded `limit+1` collect is dim-table sized by construction.
+    */
+  private[graft] def denseDictionary(tokens: DataFrame,
+                                     limit: Int = 4096): Option[(Column, Int)] = {
+    val probe = tokens.distinct().limit(limit + 1).collect().map(_.getString(0))
+    if (probe.length <= limit)
+      Some((typedLit(probe.sorted.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap),
+        (probe.length + 63) / 64))
+    else None
+  }
+
   /** Exact near-duplicate pairs by set Jaccard ≥ `tau` within groups.
     *
     * `tokens` must be an array column with DISTINCT elements (the doc's
@@ -35,19 +54,17 @@ object Curation {
     */
   def nearDupPairs(docs: DataFrame, id: Column, tokens: Column, group: Column,
                    len: Column, tau: Double, lenBand: Int = 20,
-                   denseDictLimit: Int = 4096): DataFrame = {
+                   denseDictLimit: Int = 4096,
+                   broadcastRowLimit: Long = 500000L): DataFrame = {
     val s = docs.sparkSession
     graft.catalyst.GraftExtensions.install(s)
     val docsT = docs.select(id.cast("long").as("doc_id"), group.as("grp"),
         len.cast("long").as("len"), tokens.as("tks"))
       .localCheckpoint() // feeds the vocab probe and both strategies
-    val probe = docsT.select(explode(col("tks")).as("tk")).distinct()
-      .limit(denseDictLimit + 1).collect().map(_.getString(0))
-    if (probe.length <= denseDictLimit) {
+    val dict = denseDictionary(docsT.select(explode(col("tks")).as("tk")), denseDictLimit)
+    if (dict.isDefined) {
       // ---- dense-bitset strategy: shuffle-free map-literal encode ----
-      val nWords = (probe.length + 63) / 64
-      val dictMap = typedLit(
-        probe.sorted.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+      val (dictMap, nWords) = dict.get
       val sets = docsT.select(col("doc_id"), col("grp"), col("len"),
         size(col("tks")).cast("long").as("n"),
         call_function("bitset_from_tokens", col("tks"), dictMap, lit(nWords)).as("bs"))
@@ -58,7 +75,12 @@ object Curation {
           col("len").as("c2"), col("n").as("n2"), col("bs").as("b2"))
         .withColumn("cb2", explode(array(floor(col("c2") / lenBand) - 1,
           floor(col("c2") / lenBand), floor(col("c2") / lenBand) + 1)))
-      a.join(broadcast(b), col("g1") === col("g2") && col("cb1") === col("cb2") &&
+      // broadcast only when the build side is provably bounded; a huge
+      // corpus with a small dictionary still takes the bitset verify but
+      // over a shuffled (grp, band) equi-join instead of a broadcast
+      val bounded = docsT.limit((broadcastRowLimit + 1).toInt).count() <= broadcastRowLimit
+      val bSide = if (bounded) broadcast(b) else b
+      a.join(bSide, col("g1") === col("g2") && col("cb1") === col("cb2") &&
           col("d1") < col("d2") && abs(col("c1") - col("c2")) <= lenBand &&
           col("n2") >= col("n1") * tau && col("n1") >= col("n2") * tau)
         .withColumn("shared", call_function("bitset_intersect_count", col("b1"), col("b2")))

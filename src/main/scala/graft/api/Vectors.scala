@@ -36,7 +36,8 @@ object Vectors {
     graft.catalyst.GraftExtensions.install(data.sparkSession)
     val d = data.select(id.cast("long").as("id"), vec.as("v"))
     val q = queries.select(qid.cast("long").as("qid"), qvec.as("qv"))
-    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    // null distances (null/ragged vectors) must sort LAST, not rank 1
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc_nulls_last, col("id"))
     d.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("dist", sqDist(col("v"), col("qv")))

@@ -1,5 +1,6 @@
 package graft.catalyst
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
@@ -18,15 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
 object Bitsets {
 
   /** Bitset (array of `nWords` 64-bit words) from 1-based dictionary ids.
-    * Ids outside [1, nWords*64] are ignored rather than faulting. */
+    * Ids outside [1, nWords*64] and null elements are ignored rather than
+    * faulting. */
   def fromIds(ids: ArrayData, nWords: Int): ArrayData = {
     val words = new Array[Long](nWords)
     val n = ids.numElements()
     var i = 0
     while (i < n) {
-      val id = ids.getInt(i) - 1
-      val w = id >>> 6
-      if (id >= 0 && w < nWords) words(w) |= (1L << (id & 63))
+      if (!ids.isNullAt(i)) {
+        val id = ids.getInt(i) - 1
+        val w = id >>> 6
+        if (id >= 0 && w < nWords) words(w) |= (1L << (id & 63))
+      }
       i += 1
     }
     new GenericArrayData(words)
@@ -124,6 +128,12 @@ case class BitsetFromIdsExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, int), got ${l.simpleString} and ${r.simpleString}")
+  }
+
   override protected def nullSafeEval(ids: Any, nWords: Any): Any =
     Bitsets.fromIds(ids.asInstanceOf[ArrayData], nWords.asInstanceOf[Int])
 
@@ -145,6 +155,14 @@ case class BitsetIntersectCountExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two non-null array<bigint> bitsets, got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Bitsets.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -165,6 +183,12 @@ case class WordBigramsExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
 
   override protected def nullSafeEval(text: Any): Any =
     Bitsets.wordBigrams(text.asInstanceOf[UTF8String])
@@ -188,6 +212,17 @@ case class BitsetFromTokensExpr(first: Expression, second: Expression, third: Ex
     extends TernaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), MapType(StringType, IntegerType, _), IntegerType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, FOLDABLE map<string,int>, FOLDABLE int), " +
+          s"got ${f.simpleString}, ${s.simpleString}, ${t.simpleString}" +
+          (if (!second.foldable || !third.foldable) " (non-foldable dictionary/width)" else ""))
+    }
 
   @transient private lazy val dict: java.util.HashMap[UTF8String, Integer] =
     Bitsets.hashDict(second.eval(null).asInstanceOf[MapData])
@@ -215,6 +250,12 @@ case class NgramShinglesExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int), got ${l.simpleString} and ${r.simpleString}")
+  }
 
   override protected def nullSafeEval(text: Any, n: Any): Any =
     Bitsets.ngramShingles(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])

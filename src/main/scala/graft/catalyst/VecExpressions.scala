@@ -1,5 +1,6 @@
 package graft.catalyst
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -9,8 +10,10 @@ import org.apache.spark.sql.types._
   * k-NN, near-dup, IVF ANN). Semantically identical to the in-order
   * higher-order-function folds they replace —
   * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0, +)` —
-  * including left-to-right double accumulation, so floor-canonicalized
-  * outputs stay bit-identical to the DuckDB oracle. The HOF form pays an
+  * including left-to-right double accumulation (so floor-canonicalized
+  * outputs stay bit-identical to the DuckDB oracle) AND the null contract:
+  * length-mismatched arrays and null elements yield NULL, exactly as
+  * zip_with's null padding poisons the fold. The HOF form pays an
   * interpreted lambda dispatch per element; these run as one fused loop
   * inside whole-stage codegen. Element types may be FLOAT or DOUBLE on
   * either side (embeddings are float; derived centroids are double).
@@ -18,6 +21,19 @@ import org.apache.spark.sql.types._
 abstract class VecFoldExpr extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isNumericArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isNumericArray(left.dataType) && isNumericArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -41,10 +57,12 @@ abstract class VecFoldExpr extends BinaryExpression {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(aa.numElements(), bb.numElements())
+    val n = aa.numElements()
+    if (n != bb.numElements()) return null // zip_with would pad with null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null // null poisons the fold
       acc = acc + combineEval(get(aa, ta, i), get(bb, tb, i))
       i += 1
     }
@@ -57,10 +75,16 @@ abstract class VecFoldExpr extends BinaryExpression {
       val x = access(a, elemType(left), i)
       val y = access(b, elemType(right), i)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $acc = $acc + (${combine(x, y)}); }
-         |${ev.value} = $acc;
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc = $acc + (${combine(x, y)});
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
        """.stripMargin
     })
 }

@@ -51,7 +51,7 @@ object Pipeline {
   private def bitsetShared(a: Column, b: Column): Column =
     call_function("bitset_intersect_count", a, b)
 
-  private val stopwords = Seq("a", "the", "and", "of", "to")
+  private val stopwords = graft.api.Curation.Stopwords
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH banding: 8 md5-minhashes per doc, 4 bands × 2 rows;
@@ -98,12 +98,10 @@ object Pipeline {
       // fixed-width bitset — encoded by a shuffle-free map-literal
       // projection — so every candidate verifies with a popcount fold
       // instead of a string-array intersect.
-      val probe = tok.select("tk").distinct().limit(4097).collect().map(_.getString(0))
+      val dict = graft.api.Curation.denseDictionary(tok.select("tk"))
       val verified =
-        if (probe.length <= 4096) {
-          val nWords = (probe.length + 63) / 64
-          val dictMap = typedLit(
-            probe.sorted.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+        if (dict.isDefined) {
+          val (dictMap, nWords) = dict.get
           val sets = Tables.documents(s, d)
             .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tks"))
             .select(col("doc_id"), size(col("tks")).cast("long").as("n"),
@@ -250,12 +248,10 @@ object Pipeline {
         .filter(col("rk") <= 20)
         .groupBy(col("lang").as("plang"))
         .agg(sort_array(collect_list(col("tk"))).as("profile"))
-      val probe = tok.select("tk").distinct().limit(4097).collect().map(_.getString(0))
+      val dict = graft.api.Curation.denseDictionary(tok.select("tk"))
       val scored =
-        if (probe.length <= 4096) {
-          val nWords = (probe.length + 63) / 64
-          val dictMap = typedLit(
-            probe.sorted.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+        if (dict.isDefined) {
+          val (dictMap, nWords) = dict.get
           val docs = Tables.documents(s, d)
             .select(col("doc_id"), col("lang"),
               call_function("bitset_from_tokens",

@@ -28,7 +28,7 @@ import graft.io.Tables.canon
   */
 object TrainOps {
 
-  private val stopwords = Seq("a", "the", "and", "of", "to")
+  private val stopwords = graft.api.Curation.Stopwords
 
   /** Connected components over an undirected edge list `(src, dst)`:
     * returns `(node, cluster_rep)` with the component's smallest node id
@@ -41,7 +41,10 @@ object TrainOps {
     * (at planet scale swap in large-star/small-star, same round shape).
     */
   def connectedComponents(edgesIn: DataFrame, driverLimit: Int = 1000000): DataFrame = {
+    // normalize node ids to long so both physical paths accept (and
+    // return) the same schema regardless of the caller's integer width
     val edges = edgesIn.toDF("src", "dst")
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
     // Physical strategy pick, same philosophy as the dedup operators: a
     // near-dup PAIR graph is usually orders of magnitude smaller than the
     // corpus, and when it fits the driver (≤ driverLimit edges) a single

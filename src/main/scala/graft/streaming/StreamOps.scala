@@ -43,13 +43,35 @@ object StreamOps {
     * the offset/commit WAL fsyncs every micro-batch, and for a bounded
     * test fixture that durability adds pure latency on a disk-backed
     * filesystem. A real deployment points the checkpoint at durable
-    * storage; only the fixture harness makes this trade.
+    * storage; only the fixture harness makes this trade. tmpfs survives
+    * JVM exit, so every dir is tracked and removed by a shutdown hook
+    * (checkpoints of finished memory-sink queries are deleted eagerly).
     */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private lazy val installCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach(d => deleteRecursively(d))
+    }))
+
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+
   private def scratchDir(prefix: String): String = {
+    installCleanupHook
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix).toString
-    else Files.createTempDirectory(prefix).toString
+    val dir =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, prefix).toString
+      else Files.createTempDirectory(prefix).toString
+    scratchDirs.add(dir)
+    dir
   }
 
   /** Bounded subscription-replay window for the MemoryStream fixtures:
@@ -83,8 +105,9 @@ object StreamOps {
     // stream — this scopes the fixture's choice to the streaming query.
     val old = s.conf.get("spark.sql.shuffle.partitions", "200")
     s.conf.set("spark.sql.shuffle.partitions", "1")
+    val ckpt = scratchDir(s"graft_${name}_ckpt")
     val q = df.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", scratchDir(s"graft_${name}_ckpt"))
+      .option("checkpointLocation", ckpt)
       .outputMode(mode).start()
     try {
       feed(q)
@@ -100,6 +123,7 @@ object StreamOps {
     } finally {
       q.stop()
       s.conf.set("spark.sql.shuffle.partitions", old)
+      deleteRecursively(ckpt) // memory sink holds the rows; checkpoint is done
     }
     s.table(name)
   }
@@ -113,16 +137,18 @@ object StreamOps {
     s.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val ms = MemoryStream[Ev](s)
+      val ckpt = scratchDir("graft_warmup_ckpt")
       val q = ms.toDF()
         .withColumn("ets", timestamp_micros(col("ts_us")))
         .withWatermark("ets", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream.format("memory").queryName(freshName("warmup"))
-        .option("checkpointLocation", scratchDir("graft_warmup_ckpt"))
+        .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append).start()
       ms.addData(Ev(1L, 1000000L, 1L, "t", 1.0))
       q.processAllAvailable()
       q.stop()
+      deleteRecursively(ckpt)
     } catch { case _: Throwable => () } finally {
       s.conf.set("spark.sql.shuffle.partitions", old)
     }

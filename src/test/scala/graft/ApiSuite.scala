@@ -94,6 +94,26 @@ class ApiSuite extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - math.sqrt(2)) < 1e-12)
   }
 
+  test("Vectors.knn ranks null/ragged vectors last, never as nearest") {
+    graft.catalyst.GraftExtensions.install(spark)
+    import graft.api.Vectors
+    val data = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))), (2L, Some(Seq(0.0f, 1.0f))),
+      (3L, None),                       // null vector → null distance
+      (4L, Some(Seq(2.0f)))             // ragged → null distance
+    ).toDF("vid", "emb")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "qemb")
+    val nn = Vectors.knn(data, col("vid"), col("emb"), q, col("qid"), col("qemb"), 2)
+      .collect().map(_.getLong(2)).toSeq
+    assert(nn === Seq(1L, 2L), "null-distance rows must not displace real neighbors")
+  }
+
+  test("Curation.connectedComponents accepts non-long edge columns") {
+    val got = Curation.connectedComponents(Seq((1, 2), (2, 3)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("Curation.decontaminate flags only overlapping docs") {
     val corpus = Seq((1L, "the quick brown fox jumps"),
       (2L, "completely different words here")).toDF("id", "txt")

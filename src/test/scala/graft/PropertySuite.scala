@@ -131,6 +131,15 @@ class PropertySuite extends AnyFunSuite {
       .collect().foreach { r =>
         assert(r.getSeq[String](0).sorted === r.getSeq[String](1).sorted)
       }
+    // vec folds: ragged lengths and null elements yield NULL, exactly as
+    // zip_with's null padding poisons the HOF fold
+    val ragged = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(1.0f)))),          // ragged
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))),    // null elem
+      (None, Some(Seq(Some(1.0f))))                                        // null array
+    ).toDF("a", "b")
+    ragged.selectExpr("vec_dot(a, b) AS d", "vec_sqdist(a, b) AS s")
+      .collect().foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
     // vec_dot / vec_sqdist == in-order HOF folds, bit-identical doubles
     val vecs = Seq.fill(25)((
       Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat())))
