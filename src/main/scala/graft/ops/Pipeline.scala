@@ -78,20 +78,29 @@ object Pipeline {
           (2 to 8).map(i => min(element_at(col("mhs"), i)).as(s"m$i")): _*)
         .select(col("doc_id"), col("lang"),
           array((1 to 8).map(i => col(s"m$i")): _*).as("sig"))
+      // per-doc band keys built once; each band row also carries the FULL
+      // key array so the join can require "no earlier band matched" — a
+      // pair then surfaces exactly once (at its first matching band) and
+      // the multi-million-row distinct shuffle disappears entirely.
       val bands = sig
+        .withColumn("keys", transform(sequence(lit(0), lit(3)), j => md5(concat(
+          element_at(col("sig"), j * 2 + 1), lit("|"),
+          element_at(col("sig"), j * 2 + 2)))))
         .select(col("doc_id"), col("lang"),
-          explode(sequence(lit(0), lit(3))).as("band"), col("sig"))
-        .withColumn("bandkey", md5(concat(
-          element_at(col("sig"), col("band") * 2 + 1), lit("|"),
-          element_at(col("sig"), col("band") * 2 + 2))))
+          explode(sequence(lit(0), lit(3))).as("band"), col("keys"))
+        .withColumn("bandkey", element_at(col("keys"), col("band") + 1))
         .localCheckpoint() // self-joined below: compute signatures once
       val a = bands.select(col("doc_id").as("d1"), col("lang").as("l1"),
-        col("band").as("b1"), col("bandkey").as("k1"))
+        col("band").as("b1"), col("bandkey").as("k1"), col("keys").as("ka"))
       val b = bands.select(col("doc_id").as("d2"), col("lang").as("l2"),
-        col("band").as("b2"), col("bandkey").as("k2"))
+        col("band").as("b2"), col("bandkey").as("k2"), col("keys").as("kb"))
+      val firstMatch = (col("b1") <= 0 ||
+          element_at(col("ka"), 1) =!= element_at(col("kb"), 1)) &&
+        (col("b1") <= 1 || element_at(col("ka"), 2) =!= element_at(col("kb"), 2)) &&
+        (col("b1") <= 2 || element_at(col("ka"), 3) =!= element_at(col("kb"), 3))
       val cand = a.join(b, col("l1") === col("l2") && col("b1") === col("b2") &&
-          col("k1") === col("k2") && col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
+          col("k1") === col("k2") && col("d1") < col("d2") && firstMatch)
+        .select("d1", "d2")
       // exact-Jaccard verification; the SET REPRESENTATION is adaptive on
       // the measured token-dictionary size (the LSH banding above is
       // untouched): a small dictionary turns each doc's token set into a
@@ -149,6 +158,10 @@ object Pipeline {
           (1 until 16).map(j => sum(element_at(col("votes"), j + 1)).as(s"sv$j")): _*)
         .withColumn("sim", (0 until 16).map(j =>
           when(col(s"sv$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
+      // the fingerprint determines every chunk value, so carrying `sim`
+      // lets the join require "no earlier chunk matched" — each pair
+      // surfaces exactly once (first matching chunk) and the candidate
+      // distinct shuffle disappears.
       val chunks = sims.select(col("doc_id"), col("lang"), col("sim"),
           explode(sequence(lit(0), lit(3))).as("c"))
         .withColumn("ck", expr("CAST(floor(sim / pow(2.0, c * 4)) AS BIGINT) % 16"))
@@ -157,9 +170,13 @@ object Pipeline {
         col("sim").as("s1"), col("c").as("c1"), col("ck").as("k1"))
       val b = chunks.select(col("doc_id").as("d2"), col("lang").as("l2"),
         col("sim").as("s2"), col("c").as("c2"), col("ck").as("k2"))
+      def chunkOf(sim: Column, j: Int): Column =
+        floor(sim / pow(lit(2.0), lit(j * 4))).cast("long") % 16
+      val firstMatch = (0 until 3).map(j =>
+        col("c1") <= j || chunkOf(col("s1"), j) =!= chunkOf(col("s2"), j)).reduce(_ && _)
       a.join(b, col("l1") === col("l2") && col("c1") === col("c2") &&
-          col("k1") === col("k2") && col("d1") < col("d2"))
-        .select(col("d1"), col("d2"), col("s1"), col("s2")).distinct()
+          col("k1") === col("k2") && col("d1") < col("d2") && firstMatch)
+        .select(col("d1"), col("d2"), col("s1"), col("s2"))
         .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
         .filter(col("hamming") <= 3)
         .select(col("d1"), col("d2"), col("hamming"))
