@@ -27,8 +27,11 @@ object HttpFeedClient {
   }
 
   /** GET one page after `lastEventId` (empty string = feed start,
-    * `README.md:300`); `timeoutMs > 0` requests a long poll. */
-  def fetchPage(url: String, lastEventId: String, timeoutMs: Long): Page = {
+    * `README.md:300`); `timeoutMs > 0` requests a long poll. `auth` is
+    * sent as the `Authorization` header (feeds may be Basic/Bearer
+    * protected, `README.md:321-328`). */
+  def fetchPage(url: String, lastEventId: String, timeoutMs: Long,
+                auth: Option[String] = None): Page = {
     val sep = if (url.contains("?")) "&" else "?"
     val params = new StringBuilder
     if (lastEventId.nonEmpty)
@@ -42,7 +45,13 @@ object HttpFeedClient {
     conn.setRequestMethod("GET")
     conn.setConnectTimeout(30000)
     conn.setReadTimeout((timeoutMs + 30000).toInt)
+    auth.foreach(a => conn.setRequestProperty("Authorization", a))
     try {
+      val code = conn.getResponseCode
+      if (code == 401 || code == 403)
+        throw new SecurityException(
+          s"HTTP $code from $url — the feed requires credentials " +
+            "(reference README.md:321-328); pass bearerToken or basicUser/basicPass")
       val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
       val root = mapper.readTree(body)
       val buf = new ArrayBuffer[JsonNode](root.size())
@@ -56,13 +65,14 @@ object HttpFeedClient {
     * id (or the cursor unchanged if already at head). The first request
     * long-polls, so an idle feed blocks at most `timeoutMs`. */
   def drainHead(url: String, fromId: String, timeoutMs: Long,
-                maxPages: Int = 100000, maxEvents: Int = Int.MaxValue): String = {
+                maxPages: Int = 100000, maxEvents: Int = Int.MaxValue,
+                auth: Option[String] = None): String = {
     var cursor = fromId
     var pages = 0
     var events = 0
     var first = true
     while (pages < maxPages && events < maxEvents) {
-      val page = fetchPage(url, cursor, if (first) timeoutMs else 0)
+      val page = fetchPage(url, cursor, if (first) timeoutMs else 0, auth)
       first = false
       if (page.isEmpty) return cursor
       cursor = page.lastId.getOrElse(return cursor)

@@ -45,15 +45,24 @@ class HttpFeedProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // feeds may be auth-protected (Basic/Bearer, reference README.md:321-328)
+    val auth = Option(opts.get("bearerToken")).map(t => s"Bearer $t")
+      .orElse(for {
+        u <- Option(opts.get("basicUser"))
+        p <- Option(opts.get("basicPass"))
+      } yield "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes("UTF-8")))
     new HttpFeedTable(HttpFeedOptions(
       url = Option(opts.get("url"))
         .getOrElse(throw new IllegalArgumentException("http-feed requires option 'url'")),
       timeoutMs = Option(opts.get("timeoutMs")).map(_.toLong).getOrElse(5000L),
-      startId = Option(opts.get("startId")).getOrElse("")))
+      startId = Option(opts.get("startId")).getOrElse(""),
+      auth = auth))
   }
 }
 
-case class HttpFeedOptions(url: String, timeoutMs: Long, startId: String)
+case class HttpFeedOptions(url: String, timeoutMs: Long, startId: String,
+                           auth: Option[String] = None)
 
 class HttpFeedTable(opts: HttpFeedOptions) extends Table with SupportsRead {
   override def name(): String = s"http-feed(${opts.url})"
@@ -127,14 +136,16 @@ class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
 
   /** Trigger.AvailableNow: pin the head once; batches never pass it. */
   override def prepareForTriggerAvailableNow(): Unit = {
-    val head = HttpFeedClient.drainHead(opts.url, opts.startId, opts.timeoutMs)
+    val head = HttpFeedClient.drainHead(opts.url, opts.startId, opts.timeoutMs,
+      auth = opts.auth)
     availableNowEnd = Some(HttpFeedOffset(head))
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     availableNowEnd.getOrElse {
       val from = start.asInstanceOf[HttpFeedOffset].lastEventId
-      HttpFeedOffset(HttpFeedClient.drainHead(opts.url, from, opts.timeoutMs))
+      HttpFeedOffset(HttpFeedClient.drainHead(opts.url, from, opts.timeoutMs,
+        auth = opts.auth))
     }
 
   override def latestOffset(): Offset =
@@ -144,7 +155,7 @@ class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
     val s = start.asInstanceOf[HttpFeedOffset].lastEventId
     val e = end.asInstanceOf[HttpFeedOffset].lastEventId
     if (s == e) Array.empty
-    else Array(HttpFeedInputPartition(opts.url, s, e))
+    else Array(HttpFeedInputPartition(opts.url, s, e, auth = opts.auth))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -160,16 +171,19 @@ class HttpFeedBatch(opts: HttpFeedOptions, limit: Option[Int] = None) extends Ba
     // with a pushed limit the head probe stops after `limit` events — the
     // page budget caps planning-time round-trips too
     val head = HttpFeedClient.drainHead(opts.url, opts.startId, 0,
-      maxEvents = limit.getOrElse(Int.MaxValue))
+      maxEvents = limit.getOrElse(Int.MaxValue), auth = opts.auth)
     if (head == opts.startId) Array.empty
-    else Array(HttpFeedInputPartition(opts.url, opts.startId, head, limit))
+    else Array(HttpFeedInputPartition(opts.url, opts.startId, head, limit, opts.auth))
   }
   override def createReaderFactory(): PartitionReaderFactory = new HttpFeedReaderFactory
 }
 
-/** The (startId, endId] page range one task reads (row budget optional). */
+/** The (startId, endId] page range one task reads (row budget optional;
+  * the auth header rides along to the executor — a production deployment
+  * would resolve credentials from a provider instead of the plan). */
 case class HttpFeedInputPartition(url: String, startId: String, endId: String,
-                                  limit: Option[Int] = None)
+                                  limit: Option[Int] = None,
+                                  auth: Option[String] = None)
     extends InputPartition
 
 class HttpFeedReaderFactory extends PartitionReaderFactory {
@@ -208,7 +222,7 @@ class HttpFeedPartitionReader(p: HttpFeedInputPartition)
   override def next(): Boolean = {
     if (p.limit.exists(emitted >= _)) return false // pushed-limit row budget
     while (idx >= page.length && !exhausted) {
-      val fetched = HttpFeedClient.fetchPage(p.url, cursor, 0)
+      val fetched = HttpFeedClient.fetchPage(p.url, cursor, 0, p.auth)
       if (fetched.isEmpty) { exhausted = true }
       else {
         page = fetched.events

@@ -16,7 +16,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * Spark scope (SURVEY.md §0). `append` + long-poll notify lets tests drive
   * the empty-then-data subscription sequence.
   */
-class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100) {
+class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
+                     requiredAuth: Option[String] = None) {
 
   // (id, envelopeJson), kept sorted by id (ids are the total order key)
   private var events: Vector[(String, String)] = initial.sortBy(_._1).toVector
@@ -66,6 +67,16 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100) {
 
   private def handle(ex: HttpExchange): Unit = {
     requests.incrementAndGet()
+    // protected feeds (reference README.md:321-328): reject requests
+    // whose Authorization header does not match
+    requiredAuth.foreach { expected =>
+      val got = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (!got.contains(expected)) {
+        ex.sendResponseHeaders(401, -1)
+        ex.close()
+        return
+      }
+    }
     val params = query(ex)
     val lastId = params.getOrElse("lastEventId", "")
     val timeoutMs = params.get("timeout").map(_.toLong).getOrElse(0L)

@@ -166,6 +166,33 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("auth-protected feed: Bearer/Basic honored, missing credentials rejected (README.md:321-328)") {
+    val events = (1L to 25L).map(i => envelopeJson(i, s"s$i"))
+    val bearer = new TestFeedServer(events, pageSize = 10,
+      requiredAuth = Some("Bearer sekret-token"))
+    try {
+      val ok = spark.read.format("http-feed").option("url", bearer.url)
+        .option("bearerToken", "sekret-token").load()
+      assert(ok.count() === 25)
+      val err = intercept[Exception] {
+        spark.read.format("http-feed").option("url", bearer.url).load().count()
+      }
+      def rootMessages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+      assert(rootMessages(err).exists(_.contains("401")),
+        s"missing credentials must surface a 401, got: $err")
+    } finally bearer.stop()
+
+    val basicAuth = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("alice:pw".getBytes("UTF-8"))
+    val basic = new TestFeedServer(events, pageSize = 10, requiredAuth = Some(basicAuth))
+    try {
+      val ok = spark.read.format("http-feed").option("url", basic.url)
+        .option("basicUser", "alice").option("basicPass", "pw").load()
+      assert(ok.count() === 25)
+    } finally basic.stop()
+  }
+
   test("empty feed yields an empty batch, not an error (README.md:79-82)") {
     val server = new TestFeedServer(Seq.empty, pageSize = 10)
     try {
