@@ -59,6 +59,22 @@ class ApiSuite extends AnyFunSuite {
     assert(pairs === Set((1L, 2L, 3L)))
   }
 
+  test("Curation.nearDupPairs: shuffled fallback (tiny broadcast limit) agrees with broadcast path") {
+    val docs = Seq(
+      (1L, "g", 10L, Seq("a", "b", "c", "d")),
+      (2L, "g", 11L, Seq("a", "b", "c", "e")),
+      (5L, "g", 12L, Seq("a", "b", "c", "d", "e")),
+      (9L, "h", 10L, Seq("x", "y", "z"))
+    ).toDF("id", "grp", "len", "toks")
+    def pairs(bcast: Long) = Curation.nearDupPairs(docs, col("id"), col("toks"),
+        col("grp"), col("len"), tau = 0.5, broadcastRowLimit = bcast)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBroadcast = pairs(1000000L)
+    val viaShuffle = pairs(1L) // forces the non-broadcast band equi-join
+    assert(viaShuffle === viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("Curation.sampleByHash keeps exactly the hash-selected rows") {
     val df = spark.range(1000).toDF("k")
     val sampled = Curation.sampleByHash(df, col("k"), Seq("0", "1", "2", "3"))
