@@ -260,8 +260,9 @@ object StreamOps {
           val incoming = batch.withColumn("bucket", col("user_id") % 16)
             .select(sinkCols.map(col): _*)
           val files = new java.io.File(stateDir).listFiles()
+          val hasState = files != null && files.nonEmpty
           val existing =
-            if (files == null || files.isEmpty) incoming.limit(0)
+            if (!hasState) incoming.limit(0)
             else sp.read.parquet(stateDir)
               .withColumn("bucket", col("bucket").cast("long"))
               .select(sinkCols.map(col): _*)
@@ -270,8 +271,9 @@ object StreamOps {
           val merged = existing.join(touched, Seq("bucket"), "left_semi")
             .unionByName(incoming)
             .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-            .localCheckpoint(true) // sever lineage: about to overwrite inputs
-          merged.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
+          // sever lineage only when the write overwrites files the plan reads
+          val safe = if (hasState) merged.localCheckpoint(true) else merged
+          safe.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
         } finally sp.conf.set("spark.sql.sources.partitionOverwriteMode", oldMode)
       }
 
