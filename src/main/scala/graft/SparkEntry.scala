@@ -22,6 +22,7 @@ object SparkEntry {
       (LlmOps.queries, LlmOps.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (TrainOps.queries, TrainOps.oracles),
+      (CorpusOps.queries, CorpusOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.ops.CorpusOps
+
+/** Semantic checks for the §2.12 corpus-analysis & packing operators —
+  * invariants the DuckDB hash-compare can't express (bounds, subset
+  * relations vs brute force, stream-offset continuity), recomputed
+  * independently in plain Scala over the sf0.001 fixtures.
+  */
+class CorpusOpsSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def q(name: String) = CorpusOps.queries(name)(spark, d)
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    graft.io.Tables.documents(spark, d)
+      .select("doc_id", "lang", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  private lazy val embs: Map[Long, Array[Double]] =
+    graft.io.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("pii_scrub: n_redacted equals the per-doc dictionary-token count") {
+    val dict = Set("customer", "key", "value", "table")
+    val expected = docs.map { case (id, _, text) =>
+      id -> text.split(" ", -1).count(dict)
+    }.toMap
+    val got = q("pii_scrub").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, n) => assert(n === expected(id).toLong, s"doc $id") }
+  }
+
+  test("text_repetition_stats: counts match an independent recomputation") {
+    val got = q("text_repetition_stats").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, _, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val bigs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val (nTok, nDupTok, nDupBig) = got(id)
+      assert(nTok === toks.size.toLong, s"doc $id n_tok")
+      assert(nDupTok === (toks.size - toks.distinct.size).toLong, s"doc $id dup tok")
+      assert(nDupBig === (bigs.size - bigs.distinct.size).toLong, s"doc $id dup bigram")
+    }
+  }
+
+  test("text_rarity_score: sum_df ≥ n_tok and exact on a hand-checked doc") {
+    val dfByTok = docs.flatMap { case (id, _, t) => t.split(" ", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (tk, xs) => tk -> xs.size.toLong }
+    val rows = q("text_rarity_score").collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"doc ${r.getLong(0)}: sum_df < n_tok")
+    }
+    val (id0, _, text0) = docs.minBy(_._1)
+    val expSum = text0.split(" ", -1).map(dfByTok).sum
+    val got0 = rows.find(_.getLong(0) == id0).get
+    assert(got0.getLong(2) === expSum)
+  }
+
+  test("seq_pack_chunk: per-lang stream offsets are contiguous from zero") {
+    val rows = q("seq_pack_chunk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val ordered = rs.sortBy(_._1)
+      var expectedStart = 0L
+      ordered.foreach { case (id, _, nTok, start, seqFirst, seqLast) =>
+        assert(start === expectedStart, s"$lang doc $id stream offset")
+        assert(seqFirst === start / 128, s"$lang doc $id seq_first")
+        assert(seqLast === (start + nTok - 1) / 128, s"$lang doc $id seq_last")
+        assert(seqFirst <= seqLast)
+        expectedStart += nTok
+      }
+    }
+  }
+
+  test("dedup_embedding_lsh: pairs are a subset of brute-force cosine ≥ 0.35, no duplicates") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = embs.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      if cos(embs(i), embs(j)) >= 0.35 - 1e-9
+    } yield (i, j)).toSet
+    val got = q("dedup_embedding_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length, "pair emitted at more than one band")
+    got.foreach { p => assert(brute(p), s"LSH pair $p fails exact-cosine verify") }
+    assert(got.nonEmpty, "LSH found no candidate pairs at all")
+  }
+
+  test("vec_quantize_int8: quantized values bounded, checksums recompute") {
+    val rows = q("vec_quantize_int8").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    embs.foreach { case (id, v) =>
+      val mx = math.max(v.map(math.abs).max, 1e-12)
+      val qs = v.map(x => math.floor(x * 127.0 / mx).toLong)
+      assert(qs.forall(x => x >= -127L && x <= 127L), s"vec $id out of int8 range")
+      val (_, sumQ, nSat) = rows(id)
+      assert(sumQ === qs.sum, s"vec $id sum_q")
+      assert(nSat === qs.count(x => math.abs(x) >= 127).toLong, s"vec $id n_sat")
+    }
+  }
+}
