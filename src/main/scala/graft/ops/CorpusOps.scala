@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.io.Tables.{canon, canon100}
 
@@ -33,26 +32,12 @@ object CorpusOps {
     * identically, and the oracle inlines the same pattern). */
   private val PiiPattern = "\\b(customer|key|value|table)\\b"
 
-  /** Fixed SRP hyperplane sign s(b, i) ∈ {±1} from md5 parity — the b-th
-    * plane's i-th (1-based) component; matches the oracle's
-    * `substr(md5(b || '_' || i), 1, 1) <= '7'`. */
-  private def srpSign(b: Int, i: Int): Double = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${b}_$i".getBytes("UTF-8"))
-    if (((d(0) >> 4) & 0xf) <= 7) 1.0 else -1.0
-  }
-
-  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII redaction: mask every dictionary-pattern hit, fingerprint the
     // redacted text, count the hits — map-only, no shuffle.
     "pii_scrub" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          md5(regexp_replace(col("text"), PiiPattern, "<PII>")).as("red_fp"),
-          size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0)))
-            .cast("long").as("n_redacted"))
+      graft.api.Corpus.redact(Tables.documents(s, d), col("text"), PiiPattern)
+        .select(col("doc_id"), md5(col("redacted")).as("red_fp"), col("n_redacted"))
         .orderBy("doc_id")
     }),
 
@@ -60,18 +45,10 @@ object CorpusOps {
     // duplicate tokens and duplicate word-bigrams per doc (high values ⇒
     // boilerplate/spam). Bigrams via the native word_bigrams kernel.
     "text_repetition_stats" -> ((s, d) => {
-      graft.catalyst.GraftExtensions.install(s)
-      val toks = split(col("text"), " ")
-      val bigs = call_function("word_bigrams", col("text"))
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(toks).cast("long").as("n_tok"),
-          (size(toks) - size(array_distinct(toks))).cast("long").as("n_dup_tok"),
-          (size(bigs) - size(array_distinct(bigs))).cast("long").as("n_dup_big"),
-          canon((size(toks) - size(array_distinct(toks))) * lit(1.0) / size(toks))
-            .as("dup_tok_frac_c"),
-          canon((size(bigs) - size(array_distinct(bigs))) * lit(1.0) /
-            greatest(size(bigs), lit(1))).as("dup_big_frac_c"))
+      graft.api.Corpus.repetitionStats(Tables.documents(s, d), col("text"))
+        .select(col("doc_id"), col("n_tok"), col("n_dup_tok"), col("n_dup_big"),
+          canon(col("dup_tok_frac")).as("dup_tok_frac_c"),
+          canon(col("dup_big_frac")).as("dup_big_frac_c"))
         .orderBy("doc_id")
     }),
 
@@ -79,18 +56,9 @@ object CorpusOps {
     // frequency over the doc's token instances. Integer sums all the way
     // to one final division — shuffle-merge-order independent.
     "text_rarity_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val inst = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
-      // df = docs containing the token; per-doc distinct BEFORE the count
-      // keeps the aggregate one shuffle on tk (vocabulary-sized output)
-      val df = docs
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tk"))
-        .groupBy("tk").agg(count(lit(1)).as("df"))
-      inst.join(df, "tk")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
-        .select(col("doc_id"), col("n_tok"), col("sum_df"),
-          canon100(col("sum_df") * lit(1.0) / col("n_tok")).as("mean_df_c"))
+      graft.api.Corpus.rarityScore(Tables.documents(s, d), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_tok"), col("sum_df"),
+          canon100(col("mean_df")).as("mean_df_c"))
         .orderBy("doc_id")
     }),
 
@@ -100,16 +68,13 @@ object CorpusOps {
     // sequence. The window is PARTITIONED by lang — per-stream cumsum,
     // never a global single-partition window.
     "seq_pack_chunk" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
+      graft.api.Corpus.packSequences(base, col("lang"), col("doc_id"),
+          col("n_tok"), budget = 128)
         .select(col("doc_id"), col("lang"), col("n_tok"),
-          (col("cum") - col("n_tok")).as("start_tok"),
-          floor((col("cum") - col("n_tok")) / 128).as("seq_first"),
-          floor((col("cum") - 1) / 128).as("seq_last"))
+          col("start_tok"), col("seq_first"), col("seq_last"))
         .orderBy("doc_id")
     }),
 
@@ -120,29 +85,8 @@ object CorpusOps {
     // dedup_embedding_cosine's label blocking: candidates are bounded by
     // band collisions, independent of any label column.
     "dedup_embedding_lsh" -> ((s, d) => {
-      graft.catalyst.GraftExtensions.install(s)
-      val dim = 64
-      val planes: IndexedSeq[Seq[Double]] =
-        (0 until 16).map(b => (1 to dim).map(i => srpSign(b, i)))
-      val bit = (b: Int) =>
-        when(dot(col("embedding"), typedLit(planes(b))) >= 0, lit(1L << (b % 8)))
-          .otherwise(lit(0L))
-      val sig = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          (0 until 8).map(bit).reduce(_ + _).as("band0"),
-          (8 until 16).map(bit).reduce(_ + _).as("band1"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        .localCheckpoint() // self-joined twice below: hash the planes once
-      val a = sig.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-        col("nrm").as("nrm1"), col("band0").as("b0a"), col("band1").as("b1a"))
-      val b = sig.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-        col("nrm").as("nrm2"), col("band0").as("b0b"), col("band1").as("b1b"))
-      val c0 = a.join(b, col("b0a") === col("b0b") && col("v1") < col("v2"))
-      val c1 = a.join(b, col("b1a") === col("b1b") && col("b0a") =!= col("b0b") &&
-        col("v1") < col("v2"))
-      c0.unionByName(c1)
-        .withColumn("cos", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
-        .filter(col("cos") >= 0.35)
+      graft.api.Corpus.srpLshPairs(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), dim = 64, tau = 0.35)
         .select(col("v1"), col("v2"), canon(col("cos")).as("cos_c"))
         .orderBy("v1", "v2")
     }),
@@ -151,16 +95,9 @@ object CorpusOps {
     // floor(x_i·127/maxabs) — floor, never round (determinism rule); the
     // checksums (sum of q, saturation count) are integer-exact.
     "vec_quantize_int8" -> ((s, d) => {
-      val mx = greatest(
-        array_max(transform(col("embedding"), x => abs(x.cast("double")))), lit(1e-12))
-      Tables.embeddings(s, d)
-        .withColumn("mx", mx)
-        .withColumn("qs", transform(col("embedding"),
-          x => floor(x.cast("double") * lit(127.0) / col("mx"))))
-        .select(col("vec_id"),
-          canon(col("mx")).as("maxabs_c"),
-          aggregate(col("qs"), lit(0L), (acc, q) => acc + q).as("sum_q"),
-          size(filter(col("qs"), q => abs(q) >= 127)).cast("long").as("n_sat"))
+      graft.api.Corpus.quantizeInt8(Tables.embeddings(s, d), col("embedding"))
+        .select(col("vec_id"), canon(col("maxabs")).as("maxabs_c"),
+          col("sum_q"), col("n_sat"))
         .orderBy("vec_id")
     })
   )

@@ -140,4 +140,45 @@ class ApiSuite extends AnyFunSuite {
     assert(hits.keySet === Set(1L))
     assert(hits(1L) === 1L)
   }
+
+  test("Corpus.redact masks pattern hits and counts them") {
+    val df = Seq((1L, "call 555 1234 now"), (2L, "no digits")).toDF("id", "body")
+    val got = graft.api.Corpus.redact(df, col("body"), "[0-9]+", mask = "#")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("call # # now", 2L)))
+    assert(got(2L) === (("no digits", 0L)))
+  }
+
+  test("Corpus.packSequences works on arbitrary stream/order columns") {
+    val df = Seq(("s", 1L, 100L), ("s", 2L, 50L), ("t", 3L, 200L))
+      .toDF("strm", "oid", "toks")
+    val got = graft.api.Corpus.packSequences(df, col("strm"), col("oid"),
+        col("toks"), budget = 128)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) === ((0L, 0L, 0L)))     // tokens [0,100) → seq 0
+    assert(got(2L) === ((100L, 0L, 1L)))   // [100,150) straddles seqs 0-1
+    assert(got(3L) === ((0L, 0L, 1L)))     // new stream restarts at offset 0
+  }
+
+  test("Corpus.srpLshPairs finds identical vectors regardless of labels") {
+    val v = (1 to 8).map(_.toFloat)
+    val df = Seq((10L, v), (20L, v), (30L, v.map(-_)))
+      .toDF("my_id", "my_vec")
+    val got = graft.api.Corpus.srpLshPairs(df, col("my_id"), col("my_vec"),
+        dim = 8, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical vectors share every band; the negated one shares none
+    assert(got.toSet === Set((10L, 20L)))
+    assert(got.length === 1, "pair must surface at exactly one band")
+  }
+
+  test("Corpus.quantizeInt8 bounds and checksums") {
+    val df = Seq((1L, Seq(2.0f, -1.0f, 0.5f))).toDF("id", "v")
+    val r = graft.api.Corpus.quantizeInt8(df, col("v")).collect().head
+    val qs = r.getSeq[Long](3)
+    assert(qs === Seq(127L, -64L, 31L)) // floor(x*127/2)
+    assert(r.getLong(4) === qs.sum)
+    assert(r.getLong(5) === 1L)
+  }
 }
