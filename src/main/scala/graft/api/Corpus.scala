@@ -20,10 +20,12 @@ object Corpus {
 
   /** Pattern-based redaction (PII masking): appends `redacted` (the text
     * with every regex hit replaced by `mask`) and `n_redacted` (hit
-    * count). Map-only. */
+    * count). The mask is always literal — `$`/`\` in it are not group
+    * references. Map-only. */
   def redact(df: DataFrame, text: Column, pattern: String,
              mask: String = "<PII>"): DataFrame =
-    df.withColumn("redacted", regexp_replace(text, pattern, mask))
+    df.withColumn("redacted", regexp_replace(text, pattern,
+        java.util.regex.Matcher.quoteReplacement(mask)))
       .withColumn("n_redacted",
         size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long"))
 
@@ -74,7 +76,10 @@ object Corpus {
     df.withColumn("cum", sum(nTok).over(w))
       .withColumn("start_tok", col("cum") - nTok)
       .withColumn("seq_first", floor(col("start_tok") / budget))
-      .withColumn("seq_last", floor((col("cum") - 1) / budget))
+      // a zero-token row on a budget boundary would underflow cum-1 into
+      // the previous sequence; clamp so seq_last is never < seq_first
+      .withColumn("seq_last",
+        greatest(floor((col("cum") - 1) / budget), col("seq_first")))
       .drop("cum")
   }
 
@@ -96,17 +101,20 @@ object Corpus {
   def srpLshPairs(df: DataFrame, id: Column, vec: Column, dim: Int,
                   tau: Double): DataFrame = {
     graft.catalyst.GraftExtensions.install(df.sparkSession)
-    def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
     val planes: IndexedSeq[Seq[Double]] =
       (0 until 16).map(b => (1 to dim).map(i => srpSign(b, i)))
     val bit = (b: Int) =>
-      when(dot(vec, typedLit(planes(b))) >= 0, lit(1L << (b % 8))).otherwise(lit(0L))
+      when(Vectors.dot(vec, typedLit(planes(b))) >= 0, lit(1L << (b % 8)))
+        .otherwise(lit(0L))
+    // lazy persist (not an eager localCheckpoint): signatures compute once
+    // per materialization, the plan keeps its lineage for fault recovery,
+    // and no job runs at API-call time
     val sig = df
       .select(id.cast("long").as("vid"), vec.as("v"),
         (0 until 8).map(bit).reduce(_ + _).as("band0"),
         (8 until 16).map(bit).reduce(_ + _).as("band1"),
-        sqrt(dot(vec, vec)).as("nrm"))
-      .localCheckpoint() // self-joined twice below: hash the planes once
+        Vectors.norm(vec).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("vid").as("v1"), col("v").as("e1"),
       col("nrm").as("nrm1"), col("band0").as("b0a"), col("band1").as("b1a"))
     val b = sig.select(col("vid").as("v2"), col("v").as("e2"),
@@ -115,7 +123,7 @@ object Corpus {
     val c1 = a.join(b, col("b1a") === col("b1b") && col("b0a") =!= col("b0b") &&
       col("v1") < col("v2"))
     c0.unionByName(c1)
-      .withColumn("cos", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
+      .withColumn("cos", Vectors.dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos") >= tau)
       .select(col("v1"), col("v2"), col("cos"))
   }

@@ -149,6 +149,25 @@ class ApiSuite extends AnyFunSuite {
     assert(got(2L) === (("no digits", 0L)))
   }
 
+  test("Corpus.redact treats $ and backslash in the mask as literals") {
+    val df = Seq((1L, "card 1234 here")).toDF("id", "body")
+    val got = graft.api.Corpus.redact(df, col("body"), "[0-9]+", mask = "$0\\")
+      .collect().head.getString(2)
+    assert(got === "card $0\\ here", "mask must never re-insert the matched text")
+  }
+
+  test("Corpus.packSequences never inverts the seq range on zero-token rows") {
+    val df = Seq(("s", 1L, 128L), ("s", 2L, 0L), ("s", 3L, 10L))
+      .toDF("strm", "oid", "toks")
+    val got = graft.api.Corpus.packSequences(df, col("strm"), col("oid"),
+        col("toks"), budget = 128)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (_, f2, l2) = got(2L) // empty doc exactly on the boundary
+    assert(f2 === 1L && l2 === 1L, "zero-token row must report seq_last >= seq_first")
+    assert(got(3L) === ((128L, 1L, 1L)))
+  }
+
   test("Corpus.packSequences works on arbitrary stream/order columns") {
     val df = Seq(("s", 1L, 100L), ("s", 2L, 50L), ("t", 3L, 200L))
       .toDF("strm", "oid", "toks")
