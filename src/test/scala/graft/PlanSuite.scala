@@ -72,4 +72,36 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("vec_sqdist"), s"kNN must use the native distance kernel:\n$p")
     assert(!p.contains("aggregate(zip_with"), "no interpreted fold in the hot path")
   }
+
+  test("text_rarity_score broadcasts the vocab df table with partial aggregation") {
+    val p = planOf("text_rarity_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized df table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "instances must not sort-merge against the vocab")
+    // per-doc reduction must combine map-side (two-phase hash aggregate)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregates for both df and per-doc sums:\n$p")
+  }
+
+  test("seq_pack_chunk windows are partitioned by stream (no global window)") {
+    val p = planOf("seq_pack_chunk")
+    assert(p.contains("Window ["), s"expected a window operator:\n$p")
+    assert(p.contains("partitionBy") || p.contains("hashpartitioning(lang"),
+      s"the packing cumsum must partition by the stream key:\n$p")
+  }
+
+  test("dedup_embedding_lsh joins on band keys — no cartesian, kernels native") {
+    val p = planOf("dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidates must come from band-key equi-joins:\n$p")
+    assert(p.contains("vec_dot"), s"verification must use the native dot kernel:\n$p")
+  }
+
+  test("map-only corpus ops stay exchange-free up to the output sort") {
+    for (q <- Seq("pii_scrub", "text_repetition_stats", "vec_quantize_int8")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q is per-row — it must not hash-shuffle:\n$p")
+    }
+  }
 }
