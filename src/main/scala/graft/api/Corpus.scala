@@ -83,6 +83,27 @@ object Corpus {
       .drop("cum")
   }
 
+  /** Deterministic global shuffle order: appends `shuffle_pos`, the row's
+    * 1-based position in the corpus ordered by `(md5(id), id)` — a stable
+    * pseudo-random permutation, reproducible across engines, reruns, and
+    * repartitioning (`rand()` is none of those). Scale-safe 2-pass global
+    * rank: pass 1 builds a 256-bucket histogram (the only
+    * single-partition window, over 256 rows); pass 2 adds a per-bucket
+    * row_number to the broadcast cumulative offsets — the data rows are
+    * never coalesced into one partition. */
+  def shuffleOrder(df: DataFrame, id: Column): DataFrame = {
+    val keyed = df.withColumn("skey", md5(id.cast("string")))
+      .withColumn("bkt", substring(col("skey"), 1, 2))
+    val wHist = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("cb"))
+      .withColumn("off", coalesce(sum("cb").over(wHist), lit(0L)))
+      .select("bkt", "off")
+    val wIn = Window.partitionBy("bkt").orderBy(col("skey"), id)
+    keyed.join(broadcast(offsets), "bkt")
+      .withColumn("shuffle_pos", row_number().over(wIn).cast("long") + col("off"))
+      .drop("skey", "bkt", "off")
+  }
+
   /** Fixed SRP hyperplane sign s(b, i) ∈ {±1} from md5 parity — the b-th
     * plane's i-th (1-based) component. Public so independent checkers can
     * reproduce the planes. */

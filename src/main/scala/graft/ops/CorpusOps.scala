@@ -91,6 +91,17 @@ object CorpusOps {
         .orderBy("v1", "v2")
     }),
 
+    // Deterministic corpus shuffle: the stable pseudo-random permutation
+    // a trainer consumes (shuffle-then-pack), ordered by (md5(doc_id),
+    // doc_id) via the scale-safe 2-pass global rank — the only
+    // single-partition window is over the 256-bucket histogram.
+    "corpus_shuffle_order" -> ((s, d) => {
+      graft.api.Corpus.shuffleOrder(
+          Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("doc_id")
+    }),
+
     // int8 embedding quantization: per-vector max-abs scale, q_i =
     // floor(x_i·127/maxabs) — floor, never round (determinism rule); the
     // checksums (sum of q, saturation count) are integer-exact.
@@ -181,6 +192,12 @@ object CorpusOps {
         |    JOIN nrm na ON v1 = na.vec_id JOIN nrm nb ON v2 = nb.vec_id)
         |SELECT v1, v2, CAST(floor(cos * 10000) AS BIGINT) AS cos_c
         |FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin,
+
+    "corpus_shuffle_order" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "vec_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

@@ -98,6 +98,19 @@ class CorpusOpsSuite extends AnyFunSuite {
     assert(got.nonEmpty, "LSH found no candidate pairs at all")
   }
 
+  test("corpus_shuffle_order: a stable permutation matching the md5 sort") {
+    val got = q("corpus_shuffle_order").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSeq.sorted === (1L to docs.size.toLong))
+    val expected = docs.map(_._1).sortBy(id => (md5Hex(id.toString), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got === expected, "2-pass rank must equal the direct (md5, id) sort")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("vec_quantize_int8: quantized values bounded, checksums recompute") {
     val rows = q("vec_quantize_int8").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

@@ -97,6 +97,14 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("vec_dot"), s"verification must use the native dot kernel:\n$p")
   }
 
+  test("corpus_shuffle_order ranks data rows in a bucket-partitioned window") {
+    val p = planOf("corpus_shuffle_order")
+    assert(p.contains("hashpartitioning(bkt"),
+      s"the data-side row_number must partition by bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 256-row offset table must broadcast:\n$p")
+  }
+
   test("map-only corpus ops stay exchange-free up to the output sort") {
     for (q <- Seq("pii_scrub", "text_repetition_stats", "vec_quantize_int8")) {
       val p = planOf(q)
