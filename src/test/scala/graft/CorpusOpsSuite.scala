@@ -111,6 +111,34 @@ class CorpusOpsSuite extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("map-only corpus API ops run unchanged on a stream (batch parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = docs.take(40).map { case (id, _, text) => (id, text) }
+    val ms = MemoryStream[(Long, String)](spark)
+    val streamed = graft.api.Corpus.repetitionStats(
+      graft.api.Corpus.redact(ms.toDS().toDF("id", "body"),
+        org.apache.spark.sql.functions.col("body"), "\\b(customer|key)\\b"),
+      org.apache.spark.sql.functions.col("body"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("corpus_stream_parity").outputMode("append").start()
+    try {
+      ms.addData(rows.take(15)); q.processAllAvailable()
+      ms.addData(rows.drop(15)); q.processAllAvailable()
+      val got = spark.table("corpus_stream_parity")
+        .select("id", "n_redacted", "n_tok", "n_dup_tok")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val batch = graft.api.Corpus.repetitionStats(
+        graft.api.Corpus.redact(rows.toDF("id", "body"),
+          org.apache.spark.sql.functions.col("body"), "\\b(customer|key)\\b"),
+        org.apache.spark.sql.functions.col("body"))
+        .select("id", "n_redacted", "n_tok", "n_dup_tok")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === batch, "streamed results must equal the batch formulation")
+      assert(got.size === 40)
+    } finally q.stop()
+  }
+
   test("vec_quantize_int8: quantized values bounded, checksums recompute") {
     val rows = q("vec_quantize_int8").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
