@@ -73,14 +73,16 @@ object Corpus {
                     nTok: Column, budget: Int): DataFrame = {
     val w = Window.partitionBy(stream).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum", sum(nTok).over(w))
-      .withColumn("start_tok", col("cum") - nTok)
+    // internal column gets a collision-proof name: a plain "cum" would
+    // silently clobber (and then drop) a caller column of the same name
+    df.withColumn("_graft_cum", sum(nTok).over(w))
+      .withColumn("start_tok", col("_graft_cum") - nTok)
       .withColumn("seq_first", floor(col("start_tok") / budget))
       // a zero-token row on a budget boundary would underflow cum-1 into
       // the previous sequence; clamp so seq_last is never < seq_first
       .withColumn("seq_last",
-        greatest(floor((col("cum") - 1) / budget), col("seq_first")))
-      .drop("cum")
+        greatest(floor((col("_graft_cum") - 1) / budget), col("seq_first")))
+      .drop("_graft_cum")
   }
 
   /** Deterministic global shuffle order: appends `shuffle_pos`, the row's
@@ -92,16 +94,19 @@ object Corpus {
     * row_number to the broadcast cumulative offsets — the data rows are
     * never coalesced into one partition. */
   def shuffleOrder(df: DataFrame, id: Column): DataFrame = {
-    val keyed = df.withColumn("skey", md5(id.cast("string")))
-      .withColumn("bkt", substring(col("skey"), 1, 2))
-    val wHist = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("cb"))
-      .withColumn("off", coalesce(sum("cb").over(wHist), lit(0L)))
-      .select("bkt", "off")
-    val wIn = Window.partitionBy("bkt").orderBy(col("skey"), id)
-    keyed.join(broadcast(offsets), "bkt")
-      .withColumn("shuffle_pos", row_number().over(wIn).cast("long") + col("off"))
-      .drop("skey", "bkt", "off")
+    // internal columns get collision-proof names so they can't clobber
+    // (and then drop) same-named caller columns
+    val keyed = df.withColumn("_graft_skey", md5(id.cast("string")))
+      .withColumn("_graft_bkt", substring(col("_graft_skey"), 1, 2))
+    val wHist = Window.orderBy("_graft_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("_graft_bkt").agg(count(lit(1)).as("_graft_cb"))
+      .withColumn("_graft_off", coalesce(sum("_graft_cb").over(wHist), lit(0L)))
+      .select("_graft_bkt", "_graft_off")
+    val wIn = Window.partitionBy("_graft_bkt").orderBy(col("_graft_skey"), id)
+    keyed.join(broadcast(offsets), "_graft_bkt")
+      .withColumn("shuffle_pos",
+        row_number().over(wIn).cast("long") + col("_graft_off"))
+      .drop("_graft_skey", "_graft_bkt", "_graft_off")
   }
 
   /** Fixed SRP hyperplane sign s(b, i) ∈ {±1} from md5 parity — the b-th

@@ -192,6 +192,18 @@ class ApiSuite extends AnyFunSuite {
     assert(got.length === 1, "pair must surface at exactly one band")
   }
 
+  test("Corpus internals never clobber same-named caller columns") {
+    // caller columns named like plausible internals must survive intact
+    val packed = graft.api.Corpus.packSequences(
+      Seq(("s", 1L, 10L, "keepme")).toDF("strm", "oid", "toks", "cum"),
+      col("strm"), col("oid"), col("toks"), budget = 128)
+    assert(packed.collect().head.getAs[String]("cum") === "keepme")
+    val shuffled = graft.api.Corpus.shuffleOrder(
+      Seq((1L, "keepme"), (2L, "metoo")).toDF("id", "bkt"), col("id"))
+    assert(shuffled.columns.contains("bkt"))
+    assert(shuffled.collect().map(_.getAs[String]("bkt")).toSet === Set("keepme", "metoo"))
+  }
+
   test("Corpus.quantizeInt8 bounds and checksums") {
     val df = Seq((1L, Seq(2.0f, -1.0f, 0.5f))).toDF("id", "v")
     val r = graft.api.Corpus.quantizeInt8(df, col("v")).collect().head

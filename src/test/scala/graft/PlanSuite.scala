@@ -99,7 +99,7 @@ class PlanSuite extends AnyFunSuite {
 
   test("corpus_shuffle_order ranks data rows in a bucket-partitioned window") {
     val p = planOf("corpus_shuffle_order")
-    assert(p.contains("hashpartitioning(bkt"),
+    assert(p.contains("hashpartitioning(_graft_bkt"),
       s"the data-side row_number must partition by bucket:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the 256-row offset table must broadcast:\n$p")
