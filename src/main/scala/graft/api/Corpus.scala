@@ -88,16 +88,20 @@ object Corpus {
   /** Deterministic global shuffle order: appends `shuffle_pos`, the row's
     * 1-based position in the corpus ordered by `(md5(id), id)` — a stable
     * pseudo-random permutation, reproducible across engines, reruns, and
-    * repartitioning (`rand()` is none of those). Scale-safe 2-pass global
-    * rank: pass 1 builds a 256-bucket histogram (the only
-    * single-partition window, over 256 rows); pass 2 adds a per-bucket
+    * repartitioning (`rand()` is none of those). `id` must be unique (it
+    * is the tiebreak that makes the order total). Scale-safe 2-pass
+    * global rank: pass 1 builds a bucket histogram over the first
+    * `bucketChars` hex digits of the key (the only single-partition
+    * window, over at most 16^bucketChars rows); pass 2 adds a per-bucket
     * row_number to the broadcast cumulative offsets — the data rows are
-    * never coalesced into one partition. */
-  def shuffleOrder(df: DataFrame, id: Column): DataFrame = {
+    * never coalesced into one partition. The bucketing affects only the
+    * physical plan, never the permutation, so widen `bucketChars` for
+    * more parallelism on bigger corpora (3 ⇒ 4096-way). */
+  def shuffleOrder(df: DataFrame, id: Column, bucketChars: Int = 3): DataFrame = {
     // internal columns get collision-proof names so they can't clobber
     // (and then drop) same-named caller columns
     val keyed = df.withColumn("_graft_skey", md5(id.cast("string")))
-      .withColumn("_graft_bkt", substring(col("_graft_skey"), 1, 2))
+      .withColumn("_graft_bkt", substring(col("_graft_skey"), 1, bucketChars))
     val wHist = Window.orderBy("_graft_bkt").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy("_graft_bkt").agg(count(lit(1)).as("_graft_cb"))
       .withColumn("_graft_off", coalesce(sum("_graft_cb").over(wHist), lit(0L)))
