@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Engine-wide scale invariants, swept over EVERY batch query's physical
+  * plan: no cartesian products anywhere, broadcast nested-loop joins only
+  * where one side is bounded by construction, and no data-sized relation
+  * ever passes through a single-partition (unpartitioned) window. The
+  * allowlists are the reviewed exceptions — a new operator that
+  * introduces one of these shapes fails here until it is either fixed or
+  * consciously allowed.
+  */
+class ScaleInvariantSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  /** Plans where a broadcast nested-loop join is the DESIGN: the
+    * broadcast side is bounded by construction (a one-row query vector, a
+    * ≤5-row query set, the per-label centroid table, the per-language
+    * profile table, or a single-row global count). */
+  private val bnljByDesign = Set(
+    "vec_cosine_topk",  // × 1 query row
+    "vec_knn_brute",    // × |queries| ≤ 5
+    "ann_ivf_topk",     // × per-label centroid table
+    "text_langid",      // × per-language profile table
+    "win_ntile_dense"   // × single-row global count
+  )
+
+  /** Plans where an unpartitioned window is the DESIGN: it runs over a
+    * histogram/bucket relation (|buckets| rows), never over data rows —
+    * the 2-pass global-rank pattern. */
+  private val globalWindowByDesign = Set(
+    "win_ntile_dense",      // value-range histogram
+    "corpus_mix_weights",   // (lang, length-bucket) relation
+    "corpus_shuffle_order"  // 4096-bucket key histogram
+  )
+
+  SparkEntry.queries.toSeq.sortBy(_._1)
+    .filterNot(_._1.startsWith("stream_")) // streaming fixtures return materialized results
+    .foreach { case (name, fn) =>
+      test(s"$name: no cartesian; BNLJ/global-window only by design") {
+        val plan = fn(spark, d).queryExecution.sparkPlan
+        val cart = plan.collect { case c: CartesianProductExec => c }
+        assert(cart.isEmpty, s"$name plans a cartesian product:\n$plan")
+        val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+        if (!bnljByDesign(name))
+          assert(bnlj.isEmpty,
+            s"$name plans a broadcast nested-loop join with an unbounded side:\n$plan")
+        val gw = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        if (!globalWindowByDesign(name))
+          assert(gw.isEmpty,
+            s"$name moves data rows through a single-partition window:\n$plan")
+      }
+    }
+}
