@@ -29,9 +29,33 @@ object HttpFeedClient {
   /** GET one page after `lastEventId` (empty string = feed start,
     * `README.md:300`); `timeoutMs > 0` requests a long poll. `auth` is
     * sent as the `Authorization` header (feeds may be Basic/Bearer
-    * protected, `README.md:321-328`). */
+    * protected, `README.md:321-328`).
+    *
+    * Transient failures (connection errors, HTTP 5xx, 429) are retried up
+    * to `maxAttempts` with exponential backoff — a 1000-executor job must
+    * survive a server blip without failing tasks. Auth rejections and
+    * other 4xx fail fast (retrying them can't succeed). */
   def fetchPage(url: String, lastEventId: String, timeoutMs: Long,
-                auth: Option[String] = None): Page = {
+                auth: Option[String] = None, maxAttempts: Int = 3,
+                retryBackoffMs: Long = 200L): Page = {
+    var lastErr: Throwable = null
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try return fetchOnce(url, lastEventId, timeoutMs, auth)
+      catch {
+        case e: java.io.IOException => // transient: connect/read/5xx/429
+          lastErr = e
+          if (attempt < maxAttempts)
+            Thread.sleep(retryBackoffMs * (1L << (attempt - 1)))
+      }
+    }
+    throw new java.io.IOException(
+      s"feed request failed after $maxAttempts attempts: $url", lastErr)
+  }
+
+  private def fetchOnce(url: String, lastEventId: String, timeoutMs: Long,
+                        auth: Option[String]): Page = {
     val sep = if (url.contains("?")) "&" else "?"
     val params = new StringBuilder
     if (lastEventId.nonEmpty)
@@ -52,6 +76,11 @@ object HttpFeedClient {
         throw new SecurityException(
           s"HTTP $code from $url — the feed requires credentials " +
             "(reference README.md:321-328); pass bearerToken or basicUser/basicPass")
+      if (code >= 500 || code == 429)
+        throw new java.io.IOException(s"HTTP $code from $url (transient)")
+      if (code >= 400)
+        throw new IllegalStateException(
+          s"HTTP $code from $url — non-retryable client error")
       val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
       val root = mapper.readTree(body)
       val buf = new ArrayBuffer[JsonNode](root.size())

@@ -48,6 +48,16 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
     lock.notifyAll()
   }
 
+  private val failCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var failCode = 503
+
+  /** Failure injection: the next `n` requests answer `code` with no body
+    * (for client retry tests). */
+  def failNext(n: Int, code: Int = 503): Unit = {
+    failCode = code
+    failCount.set(n)
+  }
+
   def stop(): Unit = {
     server.stop(0)
     pool.shutdownNow()
@@ -67,6 +77,11 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
 
   private def handle(ex: HttpExchange): Unit = {
     requests.incrementAndGet()
+    if (failCount.getAndUpdate(c => math.max(0, c - 1)) > 0) {
+      ex.sendResponseHeaders(failCode, -1)
+      ex.close()
+      return
+    }
     // protected feeds (reference README.md:321-328): reject requests
     // whose Authorization header does not match
     requiredAuth.foreach { expected =>

@@ -201,4 +201,42 @@ class HttpSourceSuite extends AnyFunSuite {
       assert(df.count() === 0)
     } finally server.stop()
   }
+
+  test("client retries transient 5xx with backoff and then succeeds") {
+    val events = (1L to 5L).map(i => envelopeJson(i, "s"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      server.failNext(2, code = 503)
+      val before = server.requestCount
+      val page = HttpFeedClient.fetchPage(server.url, "", 0L,
+        maxAttempts = 3, retryBackoffMs = 1)
+      assert(page.events.size === 5, "third attempt must succeed")
+      assert(server.requestCount - before === 3, "two failures + one success")
+    } finally server.stop()
+  }
+
+  test("client gives up after maxAttempts on persistent 5xx") {
+    val server = new TestFeedServer(Seq.empty, pageSize = 10)
+    try {
+      server.failNext(10, code = 500)
+      val e = intercept[java.io.IOException] {
+        HttpFeedClient.fetchPage(server.url, "", 0L,
+          maxAttempts = 3, retryBackoffMs = 1)
+      }
+      assert(e.getMessage.contains("after 3 attempts"))
+    } finally server.stop()
+  }
+
+  test("client fails fast on non-retryable 4xx (no wasted retries)") {
+    val server = new TestFeedServer(Seq.empty, pageSize = 10)
+    try {
+      server.failNext(10, code = 404)
+      val before = server.requestCount
+      intercept[IllegalStateException] {
+        HttpFeedClient.fetchPage(server.url, "", 0L,
+          maxAttempts = 3, retryBackoffMs = 1)
+      }
+      assert(server.requestCount - before === 1, "4xx must not be retried")
+    } finally server.stop()
+  }
 }
