@@ -40,7 +40,9 @@ object Bench {
         .collect()
       graft.streaming.StreamOps.warmup(spark)
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // verifyOnly keys are forced-strategy duplicates for the oracle gate;
+    // their semantics are already timed under their canonical key
+    val results = (SparkEntry.queries -- SparkEntry.verifyOnly).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

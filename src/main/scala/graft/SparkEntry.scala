@@ -38,6 +38,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(_._1).reduce(_ ++ _)
 
+  /** Oracle-checked but excluded from the bench headline: forced-strategy
+    * duplicates whose semantics another query already times (benching the
+    * deliberately suboptimal plan for this corpus measures nothing new). */
+  val verifyOnly: Set[String] = Set("dedup_ngram_jaccard_prefix")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

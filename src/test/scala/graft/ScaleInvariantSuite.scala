@@ -34,7 +34,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
   private val globalWindowByDesign = Set(
     "win_ntile_dense",      // value-range histogram
     "corpus_mix_weights",   // (lang, length-bucket) relation
-    "corpus_shuffle_order"  // 4096-bucket key histogram
+    "corpus_shuffle_order", // 4096-bucket key histogram
+    "dedup_ngram_jaccard_prefix" // vocabulary-sized dictionary-encode rank
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1)
