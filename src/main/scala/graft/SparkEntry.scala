@@ -41,7 +41,11 @@ object SparkEntry {
   /** Oracle-checked but excluded from the bench headline: forced-strategy
     * duplicates whose semantics another query already times (benching the
     * deliberately suboptimal plan for this corpus measures nothing new). */
-  val verifyOnly: Set[String] = Set("dedup_ngram_jaccard_prefix")
+  val verifyOnly: Set[String] = Set(
+    "dedup_ngram_jaccard_prefix",  // forced All-Pairs prefix + PPJoin path
+    "dedup_ngram_jaccard_shuffle", // forced non-broadcast (shuffled) bitset join
+    "dedup_cluster_cc_dist"        // forced distributed hook+compress CC
+  )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

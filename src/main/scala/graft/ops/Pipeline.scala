@@ -222,6 +222,23 @@ object Pipeline {
         .orderBy("d1", "d2")
     }),
 
+    // The dense-bitset strategy with the broadcast DISABLED
+    // (broadcastRowLimit = 0): the blocked self-join becomes a shuffled
+    // (group, length-band) equi-join — the physical shape a huge corpus
+    // with a small dictionary takes. Verification-only, same oracle.
+    "dedup_ngram_jaccard_shuffle" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val docsG = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          call_function("ngram_shingles", col("text"), lit(5)).as("gs"))
+      graft.api.Curation.nearDupPairs(docsG, col("doc_id"), col("gs"),
+          col("lang"), col("n_chars"), tau = 0.7, broadcastRowLimit = 0L)
+        .withColumn("jac", col("shared") * lit(1.0) /
+          (col("n1") + col("n2") - col("shared")))
+        .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
+        .orderBy("d1", "d2")
+    }),
+
     // Embedding-cosine near-dup: same-label blocking (the IVF cell doubles
     // as the blocking key), pairs with cosine ≥ 0.35. Norms are computed
     // ONCE per vector and joined in — the pair stage folds only the dot
@@ -423,6 +440,21 @@ object Pipeline {
 
     // identical semantics ⇒ identical oracle; only the Spark-side
     // physical strategy differs
+    "dedup_ngram_jaccard_shuffle" ->
+      """WITH g AS (SELECT doc_id, lang, n_chars,
+        |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substr(text, i, 5))) AS gs
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |        len(list_intersect(a.gs, b.gs)) AS shared,
+        |        len(a.gs) AS n1, len(b.gs) AS n2
+        |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |        AND abs(a.n_chars - b.n_chars) <= 20)
+        |SELECT d1, d2,
+        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
+        |FROM p WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7
+        |ORDER BY d1, d2""".stripMargin,
+
     "dedup_ngram_jaccard_prefix" ->
       """WITH g AS (SELECT doc_id, lang, n_chars,
         |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),

@@ -149,6 +149,18 @@ object TrainOps {
         .orderBy("doc_id")
     }),
 
+    // Duplicate clustering with the driver union-find DISABLED
+    // (driverLimit = 0): forces the distributed hook + pointer-jumping
+    // rounds — the physical path a planet-scale pair graph takes — under
+    // the same recursive-CTE oracle. Verification-only.
+    "dedup_cluster_cc_dist" -> ((s, d) => {
+      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      connectedComponents(pairs, driverLimit = 0)
+        .select(col("node").as("doc_id"), col("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     // The full curation pipeline as ONE composed query — what an adopter
     // actually runs: stopword scrub → exact dedup on the scrubbed
     // fingerprint (keep smallest doc_id) → quality filter (≥ 20 tokens) →
@@ -225,6 +237,29 @@ object TrainOps {
         |SELECT corp.doc_id, count(DISTINCT bdoc) AS n_bench_hits
         |FROM corp JOIN bench USING (g)
         |GROUP BY corp.doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical semantics ⇒ identical oracle; only the Spark-side
+    // physical path (distributed hook+compress) differs
+    "dedup_cluster_cc_dist" ->
+      """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+        |      i -> substr(text, i, 5))) AS gs
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |        len(list_intersect(a.gs, b.gs)) AS shared,
+        |        len(a.gs) AS n1, len(b.gs) AS n2
+        |      FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |        AND abs(a.n_chars - b.n_chars) <= 20),
+        |pairs AS (SELECT d1, d2 FROM p
+        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |r(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src)
+        |SELECT node AS doc_id, min(lbl) AS cluster_rep
+        |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_cc" ->
       """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
