@@ -44,8 +44,10 @@ object Bench {
     // their semantics are already timed under their canonical key
     val results = (SparkEntry.queries -- SparkEntry.verifyOnly).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable => System.err.println(s"BENCH_FAIL $name: $e"); false }
+      // a crashed query must not masquerade as a fast success: -1 marks it
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full contract line (every query), also persisted to a file: the

@@ -99,8 +99,12 @@ object Corpus {
     * more parallelism on bigger corpora (3 ⇒ 4096-way). */
   def shuffleOrder(df: DataFrame, id: Column, bucketChars: Int = 3): DataFrame = {
     // internal columns get collision-proof names so they can't clobber
-    // (and then drop) same-named caller columns
-    val keyed = df.withColumn("_graft_skey", md5(id.cast("string")))
+    // (and then drop) same-named caller columns. Null ids are excluded UP
+    // FRONT so the histogram and the bucket join see the same rows — a
+    // null key would be counted into every cumulative offset but never
+    // match the equi-join, shifting all positions and losing position 1.
+    val keyed = df.filter(id.isNotNull)
+      .withColumn("_graft_skey", md5(id.cast("string")))
       .withColumn("_graft_bkt", substring(col("_graft_skey"), 1, bucketChars))
     val wHist = Window.orderBy("_graft_bkt").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy("_graft_bkt").agg(count(lit(1)).as("_graft_cb"))
@@ -136,15 +140,18 @@ object Corpus {
     val bit = (b: Int) =>
       when(Vectors.dot(vec, typedLit(planes(b))) >= 0, lit(1L << (b % 8)))
         .otherwise(lit(0L))
-    // lazy persist (not an eager localCheckpoint): signatures compute once
-    // per materialization, the plan keeps its lineage for fault recovery,
-    // and no job runs at API-call time
+    // LAZY localCheckpoint: no job runs at API-call time, signatures
+    // compute once per materialization, and — unlike persist(), whose
+    // CacheManager entry lives until an explicit unpersist the lazy API
+    // has no hook for — the checkpoint blocks are reclaimed by the
+    // ContextCleaner once the plan is unreferenced. The traded-away
+    // lineage only matters for recomputing ephemeral signatures.
     val sig = df
       .select(id.cast("long").as("vid"), vec.as("v"),
         (0 until 8).map(bit).reduce(_ + _).as("band0"),
         (8 until 16).map(bit).reduce(_ + _).as("band1"),
         Vectors.norm(vec).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val a = sig.select(col("vid").as("v1"), col("v").as("e1"),
       col("nrm").as("nrm1"), col("band0").as("b0a"), col("band1").as("b1a"))
     val b = sig.select(col("vid").as("v2"), col("v").as("e2"),

@@ -94,7 +94,7 @@ object CorpusOps {
     // Deterministic corpus shuffle: the stable pseudo-random permutation
     // a trainer consumes (shuffle-then-pack), ordered by (md5(doc_id),
     // doc_id) via the scale-safe 2-pass global rank — the only
-    // single-partition window is over the 256-bucket histogram.
+    // single-partition window is over the 4096-bucket histogram.
     "corpus_shuffle_order" -> ((s, d) => {
       graft.api.Corpus.shuffleOrder(
           Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
@@ -157,7 +157,8 @@ object CorpusOps {
         |SELECT doc_id, lang, n_tok,
         |  cum - n_tok AS start_tok,
         |  CAST(floor((cum - n_tok) / 128) AS BIGINT) AS seq_first,
-        |  CAST(floor((cum - 1) / 128) AS BIGINT) AS seq_last
+        |  greatest(CAST(floor((cum - 1) / 128) AS BIGINT),
+        |    CAST(floor((cum - n_tok) / 128) AS BIGINT)) AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_lsh" ->

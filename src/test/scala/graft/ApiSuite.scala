@@ -204,6 +204,14 @@ class ApiSuite extends AnyFunSuite {
     assert(shuffled.collect().map(_.getAs[String]("bkt")).toSet === Set("keepme", "metoo"))
   }
 
+  test("Corpus.shuffleOrder excludes null ids and still yields positions 1..N") {
+    val df = Seq(Some(10L), None, Some(20L), Some(30L))
+      .toDF("id")
+    val got = graft.api.Corpus.shuffleOrder(df, col("id"))
+      .collect().map(_.getLong(1)).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L), "positions must be contiguous from 1")
+  }
+
   test("Corpus.quantizeInt8 bounds and checksums") {
     val df = Seq((1L, Seq(2.0f, -1.0f, 0.5f))).toDF("id", "v")
     val r = graft.api.Corpus.quantizeInt8(df, col("v")).collect().head

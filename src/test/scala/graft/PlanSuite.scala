@@ -102,7 +102,7 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("hashpartitioning(_graft_bkt"),
       s"the data-side row_number must partition by bucket:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"the 256-row offset table must broadcast:\n$p")
+      s"the bucket offset table must broadcast:\n$p")
   }
 
   test("map-only corpus ops stay exchange-free up to the output sort") {

@@ -38,8 +38,18 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "dedup_ngram_jaccard_prefix" // vocabulary-sized dictionary-encode rank
   )
 
+  /** Queries whose heavy work happens eagerly at DataFrame-construction
+    * time (driver union-find / hook+compress over localCheckpoints), so
+    * the returned plan is just a scan of materialized results — sweeping
+    * it would assert nothing about the real computation while paying its
+    * full execution cost. Their plan-shape guarantees live in the
+    * operators they compose (dedup_ngram_jaccard) and TrainOpsSuite. */
+  private val eagerlyMaterialized =
+    Set("dedup_cluster_cc", "dedup_cluster_cc_dist", "curation_pipeline_e2e")
+
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("stream_")) // streaming fixtures return materialized results
+    .filterNot { case (n, _) => eagerlyMaterialized(n) }
     .foreach { case (name, fn) =>
       test(s"$name: no cartesian; BNLJ/global-window only by design") {
         val plan = fn(spark, d).queryExecution.sparkPlan
