@@ -23,6 +23,7 @@ object SparkEntry {
       (Pipeline.queries, Pipeline.oracles),
       (TrainOps.queries, TrainOps.oracles),
       (CorpusOps.queries, CorpusOps.oracles),
+      (StatsOps.queries, StatsOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,93 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic-sketch API: a count-min sketch (heavy-hitter frequency
+  * estimation in fixed memory) and a Bloom filter (existence pruning for
+  * joins), both built from md5-derived hash positions so Spark and any
+  * independent checker (e.g. a SQL engine) compute bit-identical sketches.
+  *
+  * Scale shapes:
+  *  - sketch CONSTRUCTION pre-aggregates per item first (one map-side-
+  *    combinable shuffle carrying one row per distinct item), then folds
+  *    the vocabulary-sized count table into the fixed `depth × width`
+  *    cell grid — the sketch size is independent of data volume, which is
+  *    the entire point at 100 TB;
+  *  - cell grids and bit sets are tiny (≤ depth·16^width rows) and always
+  *    broadcast to probes;
+  *  - estimates never underestimate (count-min guarantee); Bloom probes
+  *    never produce false negatives — both properties are tested.
+  */
+object Sketches {
+
+  private def bucket(seed: Column, item: Column, hexChars: Int): Column =
+    substring(md5(concat(seed.cast("string"), lit(":"), item.cast("string"))),
+      1, hexChars)
+
+  private def seeds(n: Int): Column = explode(sequence(lit(0), lit(n - 1)))
+
+  /** Count-min cell grid from a per-item count table `(item, cnt)`:
+    * `depth` hash rows × `16^widthHexChars` buckets; cell = Σ cnt of items
+    * hashing there. Mergeable across shards by cellwise addition. */
+  def cmsCells(counts: DataFrame, item: Column, cnt: Column, depth: Int = 4,
+               widthHexChars: Int = 2): DataFrame =
+    counts.select(item.as("_graft_item"), cnt.as("_graft_cnt"))
+      .withColumn("_graft_seed", seeds(depth))
+      .withColumn("_graft_bucket",
+        bucket(col("_graft_seed"), col("_graft_item"), widthHexChars))
+      .groupBy("_graft_seed", "_graft_bucket")
+      .agg(sum(col("_graft_cnt")).as("cell"))
+
+  /** Count-min estimates for every distinct `item` in `df`, next to the
+    * exact count: returns `(item, exact, est)` with `est ≥ exact` always
+    * (the count-min one-sided error guarantee). The heavy lifting is the
+    * single per-item count aggregate; the grid join is broadcast. */
+  def countMin(df: DataFrame, item: Column, depth: Int = 4,
+               widthHexChars: Int = 2): DataFrame = {
+    val counts = df.select(item.as("_graft_item"))
+      .groupBy("_graft_item").agg(count(lit(1)).as("_graft_cnt"))
+    val cells = cmsCells(counts, col("_graft_item"), col("_graft_cnt"),
+      depth, widthHexChars)
+    counts
+      .withColumn("_graft_seed", seeds(depth))
+      .withColumn("_graft_bucket",
+        bucket(col("_graft_seed"), col("_graft_item"), widthHexChars))
+      .join(broadcast(cells), Seq("_graft_seed", "_graft_bucket"))
+      .groupBy("_graft_item")
+      .agg(max(col("_graft_cnt")).as("exact"), min(col("cell")).as("est"))
+      .withColumnRenamed("_graft_item", "item")
+  }
+
+  /** Bloom bit set of `build`'s keys: the distinct `(seed, slot)` pairs
+    * occupied by `k` md5-derived positions per key in a `16^slotHexChars`-
+    * slot space. At most `k·16^slotHexChars` rows regardless of build
+    * size — always broadcastable. */
+  def bloomBits(build: DataFrame, key: Column, k: Int = 3,
+                slotHexChars: Int = 3): DataFrame =
+    build.select(key.cast("string").as("_graft_k"))
+      .withColumn("_graft_seed", seeds(k))
+      .select(col("_graft_seed"),
+        bucket(col("_graft_seed"), col("_graft_k"), slotHexChars)
+          .as("_graft_slot"))
+      .distinct()
+
+  /** Probe `probe`'s `key` against a Bloom bit set: appends `bloom_pass`
+    * (all `k` positions occupied — no false negatives by construction;
+    * false positives at the filter's designed rate). Membership is
+    * computed once per DISTINCT key, then joined back (a key-partitioned
+    * shuffle join at scale; the bit-set side is broadcast). */
+  def bloomProbe(probe: DataFrame, key: Column, bits: DataFrame, k: Int = 3,
+                 slotHexChars: Int = 3): DataFrame = {
+    val marked = probe.select(key.cast("string").as("_graft_k")).distinct()
+      .withColumn("_graft_seed", seeds(k))
+      .withColumn("_graft_slot",
+        bucket(col("_graft_seed"), col("_graft_k"), slotHexChars))
+      .join(broadcast(bits.withColumn("_graft_hit", lit(1L))),
+        Seq("_graft_seed", "_graft_slot"), "left")
+      .groupBy("_graft_k")
+      .agg((sum(coalesce(col("_graft_hit"), lit(0L))) === k).as("bloom_pass"))
+    probe.join(marked, key.cast("string") === col("_graft_k"), "left")
+      .drop("_graft_k")
+  }
+}

@@ -1,0 +1,328 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{Layout, Relevance, Sketches}
+import graft.io.Tables
+import graft.io.Tables.canon
+
+/** §2.13 relevance, sketch & layout operators — ranking (TF-IDF / BM25),
+  * a bigram-LM quality scorer, fixed-memory sketches (count-min heavy
+  * hitters, Bloom-filter join pruning), one k-means Lloyd step over the
+  * embeddings, Z-order layout statistics, and a skew-salted join. All
+  * oracle-checked; every hash ingredient is md5-derived so both engines
+  * compute identical buckets, and every float pipeline is fixed-order
+  * arithmetic (per-term sums are written out in query order; per-instance
+  * log-probs and distances are floor-quantized BEFORE integer summation,
+  * so no result depends on shuffle merge order).
+  *
+  * Scale shapes:
+  *  - ranking: one conditional aggregate per doc + a single broadcast
+  *    stats row — no per-row subqueries;
+  *  - sketches: construction pre-aggregates per item (map-side
+  *    combinable), then folds the vocab-sized table into a fixed grid;
+  *    grids/bit-sets are broadcast to probes;
+  *  - k-means: centroids broadcast (nested-loop ×k per row), assignment
+  *    reduced by a min(struct) aggregate — one shuffle carrying one row
+  *    per vector;
+  *  - Z-order: map-only value computation + one chunk aggregate;
+  *  - salted join: the fact side never converges on a hot key's single
+  *    reducer — [[graft.api.Layout.saltedJoin]].
+  */
+object StatsOps {
+
+  /** Query terms for the ranking fixtures (high-df corpus tokens). */
+  private val Terms = Seq("join", "hash", "filter")
+
+  /** BM25 parameters — dyadic rationals on purpose: 1.25, 0.75, 0.25 and
+    * 2.25 are exact in binary AND in decimal, so Spark double literals
+    * and DuckDB decimal literals converge to identical values. */
+  private val K1 = 1.25
+  private val B = 0.75
+
+  /** Bloom-filter build-side predicate (top ~2% of orders). */
+  private val BloomPriceMin = 490000.0
+
+  /** Z-order term SQL, mirrored exactly by [[graft.api.Layout.zValue]]:
+    * fixed-order sum over bit positions of both coordinates. */
+  private def zTermsSql(xe: String, ye: String, bits: Int = 8): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"(CAST(floor($xe / CAST($p AS DOUBLE)) AS BIGINT) % 2) * ${1L << (2 * i + 1)} + " +
+        s"(CAST(floor($ye / CAST($p AS DOUBLE)) AS BIGINT) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TF-IDF ranking against a fixed query-term set: top-20 docs by
+    // Σ tf·ln(N/df), fixed-order per-term sum, canon'd score.
+    "rank_tfidf" -> ((s, d) => {
+      Relevance.tfIdf(Tables.documents(s, d), col("doc_id"), col("text"), Terms)
+        .select(col("id").as("doc_id"), col("dl"),
+          col("tf_0"), col("tf_1"), col("tf_2"),
+          canon(col("score")).as("score_c"))
+        .orderBy(desc("score_c"), col("doc_id")).limit(20)
+    }),
+
+    // BM25 ranking, same query terms: doc-length normalization against
+    // the corpus avgdl (k1=1.25, b=0.75 — dyadic, engine-portable).
+    "rank_bm25" -> ((s, d) => {
+      Relevance.bm25(Tables.documents(s, d), col("doc_id"), col("text"),
+          Terms, k1 = K1, b = B)
+        .select(col("id").as("doc_id"), col("dl"),
+          canon(col("score")).as("score_c"))
+        .orderBy(desc("score_c"), col("doc_id")).limit(20)
+    }),
+
+    // Count-min heavy hitters over token instances: 4 md5 hash rows × 256
+    // buckets; est = min over rows of the landed cell; est ≥ exact always.
+    "heavy_hitters_cms" -> ((s, d) => {
+      val inst = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tk"))
+      Sketches.countMin(inst, col("tk"))
+        .select(col("item").as("tk"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy(desc("exact"), col("tk")).limit(20)
+    }),
+
+    // Bloom-filter join pruning: build a 3-hash/4096-slot filter over the
+    // big-spender custkeys, probe every customer, and report per nation
+    // how many probe rows the filter passes vs truly match (the false
+    // positives a runtime filter would send to the real join).
+    "join_bloom_prune" -> ((s, d) => {
+      val bkeys = Tables.orders(s, d)
+        .filter(col("o_totalprice") > BloomPriceMin)
+        .select(col("o_custkey").as("bk")).distinct()
+      val bits = Sketches.bloomBits(bkeys, col("bk"))
+      Sketches.bloomProbe(Tables.customer(s, d), col("c_custkey"), bits)
+        .join(bkeys.withColumn("in_build", lit(1L)),
+          col("c_custkey") === col("bk"), "left")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("in_build").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("bloom_pass") && col("in_build").isNull, 1L)
+            .otherwise(0L)).as("n_fp"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Bigram-LM quality scoring (per-language add-one model trained on
+    // the corpus itself): per-doc sum/mean of floor-quantized log-probs.
+    "lm_score_bigram" -> ((s, d) => {
+      Relevance.bigramLmScore(Tables.documents(s, d), col("doc_id"),
+          col("lang"), col("text"))
+        .select(col("id").as("doc_id"), col("group").as("lang"),
+          col("n_big"), col("sum_lp_c").cast("long").as("sum_lp_c"),
+          col("mean_lp_c"))
+        .orderBy("doc_id")
+    }),
+
+    // One k-means Lloyd step on the embeddings (centroids = vec_id < 8):
+    // nearest-centroid assignment via min(struct(sqdist, cid)) — FP ties
+    // break on cid identically in both engines — then per-cluster size,
+    // floor-quantized within-cluster squared distance, and an integer
+    // member-component checksum.
+    "kmeans_assign_step" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val sqd = call_function("vec_sqdist", col("embedding"), col("cvec"))
+      val best = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(sqd.as("sqd"), col("cid").as("cid")).as("w"))
+        .groupBy("vec_id").agg(min(col("w")).as("w"))
+        .select(col("vec_id"), col("w.cid").as("cid"), col("w.sqd").as("sqd"))
+      best.join(emb, "vec_id")
+        .withColumn("comp_c",
+          aggregate(transform(col("embedding"),
+              x => floor(x.cast("double") * lit(10000.0))),
+            lit(0L), (a, q) => a + q))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("sqd") * lit(10000.0))).cast("long").as("ssd_c"),
+          sum(col("comp_c")).as("sum_comp_c"))
+        .orderBy("cid")
+    }),
+
+    // Z-order layout statistics: bucket (l_partkey, l_suppkey) to 8 bits
+    // each, Morton-interleave, cut the 16-bit Z space into 1024 chunks,
+    // and report each chunk's min/max key ranges — the parquet footer
+    // stats a Z-sorted 100 TB layout would prune scans with.
+    "zorder_layout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+      val mx = li.agg(max("l_partkey").as("mp"), max("l_suppkey").as("ms"))
+      li.crossJoin(broadcast(mx))
+        .withColumn("x",
+          floor(col("l_partkey") * lit(256.0) / (col("mp") + 1)).cast("long"))
+        .withColumn("y",
+          floor(col("l_suppkey") * lit(256.0) / (col("ms") + 1)).cast("long"))
+        .withColumn("zval", Layout.zValue(col("x"), col("y")))
+        .groupBy(floor(col("zval") / lit(64.0)).cast("long").as("chunk"))
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+        .orderBy("chunk")
+    }),
+
+    // Skew-salted enrichment join: events ⋈ customer on user_id with an
+    // 8-way fact-side salt and a replicated dimension — byte-identical to
+    // the plain join (the oracle is the unsalted SQL), but no hot user
+    // ever lands its rows on a single reducer.
+    "join_skew_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Layout.saltedJoin(ev, cust, "user_id", col("event_id"), nSalts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(floor(col("value") * lit(10000.0))).cast("long").as("rev_c"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "rank_tfidf" ->
+      s"""WITH d0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |tfs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf_0,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf_1,
+        |    CAST(len(list_filter(toks, x -> x = 'filter')) AS BIGINT) AS tf_2
+        |  FROM d0),
+        |st AS (SELECT count(*) AS nn,
+        |    sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN list_contains(toks, 'filter') THEN 1 ELSE 0 END) AS df_2
+        |  FROM d0)
+        |SELECT doc_id, dl, tf_0, tf_1, tf_2,
+        |  CAST(floor((
+        |    (CASE WHEN tf_0 > 0 THEN tf_0 * ln(CAST(nn AS DOUBLE) / df_0) ELSE 0 END) +
+        |    (CASE WHEN tf_1 > 0 THEN tf_1 * ln(CAST(nn AS DOUBLE) / df_1) ELSE 0 END) +
+        |    (CASE WHEN tf_2 > 0 THEN tf_2 * ln(CAST(nn AS DOUBLE) / df_2) ELSE 0 END)
+        |  ) * 10000) AS BIGINT) AS score_c
+        |FROM tfs CROSS JOIN st
+        |ORDER BY score_c DESC, doc_id LIMIT 20""".stripMargin,
+
+    "rank_bm25" ->
+      s"""WITH d0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |tfs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf_0,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf_1,
+        |    CAST(len(list_filter(toks, x -> x = 'filter')) AS BIGINT) AS tf_2
+        |  FROM d0),
+        |st AS (SELECT count(*) AS nn, sum(len(toks)) AS sumdl,
+        |    sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN list_contains(toks, 'filter') THEN 1 ELSE 0 END) AS df_2
+        |  FROM d0)
+        |SELECT doc_id, dl,
+        |  CAST(floor((
+        |    ln((nn - df_0 + 0.5) / CAST(df_0 + 0.5 AS DOUBLE) + 1.0) * (tf_0 * 2.25) /
+        |      (tf_0 + 1.25 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))) +
+        |    ln((nn - df_1 + 0.5) / CAST(df_1 + 0.5 AS DOUBLE) + 1.0) * (tf_1 * 2.25) /
+        |      (tf_1 + 1.25 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))) +
+        |    ln((nn - df_2 + 0.5) / CAST(df_2 + 0.5 AS DOUBLE) + 1.0) * (tf_2 * 2.25) /
+        |      (tf_2 + 1.25 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn)))
+        |  ) * 10000) AS BIGINT) AS score_c
+        |FROM tfs CROSS JOIN st
+        |ORDER BY score_c DESC, doc_id LIMIT 20""".stripMargin,
+
+    "heavy_hitters_cms" ->
+      """WITH inst AS (SELECT unnest(str_split(text, ' ')) AS tk FROM documents),
+        |tc AS (SELECT tk, count(*) AS c FROM inst GROUP BY tk),
+        |g AS (SELECT tc.tk, tc.c, t.s,
+        |    substr(md5(CAST(t.s AS VARCHAR) || ':' || tk), 1, 2) AS b
+        |  FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) t),
+        |cells AS (SELECT s, b, sum(c) AS cell FROM g GROUP BY s, b),
+        |est AS (SELECT g.tk, g.c, min(cells.cell) AS est
+        |  FROM g JOIN cells ON g.s = cells.s AND g.b = cells.b
+        |  GROUP BY g.tk, g.c)
+        |SELECT tk, CAST(c AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+        |  CAST(est - c AS BIGINT) AS overcount
+        |FROM est ORDER BY exact DESC, tk LIMIT 20""".stripMargin,
+
+    "join_bloom_prune" ->
+      s"""WITH bk AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |    WHERE o_totalprice > $BloomPriceMin),
+        |bits AS (SELECT DISTINCT t.s,
+        |    substr(md5(CAST(t.s AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 3) AS slot
+        |  FROM bk CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS s) t),
+        |probe AS (SELECT c_custkey, c_nationkey,
+        |    (SELECT count(*) FROM (SELECT unnest(generate_series(0, 2)) AS s) t
+        |      JOIN bits ON bits.s = t.s AND bits.slot =
+        |        substr(md5(CAST(t.s AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 3)
+        |    ) = 3 AS pass,
+        |    EXISTS (SELECT 1 FROM bk WHERE k = c_custkey) AS tru
+        |  FROM customer)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+        |FROM probe GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "lm_score_bigram" ->
+      """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS b
+        |  FROM t),
+        |uni AS (SELECT lang, unnest(toks) AS w FROM t),
+        |cu AS (SELECT lang, w, count(*) AS c FROM uni GROUP BY lang, w),
+        |vb AS (SELECT lang, count(DISTINCT w) AS v FROM uni GROUP BY lang),
+        |sc AS (SELECT bi.doc_id, bi.lang,
+        |    CAST(floor(ln(CAST(cb.c + 1 AS DOUBLE) / (cu.c + vb.v)) * 10000)
+        |      AS BIGINT) AS lp
+        |  FROM bi
+        |    JOIN (SELECT lang, b, count(*) AS c FROM bi GROUP BY lang, b) cb
+        |      ON bi.lang = cb.lang AND bi.b = cb.b
+        |    JOIN cu ON bi.lang = cu.lang AND str_split(bi.b, ' ')[1] = cu.w
+        |    JOIN vb ON bi.lang = vb.lang)
+        |SELECT doc_id, any_value(lang) AS lang, count(*) AS n_big,
+        |  CAST(sum(lp) AS BIGINT) AS sum_lp_c,
+        |  CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT) AS mean_lp_c
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "kmeans_assign_step" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |    WHERE vec_id < 8),
+        |a AS (SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+        |           (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))),
+        |      (x, y) -> x + y) AS sqd
+        |  FROM embeddings e CROSS JOIN c),
+        |m AS (SELECT vec_id, min(sqd) AS msqd FROM a GROUP BY vec_id),
+        |pick AS (SELECT a.vec_id, min(a.cid) AS cid, min(a.sqd) AS sqd
+        |  FROM a JOIN m ON a.vec_id = m.vec_id AND a.sqd = m.msqd
+        |  GROUP BY a.vec_id)
+        |SELECT cid, count(*) AS n,
+        |  CAST(sum(floor(sqd * 10000)) AS BIGINT) AS ssd_c,
+        |  CAST(sum(list_reduce(list_transform(e.embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * 10000)), (x, y) -> x + y)) AS BIGINT)
+        |    AS sum_comp_c
+        |FROM pick JOIN embeddings e ON pick.vec_id = e.vec_id
+        |GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "zorder_layout" -> {
+      val z = zTermsSql("x", "y")
+      s"""WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+        |b AS (SELECT l_partkey, l_suppkey,
+        |    CAST(floor(CAST(l_partkey * 256 AS DOUBLE) / (mp + 1)) AS BIGINT) AS x,
+        |    CAST(floor(CAST(l_suppkey * 256 AS DOUBLE) / (ms + 1)) AS BIGINT) AS y
+        |  FROM lineitem CROSS JOIN mx),
+        |z AS (SELECT l_partkey, l_suppkey, $z AS zval FROM b)
+        |SELECT CAST(floor(zval / CAST(64 AS DOUBLE)) AS BIGINT) AS chunk,
+        |  count(*) AS n,
+        |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        |FROM z GROUP BY chunk ORDER BY chunk""".stripMargin
+    },
+
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_ev,
+        |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

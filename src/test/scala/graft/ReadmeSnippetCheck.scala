@@ -29,6 +29,27 @@ object ReadmeSnippetCheck {
 
     val nn = Vectors.knn(corpus, col("vec_id"), col("embedding"),
       queries, col("qid"), col("qvec"), k = 10)
+
+    snippet2(docs, corpus, queries)
     val _ = (live, state, keep, scored, packed, nn)
+  }
+
+  /** The README's "Rank, sketch, and lay out data for scale" block. */
+  def snippet2(docs: org.apache.spark.sql.DataFrame,
+               tokenInstances: org.apache.spark.sql.DataFrame,
+               events: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val (customers, bigSpenders, lineitem, dims) = (docs, docs, docs, docs)
+
+    import graft.api.{Relevance, Sketches, Layout}
+    val ranked = Relevance.bm25(docs, col("doc_id"), col("text"),
+      terms = Seq("spark", "feed"))
+    val hitters = Sketches.countMin(tokenInstances, col("tk"))
+    val pruned = Sketches.bloomProbe(customers, col("c_custkey"),
+      Sketches.bloomBits(bigSpenders, col("o_custkey")))
+    val zsorted = lineitem.orderBy(Layout.zValue(col("pk_bucket"), col("sk_bucket")))
+    val joined = Layout.saltedJoin(events, dims, "user_id",
+      saltBy = col("event_id"), nSalts = 8)
+    val _ = (ranked, hitters, pruned, zsorted, joined)
   }
 }

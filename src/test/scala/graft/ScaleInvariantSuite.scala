@@ -25,7 +25,11 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "vec_knn_brute",    // × |queries| ≤ 5
     "ann_ivf_topk",     // × per-label centroid table
     "text_langid",      // × per-language profile table
-    "win_ntile_dense"   // × single-row global count
+    "win_ntile_dense",  // × single-row global count
+    "rank_tfidf",       // × single-row corpus-stats aggregate
+    "rank_bm25",        // × single-row corpus-stats aggregate
+    "kmeans_assign_step", // × k=8 centroid table
+    "zorder_layout"     // × single-row max(l_partkey), max(l_suppkey) row
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
