@@ -24,6 +24,7 @@ object SparkEntry {
       (TrainOps.queries, TrainOps.oracles),
       (CorpusOps.queries, CorpusOps.oracles),
       (StatsOps.queries, StatsOps.oracles),
+      (SampleOps.queries, SampleOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

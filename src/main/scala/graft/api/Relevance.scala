@@ -142,4 +142,29 @@ object Relevance {
       .withColumnRenamed("_graft_id", "id")
       .withColumnRenamed("_graft_g", "group")
   }
+
+  /** Unigram-entropy quality feature: per document,
+    * `H = Σ_tokens −p·ln p` over the doc's own token distribution (low
+    * entropy ⇒ repetitive/boilerplate text). Each token type's term is
+    * floor-quantized to 1e−6 BEFORE the per-doc integer sum, so `ent_c`
+    * (entropy · 10⁶, floor per term) is exact and independent of shuffle
+    * merge order. Returns `(id, n_tok, n_distinct, ent_c)`. Two
+    * doc-keyed aggregates — map-side combinable, one row per doc through
+    * each shuffle. */
+  def entropyScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val inst = docs.select(id.as("_graft_id"),
+      explode(split(text, " ")).as("_graft_tk"))
+    val cnts = inst.groupBy("_graft_id", "_graft_tk")
+      .agg(count(lit(1)).as("_graft_c"))
+    val n = sum(col("_graft_c"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("_graft_id"))
+    val p = col("_graft_c").cast("double") / col("_graft_n")
+    cnts.withColumn("_graft_n", n)
+      .withColumn("_graft_t", floor(p * log(p) * lit(-1000000.0)))
+      .groupBy("_graft_id")
+      .agg(max(col("_graft_n")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("_graft_t")).as("ent_c"))
+      .withColumnRenamed("_graft_id", "id")
+  }
 }

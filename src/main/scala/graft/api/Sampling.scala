@@ -1,0 +1,81 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling & vocabulary-selection API. Every pseudo-random
+  * ingredient derives from md5 of a unique row id — stable across engines,
+  * reruns, and repartitioning, where `rand()` is none of those (the same
+  * design rule as [[Curation.sampleByHash]] and [[Corpus.shuffleOrder]]).
+  *
+  * Scale shapes:
+  *  - weighted sampling is a map-only priority computation + one global
+  *    top-k (`TakeOrderedAndProject` — no global sort materializes);
+  *  - per-group quotas use a window PARTITIONED by the group (never a
+  *    global single-partition window);
+  *  - vocabulary coverage windows run over the VOCABULARY-sized count
+  *    table, not over token instances.
+  */
+object Sampling {
+
+  /** Uniform u ∈ (0, 1] derived from the first 6 hex digits of
+    * `md5(id)`: pure `ascii`/arithmetic hex decode (fixed-order integer
+    * sum — no engine-specific `conv`), then `(h + 1) / (16^6 + 1)`. Any
+    * SQL engine reproduces the value exactly. */
+  def hashUniform(id: Column): Column = {
+    val m = md5(id.cast("string"))
+    val h = (1 to 6).map { i =>
+      val a = ascii(substring(m, i, 1))
+      val digit = when(a >= 97, a - 87).otherwise(a - 48)
+      digit.cast("long") * lit(1L << (4 * (6 - i)))
+    }.reduce(_ + _)
+    (h + lit(1.0)) / lit(16777217.0)
+  }
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-Res): each
+    * row gets priority `-ln(u) / w` (u = [[hashUniform]] of `id`, w =
+    * `weight`, clamped ≥ 1e-12) and the k smallest priorities win —
+    * inclusion probability proportional to weight, deterministic given
+    * ids. Returns the sampled rows with their `priority`. Map-only
+    * scoring + global top-k: the full data is never sorted. */
+  def sampleWeighted(df: DataFrame, id: Column, weight: Column,
+                     k: Int): DataFrame =
+    df.withColumn("priority",
+        -log(hashUniform(id)) / greatest(weight.cast("double"), lit(1e-12)))
+      .orderBy(col("priority"), id)
+      .limit(k)
+
+  /** Deterministic per-group quota sample: the first `k` rows of each
+    * `group` in `(md5(id), id)` order. Appends `sample_rank` (1-based).
+    * The window is PARTITIONED by the group — per-group work only. */
+  def samplePerGroup(df: DataFrame, group: Column, id: Column,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(md5(id.cast("string")), id)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Vocabulary truncation by cumulative coverage: per `group`, order
+    * items by `(cnt DESC, item)` and keep the smallest prefix reaching
+    * `pctTimes100`% of total instances — an item stays while the
+    * cumulative count BEFORE it is under the threshold, so the first item
+    * at or past the line is included and coverage is reached. All-integer
+    * arithmetic (`cum_before · 100 < total · pct`): engine-portable with
+    * no float thresholds. Input `counts` must be one row per (group,
+    * item) with an integer `cnt` column; windows run over this
+    * VOCABULARY-sized relation, never over instances. Appends `vrank`,
+    * `cum` (inclusive) and keeps qualifying rows. */
+  def vocabCoverage(counts: DataFrame, group: Column, item: Column,
+                    cnt: Column, pctTimes100: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(cnt.desc, item)
+    val tot = Window.partitionBy(group)
+    counts
+      .withColumn("vrank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(cnt).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_graft_tot", sum(cnt).over(tot))
+      .filter((col("cum") - cnt) * 100 < col("_graft_tot") * pctTimes100)
+      .drop("_graft_tot")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{Relevance, Sampling}
+import graft.io.Tables
+
+/** §2.14 sampling, vocabulary & information operators — the deterministic
+  * selection stages of a pretraining pipeline: weighted reservoir
+  * sampling, per-group quotas, coverage-based vocabulary truncation, and
+  * a unigram-entropy quality feature. All oracle-checked; every
+  * pseudo-random ingredient is an md5-derived uniform (pure
+  * ascii-arithmetic hex decode — engine-portable, no `conv`), and every
+  * float term is floor-quantized before integer summation or compared
+  * via all-integer inequalities.
+  *
+  * Scale shapes:
+  *  - weighted sampling: map-only priority + global top-k
+  *    (`TakeOrderedAndProject`); the data is never globally sorted;
+  *  - per-group quotas / coverage: windows partitioned by the group, over
+  *    group-sized or VOCABULARY-sized relations — never instances;
+  *  - entropy: two doc-keyed map-side-combinable aggregates.
+  */
+object SampleOps {
+
+  /** Hex-decode SQL for the first 6 md5 digits (mirrors
+    * [[graft.api.Sampling.hashUniform]]): fixed-order integer sum of
+    * ascii-decoded digit values. */
+  private def hexDecodeSql(m: String): String =
+    (1 to 6).map { i =>
+      val mult = 1L << (4 * (6 - i))
+      s"(CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN ascii(substr($m, $i, 1)) - 87 " +
+        s"ELSE ascii(substr($m, $i, 1)) - 48 END) * $mult"
+    }.mkString(" + ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Weighted reservoir sample (Efraimidis–Spirakis A-Res): priority
+    // -ln(u)/w with u an md5-derived uniform and w = n_chars; the 100
+    // smallest priorities win — inclusion odds proportional to length,
+    // fully deterministic.
+    "sample_weighted" -> ((s, d) => {
+      Sampling.sampleWeighted(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), k = 100)
+        .select(col("doc_id"), col("n_chars"),
+          floor(col("priority") * lit(100000000.0)).cast("long").as("pri_c"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-language quota sample: first 20 docs of each language in
+    // (md5(doc_id), doc_id) order — window PARTITIONED by lang.
+    "sample_per_group" -> ((s, d) => {
+      Sampling.samplePerGroup(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), k = 20)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary truncation by cumulative coverage: per language, the
+    // smallest (cnt DESC, token) prefix reaching 95% of token instances.
+    // All-integer threshold arithmetic; windows over the vocab-sized
+    // count table only.
+    "vocab_coverage_topp" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tk"))
+        .groupBy("lang", "tk").agg(count(lit(1)).as("cnt"))
+      Sampling.vocabCoverage(counts, col("lang"), col("tk"), col("cnt"),
+          pctTimes100 = 95)
+        .select(col("lang"), col("tk"), col("cnt"), col("vrank"), col("cum"))
+        .orderBy("lang", "vrank")
+    }),
+
+    // Unigram-entropy quality feature: per doc, Σ −p·ln p over its own
+    // token distribution, each term floor-quantized to 1e−6 BEFORE the
+    // integer sum (merge-order independent).
+    "text_entropy_score" -> ((s, d) => {
+      Relevance.entropyScore(Tables.documents(s, d), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_tok"), col("n_distinct"),
+          col("ent_c").cast("long").as("ent_c"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sample_weighted" -> {
+      val hv = hexDecodeSql("m")
+      s"""WITH u AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
+        |    FROM documents),
+        |h AS (SELECT doc_id, n_chars, $hv AS hv FROM u),
+        |p AS (SELECT doc_id, n_chars,
+        |    -ln(CAST(hv + 1 AS DOUBLE) / 16777217.0) /
+        |      greatest(CAST(n_chars AS DOUBLE), 1e-12) AS pri
+        |  FROM h),
+        |top AS (SELECT * FROM p ORDER BY pri, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars,
+        |  CAST(floor(pri * 100000000.0) AS BIGINT) AS pri_c
+        |FROM top ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_per_group" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_rank FROM r
+        |WHERE sample_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    "vocab_coverage_topp" ->
+      """WITH c AS (SELECT lang, tk, count(*) AS cnt
+        |  FROM (SELECT lang, unnest(str_split(text, ' ')) AS tk FROM documents)
+        |  GROUP BY lang, tk),
+        |w AS (SELECT lang, tk, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tk)
+        |      AS BIGINT) AS vrank,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, tk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |  FROM c)
+        |SELECT lang, tk, cnt, vrank, cum FROM w
+        |WHERE (cum - cnt) * 100 < tot * 95 ORDER BY lang, vrank""".stripMargin,
+
+    "text_entropy_score" ->
+      """WITH inst AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tk
+        |    FROM documents),
+        |c AS (SELECT doc_id, tk, count(*) AS c FROM inst GROUP BY doc_id, tk),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY doc_id),
+        |t AS (SELECT c.doc_id, n.n,
+        |    CAST(floor((CAST(c.c AS DOUBLE) / n.n) *
+        |      ln(CAST(c.c AS DOUBLE) / n.n) * (-1000000.0)) AS BIGINT) AS term
+        |  FROM c JOIN n ON c.doc_id = n.doc_id)
+        |SELECT doc_id, any_value(n) AS n_tok, count(*) AS n_distinct,
+        |  CAST(sum(term) AS BIGINT) AS ent_c
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
