@@ -25,6 +25,7 @@ object SparkEntry {
       (CorpusOps.queries, CorpusOps.oracles),
       (StatsOps.queries, StatsOps.oracles),
       (SampleOps.queries, SampleOps.oracles),
+      (AnalyticsOps.queries, AnalyticsOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

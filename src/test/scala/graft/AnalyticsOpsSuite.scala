@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.ops.AnalyticsOps
+
+/** Plan-shape and semantic checks for the §2.15 composed analytics
+  * queries (values are covered by the DuckDB oracle).
+  */
+class AnalyticsOpsSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def plan(name: String) = {
+    val e = AnalyticsOps.queries(name)(spark, d).queryExecution.executedPlan
+    e match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+  }
+
+  test("q5_local_supplier: dimension joins broadcast; no cartesian") {
+    val p = plan("q5_local_supplier")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2,
+      s"nation+region and supplier should broadcast, got ${bhj.size}:\n$p")
+  }
+
+  test("q3/q10: top-k plans end in TakeOrderedAndProject (no global sort)") {
+    for (q <- Seq("q3_shipping_priority", "q10_returned_items")) {
+      val t = plan(q).collect { case t: TakeOrderedAndProjectExec => t }
+      assert(t.nonEmpty, s"$q should TakeOrderedAndProject:\n${plan(q)}")
+    }
+  }
+
+  test("q18_big_orders: every returned order really tops the quantity threshold") {
+    val li = graft.io.Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 100).toLong)
+    val tot = li.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val rows = AnalyticsOps.queries("q18_big_orders")(spark, d).collect()
+    assert(rows.nonEmpty, "threshold should catch some orders at sf0.001")
+    rows.foreach { r =>
+      val (ok, tq) = (r.getLong(2), r.getLong(5))
+      assert(tot(ok) === tq, s"order $ok total mismatch")
+      assert(tq > 30000L, s"order $ok under threshold")
+    }
+    // completeness: the top-50 really is the global top
+    val cutoff = rows.map(_.getLong(5)).min
+    val missed = tot.filter { case (k, t) =>
+      t > 30000L && t > cutoff && !rows.exists(_.getLong(2) == k)
+    }
+    assert(missed.isEmpty, s"orders above cutoff missing: ${missed.keys.take(5)}")
+  }
+}
