@@ -26,6 +26,7 @@ object SparkEntry {
       (StatsOps.queries, StatsOps.oracles),
       (SampleOps.queries, SampleOps.oracles),
       (AnalyticsOps.queries, AnalyticsOps.oracles),
+      (TimeOps.queries, TimeOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.api.TimeSeries
+import graft.io.Tables
+import graft.io.Tables.{canon, canon100}
+
+/** §2.16 temporal analytics — regular-grid resampling with forward fill,
+  * ordered funnel conversion, and per-type inter-arrival statistics over
+  * the event feed. All oracle-checked; values are quantized BEFORE any
+  * fill/sum so every output is integer-exact and shuffle-order
+  * independent.
+  *
+  * Scale shapes:
+  *  - resample: events reduce to one row per (user, hour) map-side, the
+  *    grid explodes from per-key spans (size = span/bucket, independent
+  *    of event volume), and the fill window is PARTITIONED by user;
+  *  - funnel: one user-keyed conditional aggregate per stage;
+  *  - inter-arrival deltas: windows PARTITIONED by (type, user) — never
+  *    a handful of giant per-type partitions.
+  */
+object TimeOps {
+
+  private val HourUs = 3600000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hourly resample + forward fill for users < 10: each hour bucket in
+    // a user's own activity span carries the hour's LAST value
+    // (canonicalized before the fill, so carried values are integers);
+    // empty hours inherit the previous hour and are flagged as gaps.
+    "ts_resample_ffill" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 10)
+      TimeSeries.resampleFfill(ev, col("user_id"), col("ts_us"),
+          canon(col("value")), col("event_id"), HourUs)
+        .select(col("key").as("user_id"), col("bucket").as("h"),
+          col("filled").as("filled_c"), col("gap"))
+        .orderBy("user_id", "h")
+    }),
+
+    // Ordered signup → click → purchase funnel: per user the first
+    // signup, the first click AFTER it, the first purchase after THAT;
+    // aggregated to per-decile conversion counts.
+    "funnel_conversion" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      TimeSeries.funnelStages(ev, col("user_id"), col("event_type"),
+          col("ts_us"), Seq("signup", "click", "purchase"))
+        .groupBy((col("key") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("t_0").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("t_1").isNotNull, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("t_2").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+        .orderBy("user_bucket")
+    }),
+
+    // Per-type inter-arrival statistics: consecutive same-type deltas
+    // WITHIN each user (window partitioned by (type, user) — at 100 TB a
+    // per-type-only window would be 5 giant partitions), aggregated to
+    // per-type n / min / max / floor-canon mean seconds.
+    "ts_interarrival_stats" -> ((s, d) => {
+      val w = Window.partitionBy("event_type", "user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .withColumn("delta_us", col("ts_us") - col("prev_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_deltas"),
+          min(col("delta_us")).as("min_us"),
+          max(col("delta_us")).as("max_us"),
+          canon100(sum(col("delta_us")) * lit(1.0) /
+            (count(lit(1)) * lit(1000000.0))).as("mean_sec_c"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ts_resample_ffill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(floor(value * 10000) AS BIGINT) AS v
+        |  FROM events WHERE user_id < 10),
+        |hr AS (SELECT user_id, h, v FROM (
+        |    SELECT user_id, us // 3600000000 AS h, v,
+        |      row_number() OVER (PARTITION BY user_id, us // 3600000000
+        |        ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hr GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span),
+        |f AS (SELECT g.user_id, g.h, arg_max(hr.v, hr.h) AS filled_c
+        |  FROM g JOIN hr ON hr.user_id = g.user_id AND hr.h <= g.h
+        |  GROUP BY g.user_id, g.h)
+        |SELECT f.user_id, f.h, f.filled_c,
+        |  CASE WHEN hr2.v IS NULL THEN 1 ELSE 0 END AS gap
+        |FROM f LEFT JOIN hr hr2 ON hr2.user_id = f.user_id AND hr2.h = f.h
+        |ORDER BY f.user_id, f.h""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN us END) AS t0
+        |  FROM e GROUP BY user_id),
+        |s1 AS (SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'click' AND us > t0 THEN us END) AS t1
+        |  FROM e JOIN s0 ON e.user_id = s0.user_id GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'purchase' AND us > t1 THEN us END) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id)
+        |SELECT s0.user_id % 10 AS user_bucket, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM s0 JOIN s1 ON s0.user_id = s1.user_id
+        |  JOIN s2 ON s0.user_id = s2.user_id
+        |GROUP BY user_bucket ORDER BY user_bucket""".stripMargin,
+
+    "ts_interarrival_stats" ->
+      """WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us
+        |    FROM events),
+        |d AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY us, event_id) AS delta_us
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_deltas,
+        |  min(delta_us) AS min_us, max(delta_us) AS max_us,
+        |  CAST(floor((CAST(sum(delta_us) AS DOUBLE) / (count(*) * 1000000.0)) * 100)
+        |    AS BIGINT) AS mean_sec_c
+        |FROM d WHERE delta_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.TimeOps
+
+/** Semantic checks for the §2.16 temporal-analytics operators —
+  * invariants the DuckDB hash-compare can't express (grid completeness,
+  * fill semantics vs an independent recomputation, funnel monotonicity),
+  * over the sf0.001 fixtures.
+  */
+class TimeOpsSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def q(name: String) = TimeOps.queries(name)(spark, d)
+
+  test("ts_resample_ffill: complete per-user grids, exact forward fill, no null values") {
+    val ev = graft.io.Tables.events(spark, d).filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        floor(col("value") * 10000).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val rows = q("ts_resample_ffill").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val gotByUser = rows.groupBy(_._1)
+    assert(gotByUser.keySet === byUser.keySet)
+    byUser.foreach { case (u, evs) =>
+      val hours = evs.map(_._2 / 3600000000L)
+      val (h0, h1) = (hours.min, hours.max)
+      val got = gotByUser(u).sortBy(_._2)
+      assert(got.map(_._2).toSeq === (h0 to h1).toSeq, s"user $u grid incomplete")
+      // independent fill: last value (by ts, event_id) at or before each hour
+      val lastPerHour = evs.groupBy(_._2 / 3600000000L).map { case (h, es) =>
+        h -> es.maxBy(e => (e._2, e._3))._4
+      }
+      var carry = Option.empty[Long]
+      (h0 to h1).zip(got).foreach { case (h, (_, gh, filled, gap)) =>
+        assert(gh === h)
+        lastPerHour.get(h) match {
+          case Some(v) => assert(gap === 0L && filled === v, s"user $u hour $h")
+          case None =>
+            assert(gap === 1L, s"user $u hour $h should be a gap")
+            assert(carry.contains(filled), s"user $u hour $h fill carry")
+        }
+        carry = Some(filled)
+      }
+    }
+  }
+
+  test("funnel_conversion: stage counts are monotone and bounded by users") {
+    val rows = q("funnel_conversion").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, nU, nS, nC, nP) =>
+      assert(nS <= nU, s"bucket $b signup > users")
+      assert(nC <= nS, s"bucket $b click > signup (funnel must be ordered)")
+      assert(nP <= nC, s"bucket $b purchase > click")
+    }
+    val nUsers = graft.io.Tables.events(spark, d)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === nUsers, "buckets partition the users")
+  }
+
+  test("funnelStages API: a stage only counts strictly after the previous stage") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "signup", 100L), (1L, "click", 50L), (1L, "click", 200L),
+      (2L, "click", 10L), (2L, "signup", 20L), // click only BEFORE signup
+      (3L, "signup", 5L)
+    ).toDF("u", "t", "ts")
+    val got = graft.api.TimeSeries
+      .funnelStages(ev, col("u"), col("t"), col("ts"), Seq("signup", "click"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(1L) === ((Some(100L), Some(200L))), "pre-signup click must not count")
+    assert(got(2L) === ((Some(20L), None)), "click before signup is not a conversion")
+    assert(got(3L) === ((Some(5L), None)))
+  }
+
+  test("ts_interarrival_stats: deltas are non-negative and counts are consistent") {
+    val rows = q("ts_interarrival_stats").collect()
+    assert(rows.length === 5, "one row per event type")
+    val evCount = graft.io.Tables.events(spark, d)
+      .groupBy("event_type", "user_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val expectedDeltas = evCount.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(x => math.max(0L, x._2 - 1)).sum }
+    rows.foreach { r =>
+      val (t, n, minUs, maxUs) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === expectedDeltas(t), s"type $t delta count")
+      assert(minUs >= 0L && maxUs >= minUs, s"type $t bounds")
+    }
+  }
+}
