@@ -86,9 +86,16 @@ object Relevance {
     * with `idf_i = ln((N − df_i + 0.5)/(df_i + 0.5) + 1)` and
     * `avgdl = Σdl / N`. tf=0 terms contribute exactly 0 (zero numerator;
     * the denominator is strictly positive for b<1). Returns
-    * `(id, dl, tf_0.., score)`. */
+    * `(id, dl, tf_0.., score)`.
+    *
+    * The defaults are dyadic rationals ON PURPOSE (1.25 and 0.75 are
+    * exact in both binary and decimal): an independent engine
+    * recomputing the score from decimal literals gets bit-identical
+    * doubles. Prefer dyadic values (…, 1.125, 1.25, 1.5) for custom
+    * parameters too if cross-engine reproducibility matters — the
+    * textbook k1 = 1.2 has no exact binary representation. */
   def bm25(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     val avgdl = col("sumdl") * lit(1.0) / col("nn")
     val score = terms.indices.map { i =>
       val idf = log((col("nn") - col(s"df_$i") + lit(0.5)) /
@@ -148,18 +155,21 @@ object Relevance {
     * entropy ⇒ repetitive/boilerplate text). Each token type's term is
     * floor-quantized to 1e−6 BEFORE the per-doc integer sum, so `ent_c`
     * (entropy · 10⁶, floor per term) is exact and independent of shuffle
-    * merge order. Returns `(id, n_tok, n_distinct, ent_c)`. Two
-    * doc-keyed aggregates — map-side combinable, one row per doc through
-    * each shuffle. */
+    * merge order. Returns `(id, n_tok, n_distinct, ent_c)`. All
+    * aggregates (per-(doc,token) counts, doc totals, the final doc sum)
+    * are two-phase map-side-combinable hash aggregates; the totals join
+    * reuses the doc-key partitioning — no sort or window anywhere. */
   def entropyScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val inst = docs.select(id.as("_graft_id"),
       explode(split(text, " ")).as("_graft_tk"))
     val cnts = inst.groupBy("_graft_id", "_graft_tk")
       .agg(count(lit(1)).as("_graft_c"))
-    val n = sum(col("_graft_c"))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy("_graft_id"))
+    // doc totals come from a second AGGREGATE joined back on the doc key
+    // (both sides already hash-partitioned by _graft_id — no sort, no
+    // window), keeping the documented two-aggregate shape accurate
+    val totals = cnts.groupBy("_graft_id").agg(sum(col("_graft_c")).as("_graft_n"))
     val p = col("_graft_c").cast("double") / col("_graft_n")
-    cnts.withColumn("_graft_n", n)
+    cnts.join(totals, "_graft_id")
       .withColumn("_graft_t", floor(p * log(p) * lit(-1000000.0)))
       .groupBy("_graft_id")
       .agg(max(col("_graft_n")).as("n_tok"),

@@ -48,12 +48,27 @@ object Sampling {
 
   /** Deterministic per-group quota sample: the first `k` rows of each
     * `group` in `(md5(id), id)` order. Appends `sample_rank` (1-based).
-    * The window is PARTITIONED by the group — per-group work only. */
+    *
+    * Scale-safe two-phase top-k: a single window partitioned only by the
+    * group would sort each group's ENTIRE data in one task (for a
+    * low-cardinality group column at 100 TB, a handful of giant
+    * partitions). Instead phase 1 keeps each (group, salt) shard's local
+    * top-k — the global top-k is always contained in the union of the
+    * shards' top-k — and phase 2 ranks only the ≤ k·nSalts survivors per
+    * group. The salt affects the physical plan, never the result. */
   def samplePerGroup(df: DataFrame, group: Column, id: Column,
-                     k: Int): DataFrame = {
-    val w = Window.partitionBy(group).orderBy(md5(id.cast("string")), id)
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+                     k: Int, nSalts: Int = 64): DataFrame = {
+    val keyed = df.withColumn("_graft_skey", md5(id.cast("string")))
+      .withColumn("_graft_salt", pmod(hash(id), lit(nSalts)))
+    val wLocal = Window.partitionBy(group, col("_graft_salt"))
+      .orderBy(col("_graft_skey"), id)
+    val wGroup = Window.partitionBy(group).orderBy(col("_graft_skey"), id)
+    keyed
+      .withColumn("_graft_lrk", row_number().over(wLocal))
+      .filter(col("_graft_lrk") <= k)
+      .withColumn("sample_rank", row_number().over(wGroup).cast("long"))
       .filter(col("sample_rank") <= k)
+      .drop("_graft_skey", "_graft_salt", "_graft_lrk")
   }
 
   /** Vocabulary truncation by cumulative coverage: per `group`, order

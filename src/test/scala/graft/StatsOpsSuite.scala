@@ -43,12 +43,23 @@ class StatsOpsSuite extends AnyFunSuite {
     assert(excluded.values.forall(_ <= cutoff))
   }
 
-  test("rank_bm25: in a one-term ranking, higher tf with equal dl never ranks lower") {
+  test("rank_bm25: higher tf with equal dl never scores lower (single-term corpus)") {
     val rows = q("rank_bm25").collect()
     assert(rows.nonEmpty && rows.length <= 20)
-    // BM25 against frequent terms on a stopword-ish corpus stays bounded:
-    // idf > 0 and each term's contribution < idf·(k1+1)
     rows.foreach(r => assert(r.getLong(2) >= 0L, s"doc ${r.getLong(0)} negative score"))
+    // the named invariant, on a controlled corpus: equal dl, varying tf
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q x x x"), (2L, "q q x x"), (3L, "q q q x"), (4L, "x x x x")
+    ).toDF("doc_id", "text")
+    val scores = graft.api.Relevance
+      .bm25(docs, col("doc_id"), col("text"), Seq("q"))
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(4L) === 0.0, "tf=0 must contribute exactly 0")
+    assert(scores(1L) > 0.0)
+    assert(scores(2L) > scores(1L) && scores(3L) > scores(2L),
+      "equal dl: score must increase with tf")
   }
 
   // ---- sketches ---------------------------------------------------------
