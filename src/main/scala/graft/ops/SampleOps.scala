@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{Relevance, Sampling}
 import graft.io.Tables
+import graft.io.Tables.canon
 
 /** §2.14 sampling, vocabulary & information operators — the deterministic
   * selection stages of a pretraining pipeline: weighted reservoir
@@ -79,6 +80,37 @@ object SampleOps {
         .select(col("id").as("doc_id"), col("n_tok"), col("n_distinct"),
           col("ent_c").cast("long").as("ent_c"))
         .orderBy("doc_id")
+    }),
+
+    // The quality pipeline composed end-to-end: three independent quality
+    // signals (unigram entropy, duplicate-token fraction, bigram-LM mean
+    // log-prob) → integer-threshold filter → deterministic md5 shuffle of
+    // the survivors → 128-token sequence packing per language stream.
+    // Every stage is a library operator; the composition is oracle-checked
+    // as one query. All thresholds compare quantized integers — no float
+    // decision anywhere.
+    "quality_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ent = Relevance.entropyScore(docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("ent_c").cast("long").as("ent_c"))
+      val rep = graft.api.Corpus.repetitionStats(docs, col("text"))
+        .select(col("doc_id"), canon(col("dup_tok_frac")).as("dup_c"))
+      val lm = Relevance.bigramLmScore(docs, col("doc_id"), col("lang"),
+          col("text"))
+        .select(col("id").as("doc_id"), col("mean_lp_c"))
+      val kept = docs
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(ent, "doc_id").join(rep, "doc_id").join(lm, "doc_id")
+        .filter(col("ent_c") >= 2500000L && col("dup_c") <= 6500L &&
+          col("mean_lp_c") >= -35000L)
+      val shuffled = graft.api.Corpus.shuffleOrder(kept, col("doc_id"))
+      graft.api.Corpus.packSequences(shuffled, col("lang"),
+          col("shuffle_pos"), col("n_tok"), budget = 128)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("ent_c"),
+          col("dup_c"), col("mean_lp_c"), col("shuffle_pos"),
+          col("start_tok"), col("seq_first"), col("seq_last"))
+        .orderBy("doc_id")
     })
   )
 
@@ -120,6 +152,64 @@ object SampleOps {
         |  FROM c)
         |SELECT lang, tk, cnt, vrank, cum FROM w
         |WHERE (cum - cnt) * 100 < tot * 95 ORDER BY lang, vrank""".stripMargin,
+
+    "quality_pipeline_e2e" ->
+      """WITH inst AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tk
+        |    FROM documents),
+        |c AS (SELECT doc_id, tk, count(*) AS c FROM inst GROUP BY doc_id, tk),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY doc_id),
+        |t AS (SELECT c.doc_id,
+        |    CAST(floor((CAST(c.c AS DOUBLE) / n.n) *
+        |      ln(CAST(c.c AS DOUBLE) / n.n) * (-1000000.0)) AS BIGINT) AS term
+        |  FROM c JOIN n ON c.doc_id = n.doc_id),
+        |e AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS ent_c
+        |  FROM t GROUP BY doc_id),
+        |r AS (SELECT doc_id,
+        |    CAST(floor(((len(str_split(text, ' ')) -
+        |      len(list_distinct(str_split(text, ' ')))) * 1.0 /
+        |      len(str_split(text, ' '))) * 10000) AS BIGINT) AS dup_c
+        |  FROM documents),
+        |tt AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS b
+        |  FROM tt),
+        |uni AS (SELECT lang, unnest(toks) AS w FROM tt),
+        |cu AS (SELECT lang, w, count(*) AS c FROM uni GROUP BY lang, w),
+        |vb AS (SELECT lang, count(DISTINCT w) AS v FROM uni GROUP BY lang),
+        |sc AS (SELECT bi.doc_id,
+        |    CAST(floor(ln(CAST(cb.c + 1 AS DOUBLE) / (cu.c + vb.v)) * 10000)
+        |      AS BIGINT) AS lp
+        |  FROM bi
+        |    JOIN (SELECT lang, b, count(*) AS c FROM bi GROUP BY lang, b) cb
+        |      ON bi.lang = cb.lang AND bi.b = cb.b
+        |    JOIN cu ON bi.lang = cu.lang AND str_split(bi.b, ' ')[1] = cu.w
+        |    JOIN vb ON bi.lang = vb.lang),
+        |m AS (SELECT doc_id,
+        |    CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT) AS mean_lp_c
+        |  FROM sc GROUP BY doc_id),
+        |kept AS (SELECT d.doc_id, d.lang,
+        |    CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |    e.ent_c, r.dup_c, m.mean_lp_c
+        |  FROM documents d
+        |    JOIN e ON d.doc_id = e.doc_id
+        |    JOIN r ON d.doc_id = r.doc_id
+        |    JOIN m ON d.doc_id = m.doc_id
+        |  WHERE e.ent_c >= 2500000 AND r.dup_c <= 6500 AND m.mean_lp_c >= -35000),
+        |sh AS (SELECT *, CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS shuffle_pos
+        |  FROM kept),
+        |p AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY shuffle_pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM sh)
+        |SELECT doc_id, lang, n_tok, ent_c, dup_c, mean_lp_c, shuffle_pos,
+        |  cum - n_tok AS start_tok,
+        |  CAST(floor((cum - n_tok) / 128) AS BIGINT) AS seq_first,
+        |  greatest(CAST(floor((cum - 1) / 128) AS BIGINT),
+        |    CAST(floor((cum - n_tok) / 128) AS BIGINT)) AS seq_last
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "text_entropy_score" ->
       """WITH inst AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tk

@@ -78,6 +78,30 @@ class SampleOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("quality_pipeline_e2e: thresholds hold and per-stream packing is contiguous") {
+    val rows = q("quality_pipeline_e2e").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9)))
+    assert(rows.nonEmpty)
+    assert(rows.length < docs.size, "the filter must actually drop documents")
+    rows.foreach { case (id, _, _, ent, dup, lp, _, _, sf, sl) =>
+      assert(ent >= 2500000L && dup <= 6500L && lp >= -35000L, s"doc $id kept wrongly")
+      assert(sf <= sl, s"doc $id sequence range inverted")
+    }
+    // per language stream (in shuffle order) the token offsets are contiguous
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      val ordered = g.sortBy(_._7)
+      var expectedStart = 0L
+      ordered.foreach { case (id, _, nTok, _, _, _, _, start, _, _) =>
+        assert(start === expectedStart, s"doc $id in $lang stream offset")
+        expectedStart += nTok
+      }
+    }
+    // shuffle positions are a permutation of 1..n
+    assert(rows.map(_._7).sorted.toSeq === (1L to rows.length).toSeq)
+  }
+
   test("text_entropy_score: bounds and exactness on a uniform-distribution doc") {
     val rows = q("text_entropy_score").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
