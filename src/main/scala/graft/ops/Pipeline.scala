@@ -53,6 +53,83 @@ object Pipeline {
 
   private val stopwords = graft.api.Curation.Stopwords
 
+  /** MinHash-LSH band rows for a token relation (doc_id, lang, tk): 8
+    * md5-minhashes per doc, 4 bands × 2 rows. The VOCABULARY is hashed
+    * once (8 md5s per distinct token — at corpus scale the vocabulary is
+    * orders of magnitude smaller than the posting list) and the per-doc
+    * signature is 8 plain min() aggregates (codegen'd, map-side
+    * combinable: the shuffle carries one 8-hash row per doc per task,
+    * never a token list). Each band row also carries the FULL key array
+    * so joins can require "no earlier band matched" — a pair surfaces
+    * exactly once, at its first matching band, and no candidate distinct
+    * shuffle is ever needed. */
+  private def lshBands(tok: DataFrame): DataFrame = {
+    val tkhash = tok.select("tk").distinct()
+      .withColumn("mhs", array((0 until 8).map(sd =>
+        md5(concat(col("tk"), lit(":"), lit(sd.toString)))): _*))
+    val sig = tok.join(tkhash, "tk") // vocab: auto-broadcast when small, shuffle at scale
+      .groupBy("doc_id", "lang")
+      .agg((1 to 8).map(i => min(element_at(col("mhs"), i)).as(s"m$i")).head,
+        (2 to 8).map(i => min(element_at(col("mhs"), i)).as(s"m$i")): _*)
+      .select(col("doc_id"), col("lang"),
+        array((1 to 8).map(i => col(s"m$i")): _*).as("sig"))
+    sig
+      .withColumn("keys", transform(sequence(lit(0), lit(3)), j => md5(concat(
+        element_at(col("sig"), j * 2 + 1), lit("|"),
+        element_at(col("sig"), j * 2 + 2)))))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), lit(3))).as("band"), col("keys"))
+      .withColumn("bandkey", element_at(col("keys"), col("band") + 1))
+      .localCheckpoint() // joined twice below: compute signatures once
+  }
+
+  /** "No earlier band matched" residual over the carried key arrays
+    * (k-column naming from [[lshCandidates]]'s a/b projections). */
+  private def lshFirstMatch =
+    (col("b1") <= 0 || element_at(col("ka"), 1) =!= element_at(col("kb"), 1)) &&
+      (col("b1") <= 1 || element_at(col("ka"), 2) =!= element_at(col("kb"), 2)) &&
+      (col("b1") <= 2 || element_at(col("ka"), 3) =!= element_at(col("kb"), 3))
+
+  private def lshSide(bands: DataFrame, n: Int): DataFrame =
+    bands.select(col("doc_id").as(s"d$n"), col("lang").as(s"l$n"),
+      col("band").as(s"b$n"), col("bandkey").as(s"k$n"),
+      col("keys").as(if (n == 1) "ka" else "kb"))
+
+  /** Exact-Jaccard verification of candidate (d1, d2) pairs over full
+    * token sets. The SET REPRESENTATION is adaptive on the measured
+    * token-dictionary size (candidate generation is untouched): a small
+    * dictionary turns each doc's token set into a fixed-width bitset —
+    * encoded by a shuffle-free map-literal projection — so every
+    * candidate verifies with a popcount fold instead of a string-array
+    * intersect. Returns cand + `jac`. */
+  private def verifyJaccard(s: SparkSession, d: String, tok: DataFrame,
+                            cand: DataFrame): DataFrame = {
+    val dict = graft.api.Curation.denseDictionary(tok.select("tk"))
+    if (dict.isDefined) {
+      val (dictMap, nWords) = dict.get
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tks"))
+        .select(col("doc_id"), size(col("tks")).cast("long").as("n"),
+          call_function("bitset_from_tokens", col("tks"), dictMap, lit(nWords)).as("bs"))
+      cand
+        .join(broadcast(sets.select(col("doc_id").as("d1"),
+          col("n").as("n1"), col("bs").as("bs1"))), "d1")
+        .join(broadcast(sets.select(col("doc_id").as("d2"),
+          col("n").as("n2"), col("bs").as("bs2"))), "d2")
+        .withColumn("shared", bitsetShared(col("bs1"), col("bs2")))
+        .withColumn("jac", col("shared") * lit(1.0) /
+          (col("n1") + col("n2") - col("shared")))
+    } else {
+      val sets = tok.groupBy("doc_id").agg(collect_list(col("tk")).as("tks"))
+      cand
+        .join(broadcast(sets.select(col("doc_id").as("d1"), col("tks").as("t1"))), "d1")
+        .join(broadcast(sets.select(col("doc_id").as("d2"), col("tks").as("t2"))), "d2")
+        .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+        .withColumn("jac", col("shared") * lit(1.0) /
+          (size(col("t1")) + size(col("t2")) - col("shared")))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH banding: 8 md5-minhashes per doc, 4 bands × 2 rows;
     // docs sharing any band bucket are candidates; exact Jaccard ≥ 0.5
@@ -61,81 +138,37 @@ object Pipeline {
     "dedup_minhash_lsh" -> ((s, d) => {
       graft.catalyst.GraftExtensions.install(s) // native bitset expressions
       val tok = tokens(Tables.documents(s, d)).localCheckpoint() // reused 3x
-      // hash the VOCABULARY once (8 md5s per distinct token, broadcast),
-      // not once per token instance — at corpus scale the vocabulary is
-      // orders of magnitude smaller than the posting list
-      val tkhash = tok.select("tk").distinct()
-        .withColumn("mhs", array((0 until 8).map(sd =>
-          md5(concat(col("tk"), lit(":"), lit(sd.toString)))): _*))
-      // per-doc signature = elementwise min over the doc's token hashes —
-      // 8 plain min() aggregates (codegen'd, map-side combinable: the
-      // shuffle carries one 8-hash row per doc per task, never a token
-      // list; a collect_list + interpreted fold carries every token hash
-      // through the shuffle and evaluates lambdas per element)
-      val sig = tok.join(tkhash, "tk") // vocab: auto-broadcast when small, shuffle at scale
-        .groupBy("doc_id", "lang")
-        .agg((1 to 8).map(i => min(element_at(col("mhs"), i)).as(s"m$i")).head,
-          (2 to 8).map(i => min(element_at(col("mhs"), i)).as(s"m$i")): _*)
-        .select(col("doc_id"), col("lang"),
-          array((1 to 8).map(i => col(s"m$i")): _*).as("sig"))
-      // per-doc band keys built once; each band row also carries the FULL
-      // key array so the join can require "no earlier band matched" — a
-      // pair then surfaces exactly once (at its first matching band) and
-      // the multi-million-row distinct shuffle disappears entirely.
-      val bands = sig
-        .withColumn("keys", transform(sequence(lit(0), lit(3)), j => md5(concat(
-          element_at(col("sig"), j * 2 + 1), lit("|"),
-          element_at(col("sig"), j * 2 + 2)))))
-        .select(col("doc_id"), col("lang"),
-          explode(sequence(lit(0), lit(3))).as("band"), col("keys"))
-        .withColumn("bandkey", element_at(col("keys"), col("band") + 1))
-        .localCheckpoint() // self-joined below: compute signatures once
-      val a = bands.select(col("doc_id").as("d1"), col("lang").as("l1"),
-        col("band").as("b1"), col("bandkey").as("k1"), col("keys").as("ka"))
-      val b = bands.select(col("doc_id").as("d2"), col("lang").as("l2"),
-        col("band").as("b2"), col("bandkey").as("k2"), col("keys").as("kb"))
-      val firstMatch = (col("b1") <= 0 ||
-          element_at(col("ka"), 1) =!= element_at(col("kb"), 1)) &&
-        (col("b1") <= 1 || element_at(col("ka"), 2) =!= element_at(col("kb"), 2)) &&
-        (col("b1") <= 2 || element_at(col("ka"), 3) =!= element_at(col("kb"), 3))
-      val cand = a.join(b, col("l1") === col("l2") && col("b1") === col("b2") &&
-          col("k1") === col("k2") && col("d1") < col("d2") && firstMatch)
+      val bands = lshBands(tok)
+      val cand = lshSide(bands, 1)
+        .join(lshSide(bands, 2), col("l1") === col("l2") &&
+          col("b1") === col("b2") && col("k1") === col("k2") &&
+          col("d1") < col("d2") && lshFirstMatch)
         .select("d1", "d2")
-      // exact-Jaccard verification; the SET REPRESENTATION is adaptive on
-      // the measured token-dictionary size (the LSH banding above is
-      // untouched): a small dictionary turns each doc's token set into a
-      // fixed-width bitset — encoded by a shuffle-free map-literal
-      // projection — so every candidate verifies with a popcount fold
-      // instead of a string-array intersect.
-      val dict = graft.api.Curation.denseDictionary(tok.select("tk"))
-      val verified =
-        if (dict.isDefined) {
-          val (dictMap, nWords) = dict.get
-          val sets = Tables.documents(s, d)
-            .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tks"))
-            .select(col("doc_id"), size(col("tks")).cast("long").as("n"),
-              call_function("bitset_from_tokens", col("tks"), dictMap, lit(nWords)).as("bs"))
-          cand
-            .join(broadcast(sets.select(col("doc_id").as("d1"),
-              col("n").as("n1"), col("bs").as("bs1"))), "d1")
-            .join(broadcast(sets.select(col("doc_id").as("d2"),
-              col("n").as("n2"), col("bs").as("bs2"))), "d2")
-            .withColumn("shared", bitsetShared(col("bs1"), col("bs2")))
-            .withColumn("jac", col("shared") * lit(1.0) /
-              (col("n1") + col("n2") - col("shared")))
-        } else {
-          val sets = tok.groupBy("doc_id").agg(collect_list(col("tk")).as("tks"))
-          cand
-            .join(broadcast(sets.select(col("doc_id").as("d1"), col("tks").as("t1"))), "d1")
-            .join(broadcast(sets.select(col("doc_id").as("d2"), col("tks").as("t2"))), "d2")
-            .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
-            .withColumn("jac", col("shared") * lit(1.0) /
-              (size(col("t1")) + size(col("t2")) - col("shared")))
-        }
-      verified
+      verifyJaccard(s, d, tok, cand)
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
         .orderBy("d1", "d2")
+    }),
+
+    // Incremental (daily-ingest) dedup: a NEW batch (doc_id % 5 = 0)
+    // near-dup-checked against the EXISTING corpus only — candidates are
+    // new×old band collisions, never old×old: the work of admitting a
+    // batch scales with the batch, not with the corpus. Same banding,
+    // first-match emission, and exact-Jaccard verify as the full run.
+    "dedup_incremental" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val tok = tokens(Tables.documents(s, d)).localCheckpoint()
+      val bands = lshBands(tok)
+      val cand = lshSide(bands.filter(col("doc_id") % 5 === 0), 1)
+        .join(lshSide(bands.filter(col("doc_id") % 5 =!= 0), 2),
+          col("l1") === col("l2") && col("b1") === col("b2") &&
+            col("k1") === col("k2") && lshFirstMatch)
+        .select("d1", "d2")
+      verifyJaccard(s, d, tok, cand)
+        .filter(col("jac") >= 0.5)
+        .select(col("d1").as("d_new"), col("d2").as("d_old"),
+          canon(col("jac")).as("jac_c"))
+        .orderBy("d_new", "d_old")
     }),
 
     // SimHash: 16-bit fingerprint from per-bit majority votes of token md5
@@ -417,6 +450,29 @@ object Pipeline {
         |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
         |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+        |             FROM documents),
+        |sig AS (SELECT doc_id, lang, s AS seed,
+        |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
+        |        FROM tok, unnest(generate_series(0, 7)) t(s)
+        |        GROUP BY doc_id, lang, s),
+        |band AS (SELECT doc_id, lang, seed // 2 AS band,
+        |           md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
+        |         FROM sig GROUP BY doc_id, lang, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM band a JOIN band b ON a.lang = b.lang AND a.band = b.band
+        |           AND a.bandkey = b.bandkey
+        |           AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |sets AS (SELECT doc_id, list(tk) AS tks FROM tok GROUP BY doc_id),
+        |v AS (SELECT d1, d2, len(list_intersect(sa.tks, sb.tks)) AS shared,
+        |        len(sa.tks) AS n1, len(sb.tks) AS n2
+        |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id)
+        |SELECT d1 AS d_new, d2 AS d_old,
+        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
+        |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+        |ORDER BY d_new, d_old""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk

@@ -118,4 +118,27 @@ class DedupExactnessSuite extends AnyFunSuite {
     assert(got.subsetOf(allTrue),
       s"minhash emitted false positives: ${got -- allTrue}")
   }
+
+  test("dedup_incremental ≡ the full LSH run restricted to new×old pairs") {
+    val (dir, _) = corpus(33, nBase = 50, vocab = 100)
+    val full = graft.ops.Pipeline.queries("dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("jac_c")))
+    // normalize the full run's (d1 < d2) pairs to (new, old) orientation
+    val expected = full.flatMap { case (a, b, j) =>
+      (a % 5 == 0, b % 5 == 0) match {
+        case (true, false) => Some((a, b, j))
+        case (false, true) => Some((b, a, j))
+        case _ => None // old×old and new×new pairs are out of scope
+      }
+    }.toSet
+    val got = graft.ops.Pipeline.queries("dedup_incremental")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("d_new"), r.getAs[Long]("d_old"),
+        r.getAs[Long]("jac_c"))).toSet
+    assert(got === expected,
+      "incremental must find exactly the full run's cross-batch pairs " +
+        "(same bands, same collisions — just asymmetric sides)")
+    got.foreach { case (dn, dold, _) =>
+      assert(dn % 5 == 0 && dold % 5 != 0, s"side membership violated: ($dn, $dold)")
+    }
+  }
 }
