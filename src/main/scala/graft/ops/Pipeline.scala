@@ -102,12 +102,12 @@ object Pipeline {
     * encoded by a shuffle-free map-literal projection — so every
     * candidate verifies with a popcount fold instead of a string-array
     * intersect. Returns cand + `jac`. */
-  private def verifyJaccard(s: SparkSession, d: String, tok: DataFrame,
+  private def verifyJaccard(docs: DataFrame, tok: DataFrame,
                             cand: DataFrame): DataFrame = {
     val dict = graft.api.Curation.denseDictionary(tok.select("tk"))
     if (dict.isDefined) {
       val (dictMap, nWords) = dict.get
-      val sets = Tables.documents(s, d)
+      val sets = docs
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tks"))
         .select(col("doc_id"), size(col("tks")).cast("long").as("n"),
           call_function("bitset_from_tokens", col("tks"), dictMap, lit(nWords)).as("bs"))
@@ -130,6 +130,34 @@ object Pipeline {
     }
   }
 
+  /** Cross-set MinHash near-dup kernel: pairs `(d_new, d_old, jac)` of
+    * `newDocs` × `corpus` with exact Jaccard ≥ `tau` — candidates come
+    * only from new×old band collisions (never old×old), so the work of
+    * admitting a batch scales with the batch, not the corpus. Both
+    * inputs need (doc_id, lang, text); ids must be disjoint. Shared by
+    * the batch `dedup_incremental` fixture and the streaming
+    * `stream_dedup_incremental` admission fixture. */
+  private[graft] def incrementalPairs(s: SparkSession, newDocs: DataFrame,
+                                      corpus: DataFrame,
+                                      tau: Double = 0.5): DataFrame = {
+    graft.catalyst.GraftExtensions.install(s)
+    val all = newDocs.select("doc_id", "lang", "text")
+      .unionByName(corpus.select("doc_id", "lang", "text"))
+    val tok = all.select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("tk"))
+      .localCheckpoint()
+    val bands = lshBands(tok)
+    val newIds = newDocs.select(col("doc_id")).localCheckpoint()
+    val cand = lshSide(bands.join(broadcast(newIds), Seq("doc_id"), "left_semi"), 1)
+      .join(lshSide(bands.join(broadcast(newIds), Seq("doc_id"), "left_anti"), 2),
+        col("l1") === col("l2") && col("b1") === col("b2") &&
+          col("k1") === col("k2") && lshFirstMatch)
+      .select("d1", "d2")
+    verifyJaccard(all, tok, cand)
+      .filter(col("jac") >= tau)
+      .select(col("d1").as("d_new"), col("d2").as("d_old"), col("jac"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash-LSH banding: 8 md5-minhashes per doc, 4 bands × 2 rows;
     // docs sharing any band bucket are candidates; exact Jaccard ≥ 0.5
@@ -144,7 +172,7 @@ object Pipeline {
           col("b1") === col("b2") && col("k1") === col("k2") &&
           col("d1") < col("d2") && lshFirstMatch)
         .select("d1", "d2")
-      verifyJaccard(s, d, tok, cand)
+      verifyJaccard(Tables.documents(s, d), tok, cand)
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
         .orderBy("d1", "d2")
@@ -155,19 +183,13 @@ object Pipeline {
     // new×old band collisions, never old×old: the work of admitting a
     // batch scales with the batch, not with the corpus. Same banding,
     // first-match emission, and exact-Jaccard verify as the full run.
+    // Delegates to the same cross-set kernel the streaming admission
+    // fixture uses (incrementalPairs).
     "dedup_incremental" -> ((s, d) => {
-      graft.catalyst.GraftExtensions.install(s)
-      val tok = tokens(Tables.documents(s, d)).localCheckpoint()
-      val bands = lshBands(tok)
-      val cand = lshSide(bands.filter(col("doc_id") % 5 === 0), 1)
-        .join(lshSide(bands.filter(col("doc_id") % 5 =!= 0), 2),
-          col("l1") === col("l2") && col("b1") === col("b2") &&
-            col("k1") === col("k2") && lshFirstMatch)
-        .select("d1", "d2")
-      verifyJaccard(s, d, tok, cand)
-        .filter(col("jac") >= 0.5)
-        .select(col("d1").as("d_new"), col("d2").as("d_old"),
-          canon(col("jac")).as("jac_c"))
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      incrementalPairs(s, docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0))
+        .select(col("d_new"), col("d_old"), canon(col("jac")).as("jac_c"))
         .orderBy("d_new", "d_old")
     }),
 

@@ -32,6 +32,9 @@ object StreamOps {
   /** Plain event row for memory-stream fixtures. */
   case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
 
+  /** Plain document row for the streaming-admission fixture. */
+  case class Doc(doc_id: Long, lang: String, text: String)
+
   /** Read-model state output row (envelope projection). */
   case class StateOut(subject: Long, id: String, event_type: String, method: String)
 
@@ -331,6 +334,55 @@ object StreamOps {
             col("subject").cast("long").as("subject"), col("method"), col("data"))
           .orderBy("id")
       } finally server.stop()
+    }),
+
+    // Streaming admission dedup (the daily-ingest loop as a stream):
+    // micro-batch 1 ingests the standing corpus; micro-batch 2 delivers
+    // the new batch, which foreachBatch near-dup-checks against
+    // everything ALREADY ingested (the cross-set MinHash kernel shared
+    // with batch dedup_incremental) before appending it to the corpus.
+    // The final pair set is exactly the batch operator's — same oracle.
+    "stream_dedup_incremental" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        .as[Doc].collect()
+      val standing = docs.filter(_.doc_id % 5 != 0)
+      val fresh = docs.filter(_.doc_id % 5 == 0)
+      val corpusDir = scratchDir("graft_incr_corpus")
+      val pairsDir = scratchDir("graft_incr_pairs")
+      val ckpt = scratchDir("graft_incr_ckpt")
+      val ms = MemoryStream[Doc](s)
+      val admit: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+        val sp = batch.sparkSession
+        val files = new java.io.File(corpusDir).listFiles()
+        val hasCorpus = files != null && files.nonEmpty
+        val incoming = batch.localCheckpoint(true)
+        if (hasCorpus) {
+          graft.ops.Pipeline
+            .incrementalPairs(sp, incoming, sp.read.parquet(corpusDir))
+            .withColumn("jac_c", floor(col("jac") * 10000).cast("long"))
+            .drop("jac")
+            .write.mode("append").parquet(pairsDir)
+        }
+        incoming.write.mode("append").parquet(corpusDir)
+      }
+      val old = s.conf.get("spark.sql.shuffle.partitions", "200")
+      s.conf.set("spark.sql.shuffle.partitions", "2") // fixture-sized
+      val q = ms.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update)
+        .foreachBatch(admit)
+        .start()
+      try {
+        ms.addData(standing.toSeq); q.processAllAvailable() // corpus lands
+        ms.addData(fresh.toSeq); q.processAllAvailable()    // batch admitted
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", old)
+      }
+      s.read.parquet(pairsDir)
+        .select(col("d_new"), col("d_old"), col("jac_c"))
+        .orderBy("d_new", "d_old")
     })
   )
 
@@ -372,6 +424,31 @@ object StreamOps {
         |  event_type AS type, epoch_us(ts) AS time_us, user_id AS subject,
         |  CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'PUT' END AS method,
         |  props AS data
-        |FROM events WHERE event_id < 1000 ORDER BY id""".stripMargin
+        |FROM events WHERE event_id < 1000 ORDER BY id""".stripMargin,
+
+    // the streaming admission loop lands exactly the batch
+    // dedup_incremental pair set — identical oracle
+    "stream_dedup_incremental" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+        |             FROM documents),
+        |sig AS (SELECT doc_id, lang, s AS seed,
+        |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
+        |        FROM tok, unnest(generate_series(0, 7)) t(s)
+        |        GROUP BY doc_id, lang, s),
+        |band AS (SELECT doc_id, lang, seed // 2 AS band,
+        |           md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
+        |         FROM sig GROUP BY doc_id, lang, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM band a JOIN band b ON a.lang = b.lang AND a.band = b.band
+        |           AND a.bandkey = b.bandkey
+        |           AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |sets AS (SELECT doc_id, list(tk) AS tks FROM tok GROUP BY doc_id),
+        |v AS (SELECT d1, d2, len(list_intersect(sa.tks, sb.tks)) AS shared,
+        |        len(sa.tks) AS n1, len(sb.tks) AS n2
+        |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id)
+        |SELECT d1 AS d_new, d2 AS d_old,
+        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
+        |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+        |ORDER BY d_new, d_old""".stripMargin
   )
 }
