@@ -181,15 +181,25 @@ object Pipeline {
     // Incremental (daily-ingest) dedup: a NEW batch (doc_id % 5 = 0)
     // near-dup-checked against the EXISTING corpus only — candidates are
     // new×old band collisions, never old×old: the work of admitting a
-    // batch scales with the batch, not with the corpus. Same banding,
-    // first-match emission, and exact-Jaccard verify as the full run.
-    // Delegates to the same cross-set kernel the streaming admission
-    // fixture uses (incrementalPairs).
+    // batch scales with the batch, not with the corpus. Same banding
+    // (lshBands), first-match emission, and exact-Jaccard verify
+    // (verifyJaccard) as the full run; the side split filters the band
+    // rows directly on the id predicate — no extra scan or membership
+    // join. The streaming admission fixture runs the same helpers via
+    // [[incrementalPairs]], whose inputs arrive as separate relations.
     "dedup_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
-      incrementalPairs(s, docs.filter(col("doc_id") % 5 === 0),
-          docs.filter(col("doc_id") % 5 =!= 0))
-        .select(col("d_new"), col("d_old"), canon(col("jac")).as("jac_c"))
+      graft.catalyst.GraftExtensions.install(s)
+      val tok = tokens(Tables.documents(s, d)).localCheckpoint()
+      val bands = lshBands(tok)
+      val cand = lshSide(bands.filter(col("doc_id") % 5 === 0), 1)
+        .join(lshSide(bands.filter(col("doc_id") % 5 =!= 0), 2),
+          col("l1") === col("l2") && col("b1") === col("b2") &&
+            col("k1") === col("k2") && lshFirstMatch)
+        .select("d1", "d2")
+      verifyJaccard(Tables.documents(s, d), tok, cand)
+        .filter(col("jac") >= 0.5)
+        .select(col("d1").as("d_new"), col("d2").as("d_old"),
+          canon(col("jac")).as("jac_c"))
         .orderBy("d_new", "d_old")
     }),
 

@@ -281,19 +281,18 @@ object StreamOps {
       }
 
       val old = s.conf.get("spark.sql.shuffle.partitions", "200")
-      s.conf.set("spark.sql.shuffle.partitions", "1") // fixture-sized, see runToMemory
-      val q = ms.toDF().writeStream
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Update)
-        .foreachBatch(upsert)
-        .start()
       try {
-        ms.addData(b1.toSeq); q.processAllAvailable() // micro-batch 1
-        ms.addData(b2.toSeq); q.processAllAvailable() // micro-batch 2 merges
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", old)
-      }
+        s.conf.set("spark.sql.shuffle.partitions", "1") // fixture-sized, see runToMemory
+        val q = ms.toDF().writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update)
+          .foreachBatch(upsert)
+          .start()
+        try {
+          ms.addData(b1.toSeq); q.processAllAvailable() // micro-batch 1
+          ms.addData(b2.toSeq); q.processAllAvailable() // micro-batch 2 merges
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", old)
       s.read.parquet(stateDir)
         .filter(col("event_type") =!= "error") // tombstones removed at read
         .select(col("user_id").as("subject"), col("event_id"), col("ts_us"), col("event_type"))
@@ -344,42 +343,48 @@ object StreamOps {
     // The final pair set is exactly the batch operator's — same oracle.
     "stream_dedup_incremental" -> ((s, d) => {
       import s.implicits._
+      // bounded driver-side collect, like every MemoryStream fixture
+      // (oracle carries the same doc_id < 2000 bound)
       val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
-        .as[Doc].collect()
+        .filter(col("doc_id") < 2000).as[Doc].collect()
       val standing = docs.filter(_.doc_id % 5 != 0)
       val fresh = docs.filter(_.doc_id % 5 == 0)
       val corpusDir = scratchDir("graft_incr_corpus")
       val pairsDir = scratchDir("graft_incr_pairs")
       val ckpt = scratchDir("graft_incr_ckpt")
       val ms = MemoryStream[Doc](s)
-      val admit: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+      // idempotent under foreachBatch's at-least-once contract: every
+      // write is scoped to its batchId directory and OVERWRITES it, so a
+      // re-executed micro-batch replaces its own output instead of
+      // appending duplicates (the sibling feed sink gets the same
+      // guarantee from dynamic partition overwrite).
+      val admit: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, bid) => {
         val sp = batch.sparkSession
         val files = new java.io.File(corpusDir).listFiles()
-        val hasCorpus = files != null && files.nonEmpty
+        val hasCorpus = files != null && files.exists(_.getName != s"batch=$bid")
         val incoming = batch.localCheckpoint(true)
         if (hasCorpus) {
-          graft.ops.Pipeline
-            .incrementalPairs(sp, incoming, sp.read.parquet(corpusDir))
-            .withColumn("jac_c", floor(col("jac") * 10000).cast("long"))
-            .drop("jac")
-            .write.mode("append").parquet(pairsDir)
+          val corpus = sp.read.parquet(corpusDir)
+            .filter(col("batch") =!= bid).drop("batch")
+          graft.ops.Pipeline.incrementalPairs(sp, incoming, corpus)
+            .withColumn("jac_c", Tables.canon(col("jac"))).drop("jac")
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$bid")
         }
-        incoming.write.mode("append").parquet(corpusDir)
+        incoming.write.mode("overwrite").parquet(s"$corpusDir/batch=$bid")
       }
       val old = s.conf.get("spark.sql.shuffle.partitions", "200")
-      s.conf.set("spark.sql.shuffle.partitions", "2") // fixture-sized
-      val q = ms.toDF().writeStream
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Update)
-        .foreachBatch(admit)
-        .start()
       try {
-        ms.addData(standing.toSeq); q.processAllAvailable() // corpus lands
-        ms.addData(fresh.toSeq); q.processAllAvailable()    // batch admitted
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", old)
-      }
+        s.conf.set("spark.sql.shuffle.partitions", "2") // fixture-sized
+        val q = ms.toDF().writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update)
+          .foreachBatch(admit)
+          .start()
+        try {
+          ms.addData(standing.toSeq); q.processAllAvailable() // corpus lands
+          ms.addData(fresh.toSeq); q.processAllAvailable()    // batch admitted
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", old)
       s.read.parquet(pairsDir)
         .select(col("d_new"), col("d_old"), col("jac_c"))
         .orderBy("d_new", "d_old")
@@ -430,7 +435,7 @@ object StreamOps {
     // dedup_incremental pair set — identical oracle
     "stream_dedup_incremental" ->
       """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
-        |             FROM documents),
+        |             FROM documents WHERE doc_id < 2000),
         |sig AS (SELECT doc_id, lang, s AS seed,
         |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
         |        FROM tok, unnest(generate_series(0, 7)) t(s)
