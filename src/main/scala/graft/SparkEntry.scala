@@ -27,6 +27,7 @@ object SparkEntry {
       (SampleOps.queries, SampleOps.oracles),
       (AnalyticsOps.queries, AnalyticsOps.oracles),
       (TimeOps.queries, TimeOps.oracles),
+      (FeatureOps.queries, FeatureOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

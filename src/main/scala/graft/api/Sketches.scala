@@ -59,6 +59,47 @@ object Sketches {
       .withColumnRenamed("_graft_item", "item")
   }
 
+  /** K-minimum-values distinct-count sketch per group: among the
+    * md5-derived uniforms of the group's distinct `id`s, the k-th
+    * smallest value `u_k` estimates the distinct count as `(k−1)/u_k`
+    * (the classic KMV estimator). Built exclusively from
+    * [[Sampling.hashUniform]], so — unlike HLL — the estimate is
+    * bit-reproducible by any independent SQL engine, which puts a
+    * *sketch* under a differential oracle.
+    *
+    * Returns one row per group: `(group, n_exact, est)`; groups with
+    * fewer than `k` distinct ids fall back to the exact count (the KMV
+    * buffer isn't full — the sketch IS the exact set).
+    *
+    * Scale shape: one distinct shuffle on `(group, id)`, then the
+    * k-smallest per group via the salted two-phase top-k (phase 1 keeps
+    * each (group, salt) shard's local top-k; phase 2 ranks only the
+    * ≤ k·nSalts survivors) — a group's full id set never sorts in a
+    * single window partition. At 100 TB the per-group state is k rows. */
+  def kmvDistinct(df: DataFrame, group: Column, id: Column, k: Int = 32,
+                  nSalts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = df.select(group.as("_graft_g"), id.as("_graft_id")).distinct()
+      .withColumn("_graft_u", Sampling.hashUniform(col("_graft_id")))
+      .withColumn("_graft_salt", pmod(hash(col("_graft_id")), lit(nSalts)))
+    val wLocal = Window.partitionBy(col("_graft_g"), col("_graft_salt"))
+      .orderBy(col("_graft_u"), col("_graft_id"))
+    val wGroup = Window.partitionBy(col("_graft_g"))
+      .orderBy(col("_graft_u"), col("_graft_id"))
+    val exact = dist.groupBy("_graft_g").agg(count(lit(1)).as("n_exact"))
+    val kth = dist
+      .withColumn("_graft_lrk", row_number().over(wLocal))
+      .filter(col("_graft_lrk") <= k)
+      .withColumn("_graft_rk", row_number().over(wGroup))
+      .filter(col("_graft_rk") === k)
+      .select(col("_graft_g"), col("_graft_u").as("_graft_uk"))
+    exact.join(kth, Seq("_graft_g"), "left")
+      .select(col("_graft_g").as("group"), col("n_exact"),
+        when(col("_graft_uk").isNotNull,
+            lit((k - 1).toDouble) / col("_graft_uk"))
+          .otherwise(col("n_exact").cast("double")).as("est"))
+  }
+
   /** Bloom bit set of `build`'s keys: the distinct `(seed, slot)` pairs
     * occupied by `k` md5-derived positions per key in a `16^slotHexChars`-
     * slot space. At most `k·16^slotHexChars` rows regardless of build

@@ -1,0 +1,273 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.api.{Sampling, Sketches}
+import graft.io.Tables
+import graft.io.Tables.canon100
+
+/** §2.17 feature-extraction & cohort operators — the statistics an
+  * embedding-training / analytics pipeline derives from the corpus and the
+  * event feed: word co-occurrence PMI (the word2vec/GloVe input statistic),
+  * per-document TF-IDF feature terms, semantic (kmeans-cell-blocked)
+  * embedding dedup, a KMV distinct-count sketch that is bit-reproducible —
+  * so, unlike HLL, oracle-checkable — and weekly cohort retention.
+  * All oracle-checked; every ranking orders by pre-quantized integers, so
+  * no float ever decides a row's presence or position.
+  *
+  * Scale shapes:
+  *  - PMI: counts reduce to VOCABULARY-sized relations before any join;
+  *    the per-language totals row set is |langs| and broadcast; the top-k
+  *    window runs over the filtered pair-count table, never instances.
+  *  - TF-IDF: document-frequency is one vocab-keyed aggregate joined back
+  *    to per-doc term counts (auto-broadcast here; a vocab-keyed shuffle
+  *    at 100 TB); the per-doc window partitions by doc_id.
+  *  - semantic dedup: the kmeans assignment is a ×k broadcast of 8
+  *    centroids; pairs join only WITHIN a cell — candidate volume is
+  *    bounded by cell sizes, never corpus², same as IVF search.
+  *  - KMV: per-group state is k rows regardless of data volume (see
+  *    [[graft.api.Sketches.kmvDistinct]]).
+  *  - cohort retention: one min-aggregate per user, a user-keyed join
+  *    back (co-partitioned with the aggregate), one distinct, one count.
+  */
+object FeatureOps {
+
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** ln of a ratio of exact BIGINT products — both engines compute the
+    * integer numerator/denominator exactly, one double division, one ln:
+    * bit-identical across Spark and DuckDB. At 100 TB the products
+    * overflow int64 and the sum-of-logs form (ln a + ln b − …) replaces
+    * this; the fixture corpus stays far inside the exact-integer range,
+    * which is what makes the oracle hash-match. */
+  private def lnRatio(num: org.apache.spark.sql.Column,
+                      den: org.apache.spark.sql.Column) =
+    log(num.cast("double") / den.cast("double"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Word co-occurrence PMI per language: adjacent word pairs (the
+    // native word_bigrams kernel) vs unigram frequencies;
+    // pmi = ln(p(a,b) / (p(a)·p(b))) computed as one ln of a ratio of
+    // exact integer products. Top-20 pairs per language by the INTEGER
+    // pair count (never by the float pmi), pmi floor-canonicalized.
+    "cooccur_pmi" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val docs = Tables.documents(s, d)
+      val uni = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c_w"))
+      val uniTot = uni.groupBy("lang").agg(sum("c_w").as("tot_u"))
+      val bi = docs
+        .select(col("lang"),
+          explode(call_function("word_bigrams", col("text"))).as("bg"))
+        .groupBy("lang", "bg").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      val biTot = docs
+        .select(col("lang"),
+          explode(call_function("word_bigrams", col("text"))).as("bg"))
+        .groupBy("lang").agg(count(lit(1)).as("tot_b"))
+      val ua = uni.select(col("lang"), col("w").as("w1"), col("c_w").as("c_a"))
+      val ub = uni.select(col("lang"), col("w").as("w2"), col("c_w").as("c_b"))
+      val scored = bi
+        .join(ua, Seq("lang", "w1")).join(ub, Seq("lang", "w2"))
+        .join(broadcast(uniTot), Seq("lang"))
+        .join(broadcast(biTot), Seq("lang"))
+        .withColumn("pmi_c", canon100(lnRatio(
+          col("c_ab") * col("tot_u") * col("tot_u"),
+          col("tot_b") * col("c_a") * col("c_b"))))
+      val w = Window.partitionBy("lang").orderBy(col("c_ab").desc, col("bg"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+        .select(col("lang"), col("bg"), col("c_ab"), col("pmi_c"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // Per-document TF-IDF feature terms: corpus-wide document frequency
+    // and doc count; per doc (doc_id < 500 — extraction slice; the
+    // STATISTICS stay corpus-wide) the top-3 terms by floor-quantized
+    // tf·ln(N/df), ranked on the quantized integer with the token as
+    // tiebreak.
+    "tfidf_vectorize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val inst = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      val dfTab = inst.select(col("doc_id"), col("tk")).distinct()
+        .groupBy("tk").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = inst.filter(col("doc_id") < 500)
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(dfTab, Seq("tk"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score_c", canon100(
+          col("tf") * log(col("n_docs").cast("double") / col("df").cast("double"))))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_c").desc, col("tk"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("tk"), col("tf"), col("df"), col("score_c"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Semantic near-dup via learned blocking: assign every embedding to
+    // its nearest kmeans centroid (centroids = vec_id < 8, the same
+    // coarse quantizer as kmeans_assign_step / IVF), then exact
+    // cosine ≥ 0.35 pairs WITHIN each cell. Cross-cell near-dups are
+    // missed by design — that is the ANN trade the blocking buys; the
+    // unblocked LSH variant (dedup_embedding_lsh) covers the other end.
+    "dedup_semantic_block" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val sqd = call_function("vec_sqdist", col("embedding"), col("cvec"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"),
+          struct(sqd.as("sqd"), col("cid").as("cid")).as("wst"))
+        .groupBy("vec_id").agg(min(col("wst")).as("wst"))
+        .select(col("vec_id"), col("wst.cid").as("cid"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .withColumn("nrm",
+          sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+      val a = assigned.select(col("cid"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("nrm1"))
+      val b = assigned.select(col("cid"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("nrm").as("nrm2"))
+      a.join(b, Seq("cid")).filter(col("v1") < col("v2"))
+        .withColumn("cos",
+          call_function("vec_dot", col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
+        .filter(col("cos") >= 0.35)
+        .select(col("cid"), col("v1"), col("v2"), Tables.canon(col("cos")).as("cos_c"))
+        .orderBy("v1", "v2")
+    }),
+
+    // KMV distinct-count sketch per event_type, next to the exact count:
+    // est = (k−1)/u_k from md5-derived uniforms — a SKETCH whose estimate
+    // hash-matches an independent engine, unlike approx_count_distinct
+    // (which is why agg_approx_distinct is the one no-oracle query).
+    "distinct_kmv_sketch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Sketches.kmvDistinct(ev, col("event_type"), col("user_id"), k = 32)
+        .select(col("group").as("event_type"), col("n_exact"),
+          canon100(col("est")).as("est_c"))
+        .orderBy("event_type")
+    }),
+
+    // Weekly cohort retention: users cohorted by first-activity week,
+    // every (cohort_week, weeks-since) cell counts the cohort's users
+    // active that week — the engagement matrix every analytics stack
+    // derives from an event feed.
+    "cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $WeekUs").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val active = ev.distinct()
+      active.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_off"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "wk_off")
+    })
+  )
+
+  private def hexDecodeSql(m: String): String =
+    (1 to 6).map { i =>
+      val mult = 1L << (4 * (6 - i))
+      s"(CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN ascii(substr($m, $i, 1)) - 87 " +
+        s"ELSE ascii(substr($m, $i, 1)) - 48 END) * $mult"
+    }.mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "cooccur_pmi" ->
+      """WITH toks AS (SELECT lang, str_split(text, ' ') AS ts FROM documents),
+        |uni AS (SELECT lang, unnest(ts) AS w FROM toks),
+        |uc AS (SELECT lang, w, count(*) AS c_w FROM uni GROUP BY lang, w),
+        |ut AS (SELECT lang, sum(c_w) AS tot_u FROM uc GROUP BY lang),
+        |bi AS (SELECT lang, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS bg FROM toks),
+        |bc AS (SELECT lang, bg, count(*) AS c_ab FROM bi GROUP BY lang, bg
+        |       HAVING count(*) >= 5),
+        |bt AS (SELECT lang, count(*) AS tot_b FROM bi GROUP BY lang),
+        |j AS (SELECT bc.lang, bc.bg, bc.c_ab,
+        |    CAST(floor(ln(CAST(bc.c_ab * ut.tot_u * ut.tot_u AS DOUBLE) /
+        |      CAST(bt.tot_b * ua.c_w * ub.c_w AS DOUBLE)) * 100) AS BIGINT) AS pmi_c
+        |  FROM bc
+        |  JOIN uc ua ON ua.lang = bc.lang AND ua.w = str_split(bc.bg, ' ')[1]
+        |  JOIN uc ub ON ub.lang = bc.lang AND ub.w = str_split(bc.bg, ' ')[2]
+        |  JOIN ut ON ut.lang = bc.lang
+        |  JOIN bt ON bt.lang = bc.lang),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY c_ab DESC, bg) AS INT) AS rk FROM j)
+        |SELECT lang, bg, c_ab, pmi_c, rk FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
+
+    "tfidf_vectorize" ->
+      """WITH inst AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tk
+        |    FROM documents),
+        |dfq AS (SELECT tk, count(*) AS df FROM
+        |    (SELECT DISTINCT doc_id, tk FROM inst) GROUP BY tk),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, tk, count(*) AS tf FROM inst
+        |    WHERE doc_id < 500 GROUP BY doc_id, tk),
+        |sc AS (SELECT tf.doc_id, tf.tk, tf.tf, dfq.df,
+        |    CAST(floor(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) /
+        |      CAST(dfq.df AS DOUBLE)) * 100) AS BIGINT) AS score_c
+        |  FROM tf JOIN dfq ON tf.tk = dfq.tk CROSS JOIN nd),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_c DESC, tk) AS INT) AS rk FROM sc)
+        |SELECT doc_id, tk, tf, df, score_c, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "dedup_semantic_block" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |    WHERE vec_id < 8),
+        |a AS (SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+        |           (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))),
+        |      (x, y) -> x + y) AS sqd
+        |  FROM embeddings e CROSS JOIN c),
+        |m AS (SELECT vec_id, min(sqd) AS msqd FROM a GROUP BY vec_id),
+        |pick AS (SELECT a.vec_id, min(a.cid) AS cid
+        |  FROM a JOIN m ON a.vec_id = m.vec_id AND a.sqd = m.msqd
+        |  GROUP BY a.vec_id),
+        |av AS (SELECT p.vec_id, p.cid, e.embedding,
+        |    sqrt(list_reduce(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        |  FROM pick p JOIN embeddings e ON p.vec_id = e.vec_id),
+        |pr AS (SELECT x.cid, x.vec_id AS v1, y.vec_id AS v2,
+        |    list_reduce(list_transform(generate_series(1, len(x.embedding)),
+        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+        |      (p, q) -> p + q) / (x.nrm * y.nrm) AS cos
+        |  FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+        |SELECT cid, v1, v2, CAST(floor(cos * 10000) AS BIGINT) AS cos_c
+        |FROM pr WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin,
+
+    "distinct_kmv_sketch" -> {
+      val hv = hexDecodeSql("m")
+      s"""WITH dist AS (SELECT DISTINCT event_type, user_id FROM events),
+        |u AS (SELECT event_type, user_id,
+        |    md5(CAST(user_id AS VARCHAR)) AS m FROM dist),
+        |h AS (SELECT event_type, user_id,
+        |    CAST($hv + 1 AS DOUBLE) / 16777217.0 AS uv FROM u),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY uv, user_id) AS rn FROM h),
+        |kth AS (SELECT event_type, uv AS u_k FROM r WHERE rn = 32),
+        |ex AS (SELECT event_type, count(*) AS n_exact FROM dist
+        |    GROUP BY event_type)
+        |SELECT ex.event_type, ex.n_exact,
+        |  CAST(floor(coalesce(31.0 / kth.u_k, CAST(ex.n_exact AS DOUBLE)) * 100)
+        |    AS BIGINT) AS est_c
+        |FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type
+        |ORDER BY ex.event_type""".stripMargin
+    },
+
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+        |    FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT c.cohort_wk, a.wk - c.cohort_wk AS wk_off,
+        |  count(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_wk, wk_off
+        |ORDER BY cohort_wk, wk_off""".stripMargin
+  )
+}

@@ -29,7 +29,9 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "rank_tfidf",       // × single-row corpus-stats aggregate
     "rank_bm25",        // × single-row corpus-stats aggregate
     "kmeans_assign_step", // × k=8 centroid table
-    "zorder_layout"     // × single-row max(l_partkey), max(l_suppkey) row
+    "zorder_layout",    // × single-row max(l_partkey), max(l_suppkey) row
+    "tfidf_vectorize",  // × single-row corpus doc-count aggregate
+    "dedup_semantic_block" // × k=8 centroid table (kmeans blocking assign)
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
