@@ -239,6 +239,45 @@ object StreamOps {
         .orderBy("subject")
     }),
 
+    // Stream-stream interval join: for every purchase, the same user's
+    // clicks within the preceding hour — joined ACROSS micro-batches with
+    // watermark-bounded state on both sides (the attribution join a live
+    // feed pipeline runs; at-least-once arrival README.md:113 means the
+    // two sides interleave arbitrarily). Both sides carry a 30-minute
+    // watermark and the join condition bounds event time in both
+    // directions, so each side's state evicts once the other side's
+    // watermark passes its window — bounded state at 100 TB, keyed by
+    // user. Fed as two micro-batches split at the median TIMESTAMP:
+    // batch-2 purchases (ts ≥ median) still find their batch-1 clicks
+    // (ts ≥ p − 1h > median − 90min = the eviction floor) — real
+    // cross-batch join state, deterministic output.
+    "stream_join_interval" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val clicks = ms.toDF()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          timestamp_micros(col("ts_us")).as("c_ets"), col("ts_us").as("c_us"))
+        .withWatermark("c_ets", "30 minutes")
+      val purchases = ms.toDF()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("user_id"),
+          timestamp_micros(col("ts_us")).as("p_ets"), col("ts_us").as("p_us"))
+        .withWatermark("p_ets", "30 minutes")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ets") >= col("p_ets") - expr("interval 1 hour") &&
+          col("c_ets") <= col("p_ets"))
+        .select(col("p_id"), col("c_id"), col("user_id"), col("p_us"), col("c_us"))
+      runToMemory(s, joined, freshName("sjoin"), OutputMode.Append) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: join state carries over
+        ms.addData(b2.toSeq)
+      }.orderBy("p_id", "c_id")
+    }),
+
     // Feed sink (README.md:176): foreachBatch materializes the compacted
     // read model to parquet each micro-batch — upsert via dynamic
     // partition overwrite of only the subject-hash buckets the batch
@@ -416,6 +455,19 @@ object StreamOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id < 20000) t
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY subject""".stripMargin,
+
+    // the watermarked stream-stream join lands exactly the batch
+    // interval-join pair set (no valid pair is evicted: see the
+    // split-at-median-timestamp margin analysis at the query)
+    "stream_join_interval" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+        |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND p.event_id < 20000 AND c.event_id < 20000
+        |ORDER BY p_id, c_id""".stripMargin,
 
     "stream_feed_sink" ->
       """SELECT user_id AS subject, event_id, epoch_us(ts) AS ts_us, event_type

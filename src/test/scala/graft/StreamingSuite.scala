@@ -120,6 +120,55 @@ class StreamingSuite extends AnyFunSuite {
     assert(out === Map(h0 -> 5L, (h0 + hour) -> 5L))
   }
 
+  test("stream-stream interval join ≡ batch interval join, with cross-batch pairs") {
+    val out = StreamOps.queries("stream_join_interval")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    val ev = graft.io.Tables.events(spark, TestSpark.sfDir)
+      .filter(col("event_id") < StreamOps.ReplayBound)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts_us").as("c_us"))
+    val expected = p.join(c, "user_id")
+      .filter(col("c_us") >= col("p_us") - 3600000000L && col("c_us") <= col("p_us"))
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    assert(out === expected, "stream-stream join must land the exact batch pair set")
+    assert(out.nonEmpty)
+  }
+
+  test("stream-stream join state carries across micro-batches (planted)") {
+    import spark.implicits._
+    val base = 1700000000000000L
+    val min = 60000000L
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    val clicks = ms.toDF().filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        timestamp_micros(col("ts_us")).as("c_ets"))
+      .withWatermark("c_ets", "30 minutes")
+    val purchases = ms.toDF().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("p_ets"))
+      .withWatermark("p_ets", "30 minutes")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ets") >= col("p_ets") - expr("interval 1 hour") &&
+        col("c_ets") <= col("p_ets"))
+      .select(col("p_id"), col("c_id"))
+    val out = StreamOps.runToMemory(spark, joined, "sjoin_planted", OutputMode.Append) { q =>
+      // batch 1: two clicks — one joinable (30 min before the purchase),
+      // one outside the 1h window (2h before)
+      ms.addData(Seq(
+        StreamOps.Ev(1, base - 120 * min, 7, "click", 1.0),
+        StreamOps.Ev(2, base - 30 * min, 7, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: the purchase arrives a micro-batch later — the matching
+      // click must still be in join state
+      ms.addData(Seq(StreamOps.Ev(3, base, 7, "purchase", 1.0)))
+    }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((3L, 2L)),
+      "cross-batch pair must join; out-of-window click must not")
+  }
+
   test("feed sink upsert across batches ≡ batch compaction (stream_feed_sink)") {
     // the full operator runs inside the query function; parity vs the batch
     // read model at sf0.001
