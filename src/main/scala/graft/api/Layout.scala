@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout API for scan efficiency at scale: Z-order (Morton) curve
@@ -37,5 +37,28 @@ object Layout {
     val d = dim.withColumn("_graft_salt",
       explode(sequence(lit(0), lit(nSalts - 1)))).hint("shuffle_hash")
     f.join(d, Seq(key, "_graft_salt")).drop("_graft_salt")
+  }
+
+  /** Materialize `df` as a bucketed + bucket-sorted catalog table (an
+    * EXTERNAL table under a scratch path, so the session's warehouse dir
+    * is never touched) and return it as read through the catalog. Two
+    * tables bucketed the same way on their join key sort-merge-join with
+    * NO shuffle exchange on either side — the co-located-join layout a
+    * 100 TB star schema is stored in, where re-shuffling the fact table
+    * on every query is the dominant cost. Idempotent per (session,
+    * name): the write happens once, later calls read the existing table.
+    */
+  def bucketedTable(spark: SparkSession, df: => DataFrame, name: String,
+                    bucketCol: String, nBuckets: Int = 16): DataFrame = {
+    if (!spark.catalog.tableExists(name)) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_bucketed_$name").toString
+      df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(nBuckets, bucketCol)
+        .sortBy(bucketCol)
+        .saveAsTable(name)
+    }
+    spark.table(name)
   }
 }

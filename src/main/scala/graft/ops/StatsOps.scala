@@ -179,6 +179,32 @@ object StatsOps {
         .agg(count(lit(1)).as("n_ev"),
           sum(floor(col("value") * lit(10000.0))).cast("long").as("rev_c"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Bucketed co-located join: orders and lineitem stored bucketed +
+    // sorted on the join key (16 buckets) sort-merge-join with NO shuffle
+    // exchange on either side — the layout a 100 TB star schema persists
+    // so the fact table is never re-shuffled per query. The merge hint
+    // pins SMJ (broadcast would also skip the exchange, proving nothing);
+    // the shuffle-free plan is asserted in PlanSuite. Result is the plain
+    // join (oracle = unbucketed SQL); the one-time bucketed write is the
+    // fixture's stand-in for the warehouse's ingest-time layout job.
+    "join_bucketed" -> ((s, d) => {
+      val suf = math.abs(d.hashCode).toString
+      val o = Layout.bucketedTable(s,
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        s"graft_bkt_orders_$suf", "o_orderkey")
+      val l = Layout.bucketedTable(s,
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"graft_bkt_lineitem_$suf", "l_orderkey")
+      o.hint("merge")
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long")).as("rev_c"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -323,6 +349,14 @@ object StatsOps {
       """SELECT c_mktsegment, count(*) AS n_ev,
         |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS rev_c
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the bucketed layout changes the PLAN, never the result
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |    AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

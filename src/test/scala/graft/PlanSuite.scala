@@ -67,6 +67,15 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("join_bucketed sort-merge-joins with no exchange below the join") {
+    val p = planOf("join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(p.contains("Bucketed: true"), s"scans must read the bucketed layout:\n$p")
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange"),
+      s"co-located bucketed join must not shuffle either side:\n$p")
+  }
+
   test("vector ops keep the native kernels in the plan (no interpreted HOF folds)") {
     val p = planOf("vec_knn_brute")
     assert(p.contains("vec_sqdist"), s"kNN must use the native distance kernel:\n$p")
