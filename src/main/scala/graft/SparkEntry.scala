@@ -28,6 +28,7 @@ object SparkEntry {
       (AnalyticsOps.queries, AnalyticsOps.oracles),
       (TimeOps.queries, TimeOps.oracles),
       (FeatureOps.queries, FeatureOps.oracles),
+      (GraphOps.queries, GraphOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

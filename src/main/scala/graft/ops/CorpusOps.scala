@@ -102,6 +102,24 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // Training-shard manifests: docs assigned round-robin to 64 shards in
+    // the deterministic md5 shuffle order, then each shard's manifest row
+    // — doc count, token budget, id range — the bookkeeping a distributed
+    // trainer reads before it opens a single shard file. Reuses the
+    // scale-safe 2-pass shuffle rank; shard aggregation is one
+    // 64-group shuffle.
+    "train_shard_manifest" -> ((s, d) => {
+      graft.api.Corpus.shuffleOrder(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .withColumn("shard", expr("(shuffle_pos - 1) % 64"))
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
+
     // int8 embedding quantization: per-vector max-abs scale, q_i =
     // floor(x_i·127/maxabs) — floor, never round (determinism rule); the
     // checksums (sum of q, saturation count) are integer-exact.
@@ -199,6 +217,17 @@ object CorpusOps {
         |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
         |    AS shuffle_pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "train_shard_manifest" ->
+      """WITH r AS (SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok,
+        |    (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      - 1) % 64 AS shard
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
 
     "vec_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

@@ -181,6 +181,30 @@ object StatsOps {
         .orderBy("c_mktsegment")
     }),
 
+    // Robust outlier screen per event type: exact median, median absolute
+    // deviation (the robust spread measure a monitoring pipeline uses
+    // where stddev is hostage to the outliers it's hunting), and the
+    // count of |x − med| > 3·MAD rows. Spark `percentile` ≡ DuckDB
+    // `quantile_cont` ([verified], SURVEY §2.3); the median/MAD rows are
+    // |types|-sized and broadcast back to the data.
+    "anomaly_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_out"),
+          canon(first(col("med"))).as("med_c"),
+          canon(first(col("mad"))).as("mad_c"))
+        .orderBy("event_type")
+    }),
+
     // Bucketed co-located join: orders and lineitem stored bucketed +
     // sorted on the join key (16 buckets) sort-merge-join with NO shuffle
     // exchange on either side — the layout a 100 TB star schema persists
@@ -350,6 +374,21 @@ object StatsOps {
         |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS rev_c
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "anomaly_mad" ->
+      """WITH md AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |    FROM events GROUP BY event_type),
+        |dv AS (SELECT e.event_type, abs(e.value - md.med) AS adev, md.med
+        |  FROM events e JOIN md ON e.event_type = md.event_type),
+        |ma AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dv GROUP BY event_type)
+        |SELECT dv.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN dv.adev > 3.0 * ma.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_out,
+        |  CAST(floor(min(dv.med) * 10000) AS BIGINT) AS med_c,
+        |  CAST(floor(min(ma.mad) * 10000) AS BIGINT) AS mad_c
+        |FROM dv JOIN ma ON dv.event_type = ma.event_type
+        |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin,
 
     // the bucketed layout changes the PLAN, never the result
     "join_bucketed" ->

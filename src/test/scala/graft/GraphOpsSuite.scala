@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the §2.18 graph/robust-stats/shard operators,
+  * checked against independent driver-side recomputation.
+  */
+class GraphOpsSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+  import spark.implicits._
+
+  /** Driver-side rebuild of the co-purchase edge list (directed, both
+    * ways), independent of the operator's join plan. */
+  private lazy val edges: Seq[(Long, Long)] = {
+    val op = graft.io.Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toVector
+    val und = op.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    (und ++ und.map { case (u, v) => (v, u) }).toSeq
+  }
+
+  test("graph_pagerank_step matches brute-force recomputation") {
+    val out = SparkEntry.queries("graph_pagerank_step")(spark, d)
+      .select("part", "n_nbr", "pr_c").as[(Long, Long, Long)].collect()
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val contrib = deg.map { case (u, dg) => u -> 1000000L / dg }
+    val score = edges.groupBy(_._2).map { case (v, es) =>
+      val s = es.map(e => contrib(e._1)).sum
+      v -> (es.size.toLong, 150000L + s * 85L / 100L)
+    }
+    val expected = score.toSeq
+      .map { case (v, (nn, pc)) => (v, nn, pc) }
+      .sortBy { case (v, _, pc) => (-pc, v) }.take(30)
+    assert(out.toSeq == expected)
+  }
+
+  test("graph_degree_stats: histogram sums to node count; Σ deg·n = |directed edges|") {
+    val out = SparkEntry.queries("graph_degree_stats")(spark, d)
+      .select("deg", "n_nodes").as[(Long, Long)].collect()
+    val nodes = edges.map(_._1).distinct.size
+    assert(out.map(_._2).sum == nodes)
+    assert(out.map { case (dg, n) => dg * n }.sum == edges.size)
+  }
+
+  test("anomaly_mad: outliers bounded; median/MAD match driver recomputation") {
+    val out = SparkEntry.queries("anomaly_mad")(spark, d).collect()
+    assert(out.nonEmpty)
+    val vals = graft.io.Tables.events(spark, d)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    def q50(a: Seq[Double]): Double = {
+      val h = 0.5 * (a.length - 1)
+      val l = h.toInt
+      if (l + 1 < a.length) a(l) + (h - l) * (a(l + 1) - a(l)) else a(l)
+    }
+    out.foreach { r =>
+      val t = r.getString(0)
+      val (n, nOut) = (r.getLong(1), r.getLong(2))
+      assert(nOut <= n && n == vals(t).length)
+      val med = q50(vals(t))
+      val mad = q50(vals(t).map(v => math.abs(v - med)).sorted)
+      // driver float recompute can differ from Spark's percentile in the
+      // last ulp, which can flip the canon floor by one unit — exactness
+      // vs an independent engine is the DuckDB oracle's job
+      assert(math.abs(r.getLong(3) - math.floor(med * 10000).toLong) <= 1,
+        s"$t median canon ${r.getLong(3)} vs recomputed $med")
+      assert(math.abs(r.getLong(4) - math.floor(mad * 10000).toLong) <= 1,
+        s"$t MAD canon ${r.getLong(4)} vs recomputed $mad")
+      val nOutExp = vals(t).count(v => math.abs(v - med) > 3.0 * mad)
+      assert(nOut == nOutExp)
+    }
+  }
+
+  test("train_shard_manifest: shards partition the corpus round-robin") {
+    val out = SparkEntry.queries("train_shard_manifest")(spark, d)
+      .select("shard", "n_docs", "n_tokens").as[(Long, Long, Long)].collect()
+    val nDocs = graft.io.Tables.documents(spark, d).count()
+    assert(out.map(_._2).sum == nDocs)
+    assert(out.forall(r => r._1 >= 0 && r._1 < 64))
+    // round-robin balance: shard sizes differ by at most 1
+    val sizes = out.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    val totTok = graft.io.Tables.documents(spark, d)
+      .select(size(split($"text", " ")).cast("long")).as[Long].collect().sum
+    assert(out.map(_._3).sum == totTok)
+  }
+}

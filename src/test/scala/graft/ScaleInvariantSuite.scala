@@ -41,6 +41,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "win_ntile_dense",      // value-range histogram
     "corpus_mix_weights",   // (lang, length-bucket) relation
     "corpus_shuffle_order", // 4096-bucket key histogram
+    "train_shard_manifest", // same histogram via its shuffleOrder stage
     "quality_pipeline_e2e", // same histogram via its shuffleOrder stage
     "dedup_ngram_jaccard_prefix" // vocabulary-sized dictionary-encode rank
   )
