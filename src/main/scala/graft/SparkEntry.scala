@@ -29,6 +29,7 @@ object SparkEntry {
       (TimeOps.queries, TimeOps.oracles),
       (FeatureOps.queries, FeatureOps.oracles),
       (GraphOps.queries, GraphOps.oracles),
+      (MaintOps.queries, MaintOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.io.Tables.canon
+
+/** §2.19 fixed-memory quantiles, no-equi-key range join, CDC merge, and
+  * ANN quality evaluation — the maintenance & evaluation operators around
+  * a lakehouse-resident corpus. All oracle-checked; the quantile sketch
+  * and the range join are INTEGER-exact end to end (values quantized
+  * before any bucketing/compare), so not a single float decides a row.
+  *
+  * Scale shapes:
+  *  - quantile_hist: per-group state is a fixed 256-cell histogram —
+  *    the fixed-memory alternative to exact `percentile`'s full value
+  *    multiset; cumulative windows run over the 256-row histogram;
+  *  - join_range_banded: time-banding replaces the equi-key a pure range
+  *    join lacks — each probe row joins ≤ 3 band buckets instead of the
+  *    whole other side (the interval-join pattern when nothing equi
+  *    exists);
+  *  - cdc_merge_snapshot: latest-change-per-key is one map-side-
+  *    combinable max_by; the merge is a key-partitioned left join
+  *    (MERGE INTO's shuffle shape);
+  *  - ann_recall_eval: composes two library operators; the join is on
+  *    the tiny (query, neighbor) result sets.
+  */
+object MaintOps {
+
+  private val BandUs = 1800000000L // 30 minutes
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Fixed-memory quantile estimation per event type: values quantized
+    // to integer units, a 256-bucket equi-width histogram (pure integer
+    // bucket arithmetic), p50/p95/p99 read off the cumulative counts as
+    // bucket lower edges. Exact `percentile` sorts the full multiset;
+    // this keeps 256 cells per group no matter the data volume — and
+    // unlike t-digest/KLL the result is bit-reproducible (oracle-checked).
+    "quantile_hist" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), canon(col("value")).as("vi"))
+      val st = ev.groupBy("event_type")
+        .agg(min("vi").as("mn"), max("vi").as("mx"), count(lit(1)).as("n"))
+      val hist = ev.join(broadcast(st), "event_type")
+        .withColumn("bk", expr("((vi - mn) * 256) div (mx - mn + 1)"))
+        .groupBy("event_type", "bk").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("event_type").orderBy("bk")
+      val cum = hist.withColumn("cum", sum("c").over(wc))
+        .join(broadcast(st), "event_type")
+      def qb(p: Int): Column =
+        min(when(col("cum") * 100 >= col("n") * p, col("bk")))
+      cum.groupBy("event_type")
+        .agg(first("n").as("n"), qb(50).as("b50"), qb(95).as("b95"),
+          qb(99).as("b99"), first("mn").as("mn"), first("mx").as("mx"))
+        .select(col("event_type"), col("n"),
+          (col("mn") + expr("(b50 * (mx - mn + 1)) div 256")).as("est50_c"),
+          (col("mn") + expr("(b95 * (mx - mn + 1)) div 256")).as("est95_c"),
+          (col("mn") + expr("(b99 * (mx - mn + 1)) div 256")).as("est99_c"))
+        .orderBy("event_type")
+    }),
+
+    // Range join with NO equi key: every event within ±30 min of each
+    // error event, counted per error. Banding the timeline into 30-min
+    // buckets gives the equi key the join lacks — each error replicates
+    // to 3 adjacent buckets, each event sits in exactly ONE bucket (so a
+    // qualifying pair joins exactly once; no distinct needed), and the
+    // |Δt| ≤ 30 min residual runs only within colliding buckets. The
+    // naive form is an inequality cross join — quadratic at 100 TB.
+    "join_range_banded" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts_us"))
+      val err = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts_us").as("err_us"))
+      val errB = err.withColumn("bk",
+        explode(array((-1 to 1).map(i => expr(s"err_us div $BandUs") + i): _*)))
+      val evB = ev.withColumn("bk", expr(s"ts_us div $BandUs"))
+      evB.join(errB, "bk")
+        .filter(abs(col("ts_us") - col("err_us")) <= BandUs &&
+          col("event_id") =!= col("err_id"))
+        .groupBy("err_id").agg(count(lit(1)).as("n_nearby"))
+        .orderBy("err_id")
+    }),
+
+    // CDC merge (MERGE INTO shape): the event feed as a change stream
+    // against the customer snapshot — latest change per key wins, an
+    // 'error' change deletes the row, any other change updates the
+    // balance, untouched rows pass through. One max_by aggregate (map-
+    // side combinable: the 100 TB change log reduces before it shuffles)
+    // + one key-partitioned left join.
+    "cdc_merge_snapshot" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val ch = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("event_id"), col("event_type"), col("value")).as("st"))
+        .groupBy("user_id")
+        .agg(expr("max_by(st, st.event_id)").as("st"))
+        .select(col("user_id").as("c_custkey"),
+          col("st.event_type").as("ch_type"), col("st.value").as("ch_value"))
+      base.join(ch, Seq("c_custkey"), "left")
+        .filter(col("ch_type").isNull || col("ch_type") =!= "error")
+        .select(col("c_custkey"),
+          when(col("ch_type").isNotNull, 1L).otherwise(0L).as("updated"),
+          coalesce(canon(col("ch_value")), canon(col("c_acctbal"))).as("bal_c"))
+        .orderBy("c_custkey")
+    }),
+
+    // ANN quality evaluation: recall@5 of the IVF nprobe=1 search against
+    // the brute-force ground truth, per query — the acceptance gate any
+    // approximate index must pass before it replaces the exact path.
+    // Composes the two library operators; also reports the summed
+    // distance of each list (the distance-inflation signal).
+    "ann_recall_eval" -> ((s, d) => {
+      val truth = LlmOps.queries("vec_knn_brute")(s, d)
+        .select(col("qid"), col("vec_id"), col("dist_c").as("td"))
+      val approx = Pipeline.queries("ann_ivf_topk")(s, d)
+        .select(col("qid"), col("vec_id"), col("dist_c").as("ad"))
+      truth
+        .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+          sum("td").as("sum_truth_c"))
+        .join(approx.groupBy("qid").agg(sum("ad").as("sum_ann_c")), Seq("qid"))
+        .orderBy("qid")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "quantile_hist" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vi FROM events),
+        |st AS (SELECT event_type, min(vi) AS mn, max(vi) AS mx,
+        |    count(*) AS n FROM v GROUP BY event_type),
+        |h AS (SELECT v.event_type, ((vi - mn) * 256) // (mx - mn + 1) AS bk,
+        |    count(*) AS c
+        |  FROM v JOIN st ON v.event_type = st.event_type
+        |  GROUP BY v.event_type, bk),
+        |cu AS (SELECT event_type, bk,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bk) AS cum FROM h),
+        |q AS (SELECT cu.event_type,
+        |    min(CASE WHEN cum * 100 >= n * 50 THEN bk END) AS b50,
+        |    min(CASE WHEN cum * 100 >= n * 95 THEN bk END) AS b95,
+        |    min(CASE WHEN cum * 100 >= n * 99 THEN bk END) AS b99
+        |  FROM cu JOIN st ON cu.event_type = st.event_type
+        |  GROUP BY cu.event_type)
+        |SELECT q.event_type, st.n,
+        |  CAST(mn + (b50 * (mx - mn + 1)) // 256 AS BIGINT) AS est50_c,
+        |  CAST(mn + (b95 * (mx - mn + 1)) // 256 AS BIGINT) AS est95_c,
+        |  CAST(mn + (b99 * (mx - mn + 1)) // 256 AS BIGINT) AS est99_c
+        |FROM q JOIN st ON q.event_type = st.event_type
+        |ORDER BY q.event_type""".stripMargin,
+
+    "join_range_banded" ->
+      """SELECT err.event_id AS err_id, count(*) AS n_nearby
+        |FROM events err JOIN events ev
+        |  ON abs(epoch_us(ev.ts) - epoch_us(err.ts)) <= 1800000000
+        |  AND ev.event_id <> err.event_id
+        |WHERE err.event_type = 'error'
+        |GROUP BY err_id ORDER BY err_id""".stripMargin,
+
+    "cdc_merge_snapshot" ->
+      """WITH ch AS (SELECT user_id,
+        |    arg_max(event_type, event_id) AS ch_type,
+        |    arg_max(value, event_id) AS ch_value
+        |  FROM events GROUP BY user_id)
+        |SELECT c_custkey,
+        |  CAST(CASE WHEN ch.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS updated,
+        |  CAST(coalesce(floor(ch_value * 10000), floor(c_acctbal * 10000))
+        |    AS BIGINT) AS bal_c
+        |FROM customer LEFT JOIN ch ON c_custkey = ch.user_id
+        |WHERE ch.user_id IS NULL OR ch_type <> 'error'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "ann_recall_eval" -> {
+      val knn = LlmOps.oracles("vec_knn_brute")
+      val ivf = Pipeline.oracles("ann_ivf_topk")
+      s"""WITH t AS ($knn),
+        |a AS ($ivf),
+        |hits AS (SELECT t.qid, t.vec_id, t.dist_c AS td,
+        |    CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM t LEFT JOIN a ON t.qid = a.qid AND t.vec_id = a.vec_id)
+        |SELECT h.qid, CAST(sum(h.hit) AS BIGINT) AS n_hit,
+        |  CAST(sum(h.td) AS BIGINT) AS sum_truth_c,
+        |  CAST(min(s.sa) AS BIGINT) AS sum_ann_c
+        |FROM hits h JOIN (SELECT qid, sum(dist_c) AS sa FROM a GROUP BY qid) s
+        |  ON h.qid = s.qid
+        |GROUP BY h.qid ORDER BY h.qid""".stripMargin
+    }
+  )
+}

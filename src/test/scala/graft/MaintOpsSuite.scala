@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the §2.19 maintenance/evaluation operators,
+  * checked against independent driver-side recomputation.
+  */
+class MaintOpsSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+  import spark.implicits._
+
+  test("quantile_hist: monotone estimates, inside range, within a bucket of exact") {
+    val out = SparkEntry.queries("quantile_hist")(spark, d).collect()
+    assert(out.nonEmpty)
+    val vals = graft.io.Tables.events(spark, d)
+      .select($"event_type", floor($"value" * 10000).cast("long")).as[(String, Long)]
+      .collect().groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    out.foreach { r =>
+      val t = r.getString(0)
+      val (e50, e95, e99) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(e50 <= e95 && e95 <= e99)
+      val vi = vals(t)
+      val (mn, mx) = (vi.head, vi.last)
+      assert(e50 >= mn && e99 <= mx)
+      // the estimator returns the lower edge of the bucket holding the
+      // k-th value, k = ceil(n·p/100) — within one bucket width of it
+      val width = (mx - mn + 1 + 255) / 256
+      def exact(p: Int) = vi(((vi.length.toLong * p + 99) / 100 - 1).toInt)
+      assert(math.abs(e50 - exact(50)) <= width, s"$t p50 $e50 vs ${exact(50)}")
+      assert(math.abs(e95 - exact(95)) <= width, s"$t p95 $e95 vs ${exact(95)}")
+      assert(math.abs(e99 - exact(99)) <= width, s"$t p99 $e99 vs ${exact(99)}")
+    }
+  }
+
+  test("join_range_banded ≡ brute-force ±30min neighbor counts") {
+    val out = SparkEntry.queries("join_range_banded")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    val ev = graft.io.Tables.events(spark, d)
+      .select($"event_id", $"ts_us", $"event_type")
+      .as[(Long, Long, String)].collect()
+    val expected = ev.filter(_._3 == "error").map { case (eid, eus, _) =>
+      eid -> ev.count { case (id, us, _) =>
+        id != eid && math.abs(us - eus) <= 1800000000L }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(out == expected)
+  }
+
+  test("cdc_merge_snapshot: deletes removed, updates applied, pass-through intact") {
+    val out = SparkEntry.queries("cdc_merge_snapshot")(spark, d)
+      .select("c_custkey", "updated", "bal_c").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val base = graft.io.Tables.customer(spark, d)
+      .select($"c_custkey", floor($"c_acctbal" * 10000).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val latest = graft.io.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type",
+        floor($"value" * 10000).cast("long"))
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (u, es) => u -> es.maxBy(_._2) }
+    base.foreach { case (k, bal) =>
+      latest.get(k) match {
+        case Some((_, _, "error", _)) => assert(!out.contains(k), s"$k not deleted")
+        case Some((_, _, _, v)) => assert(out(k) == (1L, v), s"$k not updated")
+        case None => assert(out(k) == (0L, bal), s"$k changed without a change row")
+      }
+    }
+    assert(out.keySet.subsetOf(base.keySet))
+  }
+
+  test("ann_recall_eval: recall ≤ 5 and ANN distance sum never beats the truth") {
+    val out = SparkEntry.queries("ann_recall_eval")(spark, d)
+      .select("qid", "n_hit", "sum_truth_c", "sum_ann_c")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 5)
+    out.foreach { case (q, hit, st, sa) =>
+      assert(hit >= 0 && hit <= 5, s"query $q recall out of range")
+      assert(sa >= st, s"query $q: approx sum $sa below exact optimum $st")
+    }
+  }
+}
