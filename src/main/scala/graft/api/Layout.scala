@@ -39,20 +39,43 @@ object Layout {
     f.join(d, Seq(key, "_graft_salt")).drop("_graft_salt")
   }
 
+  /** Scratch dirs created for bucketed tables, removed on JVM exit — the
+    * same cleanup discipline as the streaming fixtures' checkpoint dirs
+    * (a real deployment's bucketed tables live in the warehouse and are
+    * not scratch at all; only the fixture writes to temp space). */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private lazy val installCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { dir =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(dir)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }
+    }))
+
   /** Materialize `df` as a bucketed + bucket-sorted catalog table (an
-    * EXTERNAL table under a scratch path, so the session's warehouse dir
-    * is never touched) and return it as read through the catalog. Two
-    * tables bucketed the same way on their join key sort-merge-join with
-    * NO shuffle exchange on either side — the co-located-join layout a
-    * 100 TB star schema is stored in, where re-shuffling the fact table
-    * on every query is the dominant cost. Idempotent per (session,
-    * name): the write happens once, later calls read the existing table.
-    */
+    * EXTERNAL table under a scratch path removed on JVM exit, so the
+    * session's warehouse dir is never touched) and return it as read
+    * through the catalog. Two tables bucketed the same way on their join
+    * key sort-merge-join with NO shuffle exchange on either side — the
+    * co-located-join layout a 100 TB star schema is stored in, where
+    * re-shuffling the fact table on every query is the dominant cost.
+    * Idempotent per (session, name): the write happens once, later calls
+    * read the existing table — so `name` MUST uniquely identify the
+    * dataset (derive it from the full source path, not a hash of it). */
   def bucketedTable(spark: SparkSession, df: => DataFrame, name: String,
                     bucketCol: String, nBuckets: Int = 16): DataFrame = {
     if (!spark.catalog.tableExists(name)) {
+      installCleanupHook
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_bucketed_$name").toString
+      scratchDirs.add(path)
       df.write.mode("overwrite")
         .option("path", path)
         .bucketBy(nBuckets, bucketCol)

@@ -33,6 +33,19 @@ object Sampling {
     (h + lit(1.0)) / lit(16777217.0)
   }
 
+  /** SQL (DuckDB/ANSI) replica of [[hashUniform]]'s 6-hex-digit decode,
+    * for oracle generators: fixed-order integer sum of ascii-decoded digit
+    * values over `m` (an md5 hex string expression). Kept NEXT TO
+    * [[hashUniform]] so the two can never silently desynchronize — every
+    * oracle that checks a hashUniform-derived result must build its
+    * decode from here. */
+  def hexDecodeSql(m: String): String =
+    (1 to 6).map { i =>
+      val mult = 1L << (4 * (6 - i))
+      s"(CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN ascii(substr($m, $i, 1)) - 87 " +
+        s"ELSE ascii(substr($m, $i, 1)) - 48 END) * $mult"
+    }.mkString(" + ")
+
   /** Weighted sample without replacement (Efraimidis–Spirakis A-Res): each
     * row gets priority `-ln(u) / w` (u = [[hashUniform]] of `id`, w =
     * `weight`, clamped ≥ 1e-12) and the k smallest priorities win —

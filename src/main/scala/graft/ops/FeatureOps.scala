@@ -58,17 +58,17 @@ object FeatureOps {
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("c_w"))
       val uniTot = uni.groupBy("lang").agg(sum("c_w").as("tot_u"))
-      val bi = docs
+      // ONE bigram explode: totals come from the unfiltered pair counts
+      // (vocabulary-sized), exactly as uniTot derives from uni
+      val biAll = docs
         .select(col("lang"),
           explode(call_function("word_bigrams", col("text"))).as("bg"))
         .groupBy("lang", "bg").agg(count(lit(1)).as("c_ab"))
+      val biTot = biAll.groupBy("lang").agg(sum("c_ab").as("tot_b"))
+      val bi = biAll
         .filter(col("c_ab") >= 5)
         .withColumn("w1", split(col("bg"), " ").getItem(0))
         .withColumn("w2", split(col("bg"), " ").getItem(1))
-      val biTot = docs
-        .select(col("lang"),
-          explode(call_function("word_bigrams", col("text"))).as("bg"))
-        .groupBy("lang").agg(count(lit(1)).as("tot_b"))
       val ua = uni.select(col("lang"), col("w").as("w1"), col("c_w").as("c_a"))
       val ub = uni.select(col("lang"), col("w").as("w2"), col("c_w").as("c_b"))
       val scored = bi
@@ -167,13 +167,6 @@ object FeatureOps {
     })
   )
 
-  private def hexDecodeSql(m: String): String =
-    (1 to 6).map { i =>
-      val mult = 1L << (4 * (6 - i))
-      s"(CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN ascii(substr($m, $i, 1)) - 87 " +
-        s"ELSE ascii(substr($m, $i, 1)) - 48 END) * $mult"
-    }.mkString(" + ")
-
   def oracles: Map[String, String] = Map(
     "cooccur_pmi" ->
       """WITH toks AS (SELECT lang, str_split(text, ' ') AS ts FROM documents),
@@ -241,7 +234,7 @@ object FeatureOps {
         |FROM pr WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin,
 
     "distinct_kmv_sketch" -> {
-      val hv = hexDecodeSql("m")
+      val hv = Sampling.hexDecodeSql("m")
       s"""WITH dist AS (SELECT DISTINCT event_type, user_id FROM events),
         |u AS (SELECT event_type, user_id,
         |    md5(CAST(user_id AS VARCHAR)) AS m FROM dist),

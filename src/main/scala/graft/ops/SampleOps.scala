@@ -24,15 +24,10 @@ import graft.io.Tables.canon
   */
 object SampleOps {
 
-  /** Hex-decode SQL for the first 6 md5 digits (mirrors
-    * [[graft.api.Sampling.hashUniform]]): fixed-order integer sum of
-    * ascii-decoded digit values. */
+  /** Hex-decode SQL shared with every hashUniform oracle — single source
+    * next to the Spark-side decode it must mirror. */
   private def hexDecodeSql(m: String): String =
-    (1 to 6).map { i =>
-      val mult = 1L << (4 * (6 - i))
-      s"(CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN ascii(substr($m, $i, 1)) - 87 " +
-        s"ELSE ascii(substr($m, $i, 1)) - 48 END) * $mult"
-    }.mkString(" + ")
+    graft.api.Sampling.hexDecodeSql(m)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Weighted reservoir sample (Efraimidis–Spirakis A-Res): priority

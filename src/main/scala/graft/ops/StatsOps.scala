@@ -214,7 +214,9 @@ object StatsOps {
     // join (oracle = unbucketed SQL); the one-time bucketed write is the
     // fixture's stand-in for the warehouse's ingest-time layout job.
     "join_bucketed" -> ((s, d) => {
-      val suf = math.abs(d.hashCode).toString
+      // the full path (sanitized), NOT a hash of it: table names must be
+      // collision-proof per dataset within a session
+      val suf = d.replaceAll("[^A-Za-z0-9]", "_")
       val o = Layout.bucketedTable(s,
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
         s"graft_bkt_orders_$suf", "o_orderkey")

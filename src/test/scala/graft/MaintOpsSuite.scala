@@ -76,7 +76,10 @@ class MaintOpsSuite extends AnyFunSuite {
     assert(out.length == 5)
     out.foreach { case (q, hit, st, sa) =>
       assert(hit >= 0 && hit <= 5, s"query $q recall out of range")
-      assert(sa >= st, s"query $q: approx sum $sa below exact optimum $st")
+      // the inequality is exact on RAW distances (truth is the optimal
+      // 5-subset); per-entry floor-quantization can shave up to 1 unit
+      // from each of the 5 approx entries relative to the truth entries
+      assert(sa >= st - 5, s"query $q: approx sum $sa below exact optimum $st")
     }
   }
 }
