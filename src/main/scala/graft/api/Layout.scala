@@ -70,17 +70,27 @@ object Layout {
     * read the existing table — so `name` MUST uniquely identify the
     * dataset (derive it from the full source path, not a hash of it). */
   def bucketedTable(spark: SparkSession, df: => DataFrame, name: String,
-                    bucketCol: String, nBuckets: Int = 16): DataFrame = {
+                    bucketCol: String, nBuckets: Int = 16): DataFrame =
+    materialize(spark, name)(df.write.bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol))
+
+  /** Materialize `df` as a PARTITIONED external catalog table (same
+    * scratch/cleanup/idempotence contract as [[bucketedTable]]). Scans
+    * with predicates on `partCol` prune whole directories via
+    * `PartitionFilters` — at 100 TB the layout that turns a full-table
+    * scan into reading one partition's files. */
+  def partitionedTable(spark: SparkSession, df: => DataFrame, name: String,
+                       partCol: String): DataFrame =
+    materialize(spark, name)(df.write.partitionBy(partCol))
+
+  private def materialize(spark: SparkSession, name: String)(
+      writer: => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): DataFrame = {
     if (!spark.catalog.tableExists(name)) {
       installCleanupHook
       val path = java.nio.file.Files
-        .createTempDirectory(s"graft_bucketed_$name").toString
+        .createTempDirectory(s"graft_tbl_$name").toString
       scratchDirs.add(path)
-      df.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(nBuckets, bucketCol)
-        .sortBy(bucketCol)
-        .saveAsTable(name)
+      writer.mode("overwrite").option("path", path).saveAsTable(name)
     }
     spark.table(name)
   }

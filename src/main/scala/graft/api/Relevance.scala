@@ -150,6 +150,48 @@ object Relevance {
       .withColumnRenamed("_graft_g", "group")
   }
 
+  /** Held-out bigram-LM evaluation: the add-one model's counts come from
+    * `train` ONLY; `eval` documents are scored against them — the
+    * cross-validation split a perplexity filter is actually tuned on,
+    * where [[bigramLmScore]] trains and scores on the same corpus.
+    * Unseen bigrams/contexts degrade gracefully under add-one smoothing
+    * (count 0 ⇒ p = 1/(0+V), via left joins + coalesce). Per-term ln p is
+    * floor-quantized BEFORE the per-doc integer sum (merge-order
+    * independent). Returns `(id, group, n_big, sum_lp_c, mean_lp_c)` per
+    * eval document.
+    *
+    * Scale shape: count tables are train-vocabulary-sized (auto-broadcast
+    * here, vocab-keyed shuffles at scale); eval bigram instances join
+    * them by key — nothing is ever both-sides-large. */
+  def bigramLmEval(train: DataFrame, eval: DataFrame, id: Column,
+                   group: Column, text: Column): DataFrame = {
+    graft.catalyst.GraftExtensions.install(train.sparkSession)
+    val tUni = train.select(group.as("_graft_g"),
+        explode(split(text, " ")).as("_graft_w"))
+    val cu = tUni.groupBy("_graft_g", "_graft_w").agg(count(lit(1)).as("_graft_cu"))
+    val vb = tUni.groupBy("_graft_g")
+      .agg(count_distinct(col("_graft_w")).as("_graft_v"))
+    val cb = train.select(group.as("_graft_g"),
+        explode(call_function("word_bigrams", text)).as("_graft_b"))
+      .groupBy("_graft_g", "_graft_b").agg(count(lit(1)).as("_graft_cb"))
+    val evBi = eval.select(id.as("_graft_id"), group.as("_graft_g"),
+      explode(call_function("word_bigrams", text)).as("_graft_b"))
+    val p = (coalesce(col("_graft_cb"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("_graft_cu"), lit(0L)) + col("_graft_v"))
+    evBi
+      .join(cb, Seq("_graft_g", "_graft_b"), "left")
+      .withColumn("_graft_w", split(col("_graft_b"), " ").getItem(0))
+      .join(cu, Seq("_graft_g", "_graft_w"), "left")
+      .join(vb, Seq("_graft_g"))
+      .withColumn("_graft_lp", floor(log(p) * lit(10000.0)))
+      .groupBy("_graft_id", "_graft_g")
+      .agg(count(lit(1)).as("n_big"), sum(col("_graft_lp")).as("sum_lp_c"))
+      .withColumn("mean_lp_c",
+        floor(col("sum_lp_c") * lit(1.0) / col("n_big")).cast("long"))
+      .withColumnRenamed("_graft_id", "id")
+      .withColumnRenamed("_graft_g", "group")
+  }
+
   /** Unigram-entropy quality feature: per document,
     * `H = Σ_tokens −p·ln p` over the doc's own token distribution (low
     * entropy ⇒ repetitive/boilerplate text). Each token type's term is

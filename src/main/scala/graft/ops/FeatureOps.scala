@@ -151,6 +151,42 @@ object FeatureOps {
         .orderBy("event_type")
     }),
 
+    // KMV MERGEABILITY, proven differentially: per-day partial sketches
+    // (local k-minima per (type, day) — the shards a 1000-executor
+    // ingest builds independently) merged by union + re-rank give the
+    // SAME estimate as the direct global sketch: the global k-minima are
+    // always contained in the union of per-shard k-minima. The oracle is
+    // the DIRECT sketch's SQL — if merging lost information, the hash
+    // would not match.
+    "sketch_kmv_merge" -> ((s, d) => {
+      val k = 32
+      val ev = Tables.events(s, d)
+      val dist = ev
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+          col("user_id"))
+        .distinct()
+        .withColumn("u", Sampling.hashUniform(col("user_id")))
+      val wDay = Window.partitionBy("event_type", "day")
+        .orderBy(col("u"), col("user_id"))
+      val partial = dist
+        .withColumn("rn", row_number().over(wDay)).filter(col("rn") <= k)
+        .select(col("event_type"), col("user_id"), col("u"))
+      // merged relation ≤ k·nDays rows per type — bounded by
+      // construction, so the plain per-type rank window is safe here
+      val wAll = Window.partitionBy("event_type").orderBy(col("u"), col("user_id"))
+      val kth = partial.distinct()
+        .withColumn("rk", row_number().over(wAll)).filter(col("rk") === k)
+        .select(col("event_type"), col("u").as("u_k"))
+      ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+        .join(kth, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_exact"),
+          canon100(when(col("u_k").isNotNull,
+              lit((k - 1).toDouble) / col("u_k"))
+            .otherwise(col("n_exact").cast("double"))).as("est_c"))
+        .orderBy("event_type")
+    }),
+
     // Weekly cohort retention: users cohorted by first-activity week,
     // every (cohort_week, weeks-since) cell counts the cohort's users
     // active that week — the engagement matrix every analytics stack
@@ -234,6 +270,26 @@ object FeatureOps {
         |FROM pr WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin,
 
     "distinct_kmv_sketch" -> {
+      val hv = Sampling.hexDecodeSql("m")
+      s"""WITH dist AS (SELECT DISTINCT event_type, user_id FROM events),
+        |u AS (SELECT event_type, user_id,
+        |    md5(CAST(user_id AS VARCHAR)) AS m FROM dist),
+        |h AS (SELECT event_type, user_id,
+        |    CAST($hv + 1 AS DOUBLE) / 16777217.0 AS uv FROM u),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY uv, user_id) AS rn FROM h),
+        |kth AS (SELECT event_type, uv AS u_k FROM r WHERE rn = 32),
+        |ex AS (SELECT event_type, count(*) AS n_exact FROM dist
+        |    GROUP BY event_type)
+        |SELECT ex.event_type, ex.n_exact,
+        |  CAST(floor(coalesce(31.0 / kth.u_k, CAST(ex.n_exact AS DOUBLE)) * 100)
+        |    AS BIGINT) AS est_c
+        |FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type
+        |ORDER BY ex.event_type""".stripMargin
+    },
+
+    // merged per-day sketches ≡ the direct sketch — same oracle SQL
+    "sketch_kmv_merge" -> {
       val hv = Sampling.hexDecodeSql("m")
       s"""WITH dist AS (SELECT DISTINCT event_type, user_id FROM events),
         |u AS (SELECT event_type, user_id,

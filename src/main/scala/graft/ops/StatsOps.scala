@@ -181,6 +181,41 @@ object StatsOps {
         .orderBy("c_mktsegment")
     }),
 
+    // Held-out LM evaluation: the add-one bigram model's counts come from
+    // the TRAIN split (doc_id % 100 ≠ 0) only; held-out docs
+    // (doc_id % 100 = 0) are scored against them — unseen bigrams and
+    // contexts degrade gracefully under add-one smoothing. The
+    // cross-validation form of lm_score_bigram.
+    "lm_perplexity_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Relevance.bigramLmEval(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0),
+          col("doc_id"), col("lang"), col("text"))
+        .select(col("id").as("doc_id"), col("group").as("lang"),
+          col("n_big"), col("sum_lp_c").cast("long").as("sum_lp_c"),
+          col("mean_lp_c"))
+        .orderBy("doc_id")
+    }),
+
+    // Partition-pruned scan: orders stored partitioned by order year; a
+    // one-year filter reads ONE partition directory (PartitionFilters in
+    // the scan, pinned in PlanSuite) — at 100 TB the layout that turns a
+    // full-table scan into a single partition read. Result equals the
+    // unpartitioned SQL.
+    "scan_partition_prune" -> ((s, d) => {
+      val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+      val t = Layout.partitionedTable(s,
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), year(col("o_orderdate")).as("o_year")),
+        s"graft_part_orders_$suf", "o_year")
+      t.filter(col("o_year") === 1998)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("price_c"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Robust outlier screen per event type: exact median, median absolute
     // deviation (the robust spread measure a monitoring pipeline uses
     // where stddev is hostage to the outliers it's hunting), and the
@@ -376,6 +411,43 @@ object StatsOps {
         |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS rev_c
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "lm_perplexity_eval" ->
+      """WITH tr AS (SELECT doc_id, lang, str_split(text, ' ') AS toks
+        |    FROM documents WHERE doc_id % 100 <> 0),
+        |ev AS (SELECT doc_id, lang, str_split(text, ' ') AS toks
+        |    FROM documents WHERE doc_id % 100 = 0),
+        |tuni AS (SELECT lang, unnest(toks) AS w FROM tr),
+        |cu AS (SELECT lang, w, count(*) AS c FROM tuni GROUP BY lang, w),
+        |vb AS (SELECT lang, count(DISTINCT w) AS v FROM tuni GROUP BY lang),
+        |cb AS (SELECT lang, b, count(*) AS c FROM
+        |    (SELECT lang, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |       i -> toks[i] || ' ' || toks[i + 1])) AS b FROM tr)
+        |  GROUP BY lang, b),
+        |ebi AS (SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS b
+        |  FROM ev),
+        |sc AS (SELECT ebi.doc_id, ebi.lang,
+        |    CAST(floor(ln((coalesce(cb.c, 0) + 1.0) /
+        |      (coalesce(cu.c, 0) + vb.v)) * 10000) AS BIGINT) AS lp
+        |  FROM ebi
+        |    LEFT JOIN cb ON ebi.lang = cb.lang AND ebi.b = cb.b
+        |    LEFT JOIN cu ON ebi.lang = cu.lang
+        |      AND str_split(ebi.b, ' ')[1] = cu.w
+        |    JOIN vb ON ebi.lang = vb.lang)
+        |SELECT doc_id, any_value(lang) AS lang, count(*) AS n_big,
+        |  CAST(sum(lp) AS BIGINT) AS sum_lp_c,
+        |  CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT) AS mean_lp_c
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // partitioning changes the PLAN, never the result
+    "scan_partition_prune" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS price_c
+        |FROM orders WHERE year(o_orderdate) = 1998
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "anomaly_mad" ->
       """WITH md AS (SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -278,6 +278,42 @@ object StreamOps {
       }.orderBy("p_id", "c_id")
     }),
 
+    // LEFT-OUTER stream-stream join: every purchase, matched to its
+    // preceding-hour clicks when they exist, emitted with a null click
+    // (projected as c_id = -1) once the watermark proves no match can
+    // still arrive. The null-side emission is exactly watermark
+    // finalization: a purchase's outer row appears only after the final
+    // watermark (max event time − 30 min) passes it, so purchases in the
+    // last 30 minutes stay in state un-emitted — the oracle carries the
+    // same cutoff. Matched pairs are the inner join's exact set.
+    "stream_join_outer" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val clicks = ms.toDF()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          timestamp_micros(col("ts_us")).as("c_ets"))
+        .withWatermark("c_ets", "30 minutes")
+      val purchases = ms.toDF()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("user_id"),
+          timestamp_micros(col("ts_us")).as("p_ets"), col("ts_us").as("p_us"))
+        .withWatermark("p_ets", "30 minutes")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ets") >= col("p_ets") - expr("interval 1 hour") &&
+          col("c_ets") <= col("p_ets"), "left_outer")
+        .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
+          col("user_id"), col("p_us"))
+      runToMemory(s, joined, freshName("sjoin_outer"), OutputMode.Append) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()
+        ms.addData(b2.toSeq)
+      }.orderBy("p_id", "c_id")
+    }),
+
     // Feed sink (README.md:176): foreachBatch materializes the compacted
     // read model to parquet each micro-batch — upsert via dynamic
     // partition overwrite of only the subject-hash buckets the batch
@@ -467,6 +503,30 @@ object StreamOps {
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND p.event_id < 20000 AND c.event_id < 20000
+        |ORDER BY p_id, c_id""".stripMargin,
+
+    // inner pairs + outer rows for purchases the final watermark closed.
+    // The GLOBAL watermark is the MIN over the two branches' watermarks
+    // (each branch tracks its own max event time − 30 min) — using the
+    // overall feed maximum would overstate it.
+    "stream_join_outer" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase' AND event_id < 20000),
+        |c AS (SELECT event_id AS c_id, user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click' AND event_id < 20000),
+        |m AS (SELECT least((SELECT max(c_us) FROM c),
+        |                   (SELECT max(p_us) FROM p)) - 1800000000 AS wm),
+        |pairs AS (SELECT p.p_id, c.c_id, p.user_id, p.p_us
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us),
+        |unmatched AS (SELECT p.p_id, -1 AS c_id, p.user_id, p.p_us
+        |  FROM p, m
+        |  WHERE p.p_us < m.wm
+        |    AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us))
+        |SELECT p_id, CAST(c_id AS BIGINT) AS c_id, user_id, p_us FROM pairs
+        |UNION ALL
+        |SELECT p_id, CAST(c_id AS BIGINT) AS c_id, user_id, p_us FROM unmatched
         |ORDER BY p_id, c_id""".stripMargin,
 
     "stream_feed_sink" ->

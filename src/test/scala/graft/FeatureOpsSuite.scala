@@ -95,6 +95,15 @@ class FeatureOpsSuite extends AnyFunSuite {
     assert(math.abs(est / 5000.0 - 1.0) < 0.6, s"est $est for 5000 distinct")
   }
 
+  test("sketch_kmv_merge: merged per-day sketches ≡ the direct global sketch") {
+    val direct = SparkEntry.queries("distinct_kmv_sketch")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = SparkEntry.queries("sketch_kmv_merge")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct,
+      "merging per-shard KMV states must lose nothing vs the direct sketch")
+  }
+
   test("cohort_retention: offset-0 cell equals cohort size; offsets non-negative") {
     val out = SparkEntry.queries("cohort_retention")(spark, d)
       .select("cohort_wk", "wk_off", "n_users").collect()

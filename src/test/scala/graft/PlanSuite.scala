@@ -76,6 +76,13 @@ class PlanSuite extends AnyFunSuite {
       s"co-located bucketed join must not shuffle either side:\n$p")
   }
 
+  test("scan_partition_prune reads one partition via PartitionFilters") {
+    val p = planOf("scan_partition_prune")
+    assert("PartitionFilters: \\[isnotnull\\(o_year#\\d+\\), \\(o_year#\\d+ = 1998\\)\\]".r
+        .findFirstIn(p).isDefined,
+      s"the year filter must prune partitions, not rows:\n$p")
+  }
+
   test("vector ops keep the native kernels in the plan (no interpreted HOF folds)") {
     val p = planOf("vec_knn_brute")
     assert(p.contains("vec_sqdist"), s"kNN must use the native distance kernel:\n$p")

@@ -169,6 +169,46 @@ class StreamingSuite extends AnyFunSuite {
       "cross-batch pair must join; out-of-window click must not")
   }
 
+  test("outer stream-stream join emits null-match only after the watermark closes it") {
+    import spark.implicits._
+    val base = 1700000000000000L
+    val min = 60000000L
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    val clicks = ms.toDF().filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        timestamp_micros(col("ts_us")).as("c_ets"))
+      .withWatermark("c_ets", "30 minutes")
+    val purchases = ms.toDF().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("p_ets"))
+      .withWatermark("p_ets", "30 minutes")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ets") >= col("p_ets") - expr("interval 1 hour") &&
+        col("c_ets") <= col("p_ets"), "left_outer")
+      .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"))
+    val out = StreamOps.runToMemory(spark, joined, "sjoin_outer_planted",
+        OutputMode.Append) { q =>
+      // batch 1: an unmatched purchase (user 8) and a matched one (user 9)
+      ms.addData(Seq(
+        StreamOps.Ev(1, base, 8, "purchase", 1.0),
+        StreamOps.Ev(2, base - 10 * min, 9, "click", 1.0),
+        StreamOps.Ev(3, base, 9, "purchase", 1.0)))
+      q.processAllAvailable()
+      // batch 2: advance BOTH branches' event time far past base + 30min —
+      // the watermark closes purchase 1's window, its outer row emits
+      ms.addData(Seq(
+        StreamOps.Ev(4, base + 120 * min, 8, "click", 1.0),
+        StreamOps.Ev(5, base + 120 * min, 8, "purchase", 1.0)))
+    }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // purchase 3 matched click 2; purchase 1 emitted unmatched after the
+    // watermark passed; purchase 5 (and its same-timestamp click 4, which
+    // IS in-window) joined; nothing for the tail remains closed un-emitted
+    assert(out.contains((3L, 2L)) && out.contains((1L, -1L)) && out.contains((5L, 4L)),
+      s"unexpected outer-join output: $out")
+    assert(!out.contains((1L, 4L)), "late click must not match a closed purchase")
+  }
+
   test("feed sink upsert across batches ≡ batch compaction (stream_feed_sink)") {
     // the full operator runs inside the query function; parity vs the batch
     // read model at sf0.001
