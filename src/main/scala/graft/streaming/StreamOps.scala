@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, TimeMode, Trigger}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.connector.TestFeedServer
 import graft.io.Tables
@@ -37,6 +37,34 @@ object StreamOps {
 
   /** Read-model state output row (envelope projection). */
   case class StateOut(subject: Long, id: String, event_type: String, method: String)
+
+  /** transformWithState processor for the aggregate read model: a
+    * ValueState[CloudEvent] per subject holds the latest envelope by id
+    * order; a DELETE tombstone clears it (reference README.md:184-188,
+    * :290). The modern twin of the flatMapGroupsWithState update fn in
+    * stream_readmodel_state — arbitrary named state over the RocksDB
+    * provider, with TTL and timers available when retention policies
+    * need them. */
+  class LatestStateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, CloudEvent, StateOut] {
+    @transient private var latest: org.apache.spark.sql.streaming.ValueState[CloudEvent] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      latest = getHandle.getValueState[CloudEvent]("latest",
+        org.apache.spark.sql.Encoders.product[CloudEvent],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[CloudEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[StateOut] = {
+      val prior = if (latest.exists()) Iterator.single(latest.get()) else Iterator.empty
+      val cur = (prior ++ rows).reduceLeft((a, b) => if (b.id > a.id) b else a)
+      if (cur.method.contains(CloudEvent.DELETE)) latest.clear()
+      else latest.update(cur)
+      Iterator.single(StateOut(key.toLong, cur.id, cur.`type`,
+        cur.method.getOrElse(CloudEvent.PUT)))
+    }
+  }
 
   private val nameCounter = new AtomicLong(0)
   private def freshName(prefix: String): String =
@@ -197,6 +225,44 @@ object StreamOps {
         q.processAllAvailable()          // batch boundary: state now holds ids
         ms.addData(redelivered.toSeq)    // at-least-once redelivery
       }.orderBy("event_id")
+    }),
+
+    // The SAME read model on Spark 4's transformWithState — the modern
+    // stateful-processing API (arbitrary named state, timers, TTL) over
+    // the RocksDB state store provider it requires. Semantics identical
+    // to stream_readmodel_state (same oracle): ValueState[CloudEvent]
+    // per subject, tombstone clears it. At 100 TB the RocksDB provider
+    // is what bounds executor memory — state spills to local SST files
+    // with changelog checkpointing instead of living on the JVM heap.
+    "stream_readmodel_tws" -> ((s, d) => {
+      import s.implicits._
+      val ces = CloudEvent.fromEvents(
+        Tables.events(s, d).filter(col("event_id") < ReplayBound)).collect()
+      val sorted = ces.sortBy(_.id)
+      val (b1, b2) = sorted.splitAt(sorted.length / 2)
+      val ms = MemoryStream[CloudEvent](s)
+      val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val model = ms.toDS()
+          .groupByKey(_.subject.getOrElse(""))
+          .transformWithState(new LatestStateProcessor, TimeMode.None(),
+            OutputMode.Update())
+        val emitted = runToMemory(s, model.toDF(), freshName("readmodel_tws"),
+            OutputMode.Update) { q =>
+          ms.addData(b1.toSeq)
+          q.processAllAvailable()        // batch boundary: RocksDB state carries
+          ms.addData(b2.toSeq)
+        }
+        val w = Window.partitionBy("subject").orderBy(col("id").desc)
+        emitted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .filter(col("method") =!= CloudEvent.DELETE)
+          .select(col("subject"), col("id"), col("event_type"), col("method"))
+          .orderBy("subject")
+      } finally
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
     }),
 
     // Continuously-maintained aggregate read model (README.md:168-179,
@@ -482,6 +548,15 @@ object StreamOps {
     "stream_dedup_state" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id < 20000 ORDER BY event_id""".stripMargin,
+
+    // the transformWithState read model lands the identical final state
+    "stream_readmodel_tws" ->
+      """SELECT user_id AS subject,
+        |  lpad(CAST(event_id AS VARCHAR), 13, '0') AS id,
+        |  event_type, 'PUT' AS method
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id < 20000) t
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY subject""".stripMargin,
 
     // read model ≡ compaction ∘ tombstone-filter
     "stream_readmodel_state" ->

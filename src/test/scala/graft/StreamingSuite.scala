@@ -169,6 +169,15 @@ class StreamingSuite extends AnyFunSuite {
       "cross-batch pair must join; out-of-window click must not")
   }
 
+  test("transformWithState read model ≡ flatMapGroupsWithState read model") {
+    val a = StreamOps.queries("stream_readmodel_state")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSet
+    val b = StreamOps.queries("stream_readmodel_tws")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "the two stateful APIs must land the identical read model")
+    assert(a.nonEmpty)
+  }
+
   test("outer stream-stream join emits null-match only after the watermark closes it") {
     import spark.implicits._
     val base = 1700000000000000L
