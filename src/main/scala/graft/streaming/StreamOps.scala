@@ -38,6 +38,54 @@ object StreamOps {
   /** Read-model state output row (envelope projection). */
   case class StateOut(subject: Long, id: String, event_type: String, method: String)
 
+  /** The read-model state transition shared by EVERY stateful surface
+    * (flatMapGroupsWithState, the transformWithState processor, and the
+    * test suite's reference implementation — one definition, so the
+    * semantics cannot drift between them): the latest envelope by id
+    * order among prior state and arrivals; returns it with
+    * `keepState = false` when it is a DELETE tombstone
+    * (reference README.md:184-188, :290). */
+  def latestTransition(prior: Option[CloudEvent],
+                       rows: Iterator[CloudEvent]): (CloudEvent, Boolean) = {
+    val latest = (prior.iterator ++ rows)
+      .reduceLeft((a, b) => if (b.id > a.id) b else a)
+    (latest, !latest.method.contains(CloudEvent.DELETE))
+  }
+
+  /** Reduce Update-mode per-batch emissions to the final live read model:
+    * last emission per subject (max id), tombstoned subjects out. Shared
+    * by both read-model fixtures and the suite's reference path. */
+  def finalReadModel(emitted: DataFrame): DataFrame = {
+    val w = Window.partitionBy("subject").orderBy(col("id").desc)
+    emitted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("method") =!= CloudEvent.DELETE)
+  }
+
+  /** The purchases ⋈ preceding-hour-clicks stream-stream topology shared
+    * by the inner and outer fixtures AND their planted StreamingSuite
+    * tests (one definition — the tests exercise what ships): both
+    * branches watermarked 30 minutes, two-sided time-range condition. */
+  def intervalJoinStreams(events: DataFrame, outer: Boolean): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        timestamp_micros(col("ts_us")).as("c_ets"), col("ts_us").as("c_us"))
+      .withWatermark("c_ets", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("p_ets"), col("ts_us").as("p_us"))
+      .withWatermark("p_ets", "30 minutes")
+    val cond = col("user_id") === col("c_user") &&
+      col("c_ets") >= col("p_ets") - expr("interval 1 hour") &&
+      col("c_ets") <= col("p_ets")
+    if (outer)
+      purchases.join(clicks, cond, "left_outer")
+        .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
+          col("user_id"), col("p_us"))
+    else
+      purchases.join(clicks, cond)
+        .select(col("p_id"), col("c_id"), col("user_id"), col("p_us"), col("c_us"))
+  }
+
   /** transformWithState processor for the aggregate read model: a
     * ValueState[CloudEvent] per subject holds the latest envelope by id
     * order; a DELETE tombstone clears it (reference README.md:184-188,
@@ -57,10 +105,9 @@ object StreamOps {
 
     override def handleInputRows(key: String, rows: Iterator[CloudEvent],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[StateOut] = {
-      val prior = if (latest.exists()) Iterator.single(latest.get()) else Iterator.empty
-      val cur = (prior ++ rows).reduceLeft((a, b) => if (b.id > a.id) b else a)
-      if (cur.method.contains(CloudEvent.DELETE)) latest.clear()
-      else latest.update(cur)
+      val prior = if (latest.exists()) Some(latest.get()) else None
+      val (cur, keep) = latestTransition(prior, rows)
+      if (keep) latest.update(cur) else latest.clear()
       Iterator.single(StateOut(key.toLong, cur.id, cur.`type`,
         cur.method.getOrElse(CloudEvent.PUT)))
     }
@@ -256,9 +303,7 @@ object StreamOps {
           q.processAllAvailable()        // batch boundary: RocksDB state carries
           ms.addData(b2.toSeq)
         }
-        val w = Window.partitionBy("subject").orderBy(col("id").desc)
-        emitted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .filter(col("method") =!= CloudEvent.DELETE)
+        finalReadModel(emitted)
           .select(col("subject"), col("id"), col("event_type"), col("method"))
           .orderBy("subject")
       } finally
@@ -281,10 +326,8 @@ object StreamOps {
 
       def update(subject: String, it: Iterator[CloudEvent],
                  state: GroupState[CloudEvent]): Iterator[StateOut] = {
-        val latest = (state.getOption.iterator ++ it)
-          .reduceLeft((a, b) => if (b.id > a.id) b else a)
-        if (latest.method.contains(CloudEvent.DELETE)) state.remove()
-        else state.update(latest)
+        val (latest, keep) = latestTransition(state.getOption, it)
+        if (keep) state.update(latest) else state.remove()
         Iterator.single(StateOut(subject.toLong, latest.id, latest.`type`,
           latest.method.getOrElse(CloudEvent.PUT)))
       }
@@ -297,10 +340,7 @@ object StreamOps {
         q.processAllAvailable()          // batch boundary: state carries over
         ms.addData(b2.toSeq)
       }
-      // final state per subject = last emission (max id); tombstoned out
-      val w = Window.partitionBy("subject").orderBy(col("id").desc)
-      emitted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .filter(col("method") =!= CloudEvent.DELETE)
+      finalReadModel(emitted)
         .select(col("subject"), col("id"), col("event_type"), col("method"))
         .orderBy("subject")
     }),
@@ -322,21 +362,7 @@ object StreamOps {
       val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
-      val clicks = ms.toDF()
-        .filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          timestamp_micros(col("ts_us")).as("c_ets"), col("ts_us").as("c_us"))
-        .withWatermark("c_ets", "30 minutes")
-      val purchases = ms.toDF()
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("user_id"),
-          timestamp_micros(col("ts_us")).as("p_ets"), col("ts_us").as("p_us"))
-        .withWatermark("p_ets", "30 minutes")
-      val joined = purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-          col("c_ets") >= col("p_ets") - expr("interval 1 hour") &&
-          col("c_ets") <= col("p_ets"))
-        .select(col("p_id"), col("c_id"), col("user_id"), col("p_us"), col("c_us"))
+      val joined = intervalJoinStreams(ms.toDF(), outer = false)
       runToMemory(s, joined, freshName("sjoin"), OutputMode.Append) { q =>
         ms.addData(b1.toSeq)
         q.processAllAvailable()          // batch boundary: join state carries over
@@ -357,22 +383,7 @@ object StreamOps {
       val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
-      val clicks = ms.toDF()
-        .filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          timestamp_micros(col("ts_us")).as("c_ets"))
-        .withWatermark("c_ets", "30 minutes")
-      val purchases = ms.toDF()
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("user_id"),
-          timestamp_micros(col("ts_us")).as("p_ets"), col("ts_us").as("p_us"))
-        .withWatermark("p_ets", "30 minutes")
-      val joined = purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-          col("c_ets") >= col("p_ets") - expr("interval 1 hour") &&
-          col("c_ets") <= col("p_ets"), "left_outer")
-        .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
-          col("user_id"), col("p_us"))
+      val joined = intervalJoinStreams(ms.toDF(), outer = true)
       runToMemory(s, joined, freshName("sjoin_outer"), OutputMode.Append) { q =>
         ms.addData(b1.toSeq)
         q.processAllAvailable()

@@ -36,12 +36,11 @@ class StreamingSuite extends AnyFunSuite {
 
   private def streamReadModel(batches: Seq[Seq[CloudEvent]], name: String): Map[String, String] = {
     val ms = MemoryStream[CloudEvent](spark)
+    // the SAME transition the shipped fixtures run (StreamOps.latestTransition)
     def update(subject: String, it: Iterator[CloudEvent],
                state: GroupState[CloudEvent]): Iterator[RmOut] = {
-      val latest = (state.getOption.iterator ++ it)
-        .reduceLeft((a, b) => if (b.id > a.id) b else a)
-      if (latest.method.contains(CloudEvent.DELETE)) state.remove()
-      else state.update(latest)
+      val (latest, keep) = StreamOps.latestTransition(state.getOption, it)
+      if (keep) state.update(latest) else state.remove()
       Iterator.single(RmOut(subject, latest.id, latest.method.getOrElse(CloudEvent.PUT)))
     }
     val model = ms.toDS().groupByKey(_.subject.getOrElse(""))
@@ -51,10 +50,7 @@ class StreamingSuite extends AnyFunSuite {
     try {
       batches.foreach { b => ms.addData(b); q.processAllAvailable() }
     } finally q.stop()
-    val w = Window.partitionBy("subject").orderBy(col("id").desc)
-    spark.table(name)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .filter(col("method") =!= CloudEvent.DELETE)
+    StreamOps.finalReadModel(spark.table(name))
       .collect().map(r => r.getAs[String]("subject") -> r.getAs[String]("id")).toMap
   }
 
@@ -141,18 +137,8 @@ class StreamingSuite extends AnyFunSuite {
     val base = 1700000000000000L
     val min = 60000000L
     val ms = MemoryStream[StreamOps.Ev](spark)
-    val clicks = ms.toDF().filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-        timestamp_micros(col("ts_us")).as("c_ets"))
-      .withWatermark("c_ets", "30 minutes")
-    val purchases = ms.toDF().filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"),
-        timestamp_micros(col("ts_us")).as("p_ets"))
-      .withWatermark("p_ets", "30 minutes")
-    val joined = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ets") >= col("p_ets") - expr("interval 1 hour") &&
-        col("c_ets") <= col("p_ets"))
+    // the SHIPPED topology (StreamOps.intervalJoinStreams), not a copy
+    val joined = StreamOps.intervalJoinStreams(ms.toDF(), outer = false)
       .select(col("p_id"), col("c_id"))
     val out = StreamOps.runToMemory(spark, joined, "sjoin_planted", OutputMode.Append) { q =>
       // batch 1: two clicks — one joinable (30 min before the purchase),
@@ -183,19 +169,9 @@ class StreamingSuite extends AnyFunSuite {
     val base = 1700000000000000L
     val min = 60000000L
     val ms = MemoryStream[StreamOps.Ev](spark)
-    val clicks = ms.toDF().filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-        timestamp_micros(col("ts_us")).as("c_ets"))
-      .withWatermark("c_ets", "30 minutes")
-    val purchases = ms.toDF().filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"),
-        timestamp_micros(col("ts_us")).as("p_ets"))
-      .withWatermark("p_ets", "30 minutes")
-    val joined = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ets") >= col("p_ets") - expr("interval 1 hour") &&
-        col("c_ets") <= col("p_ets"), "left_outer")
-      .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"))
+    // the SHIPPED topology (StreamOps.intervalJoinStreams), not a copy
+    val joined = StreamOps.intervalJoinStreams(ms.toDF(), outer = true)
+      .select(col("p_id"), col("c_id"))
     val out = StreamOps.runToMemory(spark, joined, "sjoin_outer_planted",
         OutputMode.Append) { q =>
       // batch 1: an unmatched purchase (user 8) and a matched one (user 9)
