@@ -131,6 +131,20 @@ object Aggregates {
         .orderBy("n_name")
     }),
 
+    // PIVOT surface: long→wide reshape of per-bucket event-type counts
+    // with an EXPLICIT pivot value list (mandatory for a stable schema —
+    // and for skipping the extra distinct-values job a valueless pivot
+    // runs). Nulls for absent cells zero-filled so both engines agree.
+    "agg_pivot_wide" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("bucket")
+    }),
+
     // HLL sketch distinct (no oracle: implementations differ; ScalaTest
     // bounds-checks vs exact count instead)
     "agg_approx_distinct" -> ((s, d) => {
@@ -142,6 +156,15 @@ object Aggregates {
   )
 
   def oracles: Map[String, String] = Map(
+    "agg_pivot_wide" ->
+      """SELECT user_id % 10 AS bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "agg_hash_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

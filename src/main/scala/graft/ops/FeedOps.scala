@@ -120,6 +120,36 @@ object FeedOps {
         .orderBy("event_id").limit(200)
     }),
 
+    // Gap detection on the sequence-prefixed order key (README.md:150-159):
+    // a consumer monitoring an at-least-once feed detects MISSED events by
+    // decoding the numeric prefix and flagging non-consecutive deliveries.
+    // A deterministic md5 predicate simulates ~1/16 loss; each output row
+    // is one gap: the ids around it and how many events went missing.
+    // SCALE SHAPE: the lag window is PARTITIONED by a RANGE bucket of the
+    // sequence (gaps inside a bucket), and bucket-boundary gaps come from
+    // a lag over the bucket min/max summary — the only unpartitioned
+    // window runs over the histogram-sized summary, never the feed.
+    "feed_gap_detect" -> ((s, d) => withEvents(s, d) { ev =>
+      val delivered = ev
+        .filter(substring(md5(col("event_id").cast("string")), 1, 1) =!= "a")
+        .select(col("event_id"), expr("event_id div 1024").as("bucket"))
+      val wIn = Window.partitionBy("bucket").orderBy("event_id")
+      val within = delivered
+        .withColumn("prev_id", lag(col("event_id"), 1).over(wIn))
+        .filter(col("prev_id").isNotNull && col("event_id") - col("prev_id") > 1)
+        .select(col("prev_id"), col("event_id").as("next_id"))
+      val summary = delivered.groupBy("bucket")
+        .agg(min("event_id").as("bmin"), max("event_id").as("bmax"))
+      val wB = Window.orderBy("bucket") // histogram-sized relation only
+      val across = summary
+        .withColumn("prev_max", lag(col("bmax"), 1).over(wB))
+        .filter(col("prev_max").isNotNull && col("bmin") - col("prev_max") > 1)
+        .select(col("prev_max").as("prev_id"), col("bmin").as("next_id"))
+      within.unionByName(across)
+        .withColumn("n_missing", col("next_id") - col("prev_id") - 1)
+        .orderBy("prev_id")
+    }),
+
     // route one bounded-context type out of a mixed feed (README.md:166,310)
     "feed_type_route" -> ((s, d) => withEvents(s, d) { ev =>
       ev.filter(col("event_type") === "purchase")
@@ -206,6 +236,17 @@ object FeedOps {
         |  lpad(CAST(event_id AS VARCHAR), 13, '0') || '::' || md5(CAST(event_id AS VARCHAR)) AS seq_id,
         |  CAST(split_part(lpad(CAST(event_id AS VARCHAR), 13, '0') || '::' || md5(CAST(event_id AS VARCHAR)), '::', 1) AS BIGINT) AS parsed_seq
         |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    // the oracle uses the plain single-ordering form — the bucketed plan
+    // must produce the identical gap set
+    "feed_gap_detect" ->
+      """WITH dl AS (SELECT event_id FROM events
+        |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <> 'a'),
+        |g AS (SELECT lag(event_id) OVER (ORDER BY event_id) AS prev_id,
+        |    event_id AS next_id FROM dl)
+        |SELECT prev_id, next_id, next_id - prev_id - 1 AS n_missing
+        |FROM g WHERE prev_id IS NOT NULL AND next_id - prev_id > 1
+        |ORDER BY prev_id""".stripMargin,
 
     "feed_type_route" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id,

@@ -43,6 +43,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "corpus_mix_weights",   // (lang, length-bucket) relation
     "corpus_shuffle_order", // 4096-bucket key histogram
     "train_shard_manifest", // same histogram via its shuffleOrder stage
+    "feed_gap_detect",      // bucket min/max summary relation only
     "quality_pipeline_e2e", // same histogram via its shuffleOrder stage
     "dedup_ngram_jaccard_prefix" // vocabulary-sized dictionary-encode rank
   )
