@@ -120,6 +120,41 @@ object CorpusOps {
         .orderBy("shard")
     }),
 
+    // Product quantization (the PQ in IVF-PQ): the 64-dim embedding
+    // splits into 4 subspaces of 16; each sub-vector is encoded as its
+    // nearest sub-codebook centroid (codebook = vectors vec_id < 8,
+    // sliced). A vector compresses to 4 small codes — at 100 TB the
+    // in-memory index stores 4 bytes/vector instead of 256, and distance
+    // scans read code tables. Output: the 4 codes + the floor-quantized
+    // total reconstruction error (integer, merge-order independent).
+    "vec_pq_encode" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val emb = Tables.embeddings(s, d)
+      val subs = explode(sequence(lit(0), lit(3)))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        .withColumn("sub", subs)
+        .select(col("sub"), col("cid"),
+          expr("slice(cvec, sub * 16 + 1, 16)").as("cslice"))
+      val vecs = emb.withColumn("sub", subs)
+        .select(col("vec_id"), col("sub"),
+          expr("slice(embedding, sub * 16 + 1, 16)").as("vslice"))
+      val sqd = call_function("vec_sqdist", col("vslice"), col("cslice"))
+      val best = vecs.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"),
+          struct(sqd.as("sqd"), col("cid").as("cid")).as("w"))
+        .groupBy("vec_id", "sub").agg(min(col("w")).as("w"))
+        .select(col("vec_id"), col("sub"), col("w.cid").as("cid"),
+          floor(col("w.sqd") * lit(10000.0)).cast("long").as("serr"))
+      best.groupBy("vec_id")
+        .agg(max(when(col("sub") === 0, col("cid"))).as("code0"),
+          max(when(col("sub") === 1, col("cid"))).as("code1"),
+          max(when(col("sub") === 2, col("cid"))).as("code2"),
+          max(when(col("sub") === 3, col("cid"))).as("code3"),
+          sum(col("serr")).as("err_c"))
+        .orderBy("vec_id")
+    }),
+
     // int8 embedding quantization: per-vector max-abs scale, q_i =
     // floor(x_i·127/maxabs) — floor, never round (determinism rule); the
     // checksums (sum of q, saturation count) are integer-exact.
@@ -228,6 +263,35 @@ object CorpusOps {
         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "vec_pq_encode" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |    WHERE vec_id < 8),
+        |su AS (SELECT unnest(generate_series(0, 3)) AS sub),
+        |cb AS (SELECT su.sub, c.cid,
+        |    c.cvec[su.sub * 16 + 1 : su.sub * 16 + 16] AS cslice FROM c, su),
+        |v AS (SELECT e.vec_id, su.sub,
+        |    e.embedding[su.sub * 16 + 1 : su.sub * 16 + 16] AS vslice
+        |  FROM embeddings e, su),
+        |a AS (SELECT v.vec_id, v.sub, cb.cid,
+        |    list_reduce(list_transform(generate_series(1, 16),
+        |      i -> (CAST(vslice[i] AS DOUBLE) - CAST(cslice[i] AS DOUBLE)) *
+        |           (CAST(vslice[i] AS DOUBLE) - CAST(cslice[i] AS DOUBLE))),
+        |      (x, y) -> x + y) AS sqd
+        |  FROM v JOIN cb ON v.sub = cb.sub),
+        |m AS (SELECT vec_id, sub, min(sqd) AS ms FROM a GROUP BY vec_id, sub),
+        |pick AS (SELECT a.vec_id, a.sub, min(a.cid) AS cid,
+        |    CAST(floor(min(a.sqd) * 10000) AS BIGINT) AS serr
+        |  FROM a JOIN m ON a.vec_id = m.vec_id AND a.sub = m.sub
+        |    AND a.sqd = m.ms
+        |  GROUP BY a.vec_id, a.sub)
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN sub = 0 THEN cid END) AS BIGINT) AS code0,
+        |  CAST(max(CASE WHEN sub = 1 THEN cid END) AS BIGINT) AS code1,
+        |  CAST(max(CASE WHEN sub = 2 THEN cid END) AS BIGINT) AS code2,
+        |  CAST(max(CASE WHEN sub = 3 THEN cid END) AS BIGINT) AS code3,
+        |  CAST(sum(serr) AS BIGINT) AS err_c
+        |FROM pick GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "vec_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

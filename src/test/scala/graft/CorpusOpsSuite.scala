@@ -151,4 +151,34 @@ class CorpusOpsSuite extends AnyFunSuite {
       assert(nSat === qs.count(x => math.abs(x) >= 127).toLong, s"vec $id n_sat")
     }
   }
+
+  test("vec_pq_encode: codes valid, reconstruction error matches brute force") {
+    val out = q("vec_pq_encode")
+      .collect().map(r => r.getLong(0) ->
+        (Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getLong(5))).toMap
+    assert(out.size == embs.size)
+    // brute-force recompute: per subspace the nearest vec_id<8 sub-centroid
+    val cents = (0L until 8L).map(c => c -> embs(c)).toMap
+    out.foreach { case (vid, (codes, errC)) =>
+      assert(codes.forall(c => c >= 0 && c < 8))
+      val v = embs(vid)
+      var expErr = 0L
+      (0 until 4).foreach { sub =>
+        val vs = v.slice(sub * 16, sub * 16 + 16)
+        val scored = cents.toSeq.map { case (cid, cv) =>
+          val cs = cv.slice(sub * 16, sub * 16 + 16)
+          val sq = vs.zip(cs).map { case (a, b) => (a - b) * (a - b) }.sum
+          (sq, cid)
+        }.sorted
+        val (bestSq, bestCid) = scored.head
+        assert(codes(sub) == bestCid,
+          s"vec $vid sub $sub: code ${codes(sub)} != brute $bestCid")
+        expErr += math.floor(bestSq * 10000.0).toLong
+      }
+      // driver float fold can differ in the last ulp per subspace term
+      assert(math.abs(errC - expErr) <= 4, s"vec $vid err $errC vs $expErr")
+    }
+    // a codebook vector reconstructs itself exactly
+    (0L until 8L).foreach(c => assert(out(c)._1 == Seq(c, c, c, c) && out(c)._2 == 0L))
+  }
 }
