@@ -145,7 +145,7 @@ object CorpusOps {
           struct(sqd.as("sqd"), col("cid").as("cid")).as("w"))
         .groupBy("vec_id", "sub").agg(min(col("w")).as("w"))
         .select(col("vec_id"), col("sub"), col("w.cid").as("cid"),
-          floor(col("w.sqd") * lit(10000.0)).cast("long").as("serr"))
+          canon(col("w.sqd")).as("serr"))
       best.groupBy("vec_id")
         .agg(max(when(col("sub") === 0, col("cid"))).as("code0"),
           max(when(col("sub") === 1, col("cid"))).as("code1"),
