@@ -80,6 +80,22 @@ object Windows {
     // key (c_acctbal, c_custkey) is unique, so dense_rank ≡ rank ≡
     // row_number and percent_rank/ntile derive from the global rank in
     // closed form (ntile: first n%k buckets get ⌈n/k⌉ rows).
+    // cume_dist + nth_value per nation (the two ranking-family functions
+    // the rest of §2.4 doesn't cover): unique (acctbal, custkey) ordering
+    // makes cume_dist deterministic; nth_value carries an EXPLICIT
+    // rows-frame so both engines see the same frame semantics.
+    "win_cume_nth" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("cume_c", Tables.canon(cume_dist().over(w)))
+        .withColumn("second_key", nth_value(col("c_custkey"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("c_custkey"), col("c_nationkey"), col("cume_c"),
+          col("second_key"))
+        .orderBy("c_custkey")
+    }),
+
     "win_ntile_dense" -> ((s, d) => {
       val cust = Tables.customer(s, d)
       val withB = cust.withColumn("b", floor(col("c_acctbal")).cast("long"))
@@ -142,6 +158,15 @@ object Windows {
   )
 
   def oracles: Map[String, String] = Map(
+    "win_cume_nth" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cume_c,
+        |  nth_value(c_custkey, 2) OVER
+        |    (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "win_rank_topn_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
