@@ -1,39 +1,119 @@
 package graft.ops
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.io.Tables
 
 /** §2.18 graph analytics over the co-purchase graph: parts are nodes, an
   * undirected edge connects two parts that appear in the same order — the
   * item-item graph every recommender derives from a fact table. One
-  * PageRank iteration and the degree distribution, both oracle-checked:
-  * per-node contributions are floor-quantized to integer units BEFORE the
-  * neighbor sum, so the scores are integer-exact and merge-order
-  * independent (the same determinism design as lm_score_bigram).
+  * PageRank iteration, the loop to convergence, and the degree
+  * distribution, all oracle-checked: per-node contributions are
+  * floor-quantized to integer units BEFORE the neighbor sum, so the
+  * scores are integer-exact and merge-order independent (the same
+  * determinism design as lm_score_bigram).
   *
   * Scale shapes: pair generation is ORDER-LOCAL (bounded by items per
-  * order, ~7 here — never a global self-join); the edge list shuffles on
-  * the pair for the distinct and on the node for degrees/sums; top-k goes
-  * through TakeOrderedAndProject. One iteration is the building block —
-  * a full PageRank loops this step with the same shapes, converging state
-  * carried as a node-keyed table.
+  * order, ~7 here — never a global self-join); the whole edge build is
+  * exactly TWO shuffles (group items by order, then dedup pairs) and is
+  * materialized ONCE per (session, dataset) — every graph query joins
+  * against the same persisted edge relation, the way a 100 TB deployment
+  * keeps its edge list as a maintained table instead of re-deriving it
+  * from the fact table per query. PageRank iterations reuse that
+  * relation: each step is one key shuffle (join on u) plus one
+  * aggregation shuffle (group by v), the canonical message-passing shape.
   */
 object GraphOps {
 
+  /** Directed edge relation (each undirected edge in both directions),
+    * materialized once per (session, raw dataset path) — the cache key is
+    * the unsanitized path, so two datasets can never collide (the Layout
+    * materialize() lesson). The persisted relation is ~|E| longs, far
+    * under executor memory even at 100× this data; MEMORY_AND_DISK spills
+    * rather than recomputing if it ever isn't. */
+  private val edgeCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def edges(s: SparkSession, d: String): DataFrame =
+    edgeCache.computeIfAbsent((s, d), _ =>
+      buildEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Distinct undirected co-purchase edges, emitted in both directions
-    * (u ↔ v). Distinct (order, part) first, so a part appearing on two
-    * lineitems of one order doesn't double an edge. */
-  private def edges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    * (u ↔ v). collect_set dedups (order, part) so a part appearing on two
+    * lineitems of one order doesn't double an edge; pair generation then
+    * happens inside each order's set (~C(7,2) pairs) — local, codegen'd,
+    * never a join. Shuffle 1: group items by order. Shuffle 2: distinct
+    * pairs. The previous self-join formulation cost four. */
+  private def buildEdges(s: SparkSession, d: String): DataFrame = {
+    val byOrder = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+    val und = byOrder
+      .select(explode(col("pks")).as("u"), col("pks"))
+      .select(col("u"), explode(col("pks")).as("v"))
+      .where(col("u") < col("v"))
       .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-    e.union(e.select(col("v").as("u"), col("u").as("v")))
+    und.union(und.select(col("v").as("u"), col("u").as("v")))
   }
+
+  /** One integer-exact PageRank step: given scores r(u) (1e6-scaled),
+    * each node sends floor(r/deg) units to every neighbor and the new
+    * score is 150000 + 85% of the received sum — pure integer arithmetic,
+    * so any engine reproduces it bit-for-bit. */
+  private def step(es: DataFrame, deg: DataFrame, r: DataFrame): DataFrame = {
+    val contrib = r.join(deg, "u").select(col("u"), expr("r div deg").as("c"))
+    es.join(contrib, "u")
+      .groupBy(col("v").as("u"))
+      .agg(sum("c").as("sc"))
+      .select(col("u"), (lit(150000L) + expr("(sc * 85) div 100")).as("r"))
+  }
+
+  private def degrees(es: DataFrame): DataFrame =
+    es.groupBy("u").agg(count(lit(1)).as("deg"))
+
+  /** Fixed-iteration PageRank as a single declarative plan (the
+    * oracle-checkable form: a deterministic unrolled chain DuckDB
+    * reproduces with chained CTEs). Every node has in-neighbors here —
+    * the edge relation is symmetric — so the inner join drops nobody. */
+  private[graft] def pagerankFixed(es: DataFrame, iters: Int): DataFrame = {
+    val deg = degrees(es)
+    var r = deg.select(col("u"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) r = step(es, deg, r)
+    r
+  }
+
+  /** The loop-to-convergence driver: iterate until the largest per-node
+    * score change is ≤ tolC integer units (or maxIter). Each iteration
+    * localCheckpoints the score table — iterative algorithms MUST
+    * truncate lineage or the plan (and its recovery cost) grows without
+    * bound — and the delta check is one small all-integer aggregate.
+    * Returns the converged scores and the number of iterations run.
+    * Deterministic for fixed input data (integer arithmetic throughout),
+    * but the iteration count depends on the data, so the ORACLE-checked
+    * query uses [[pagerankFixed]]; this driver is exercised in ScalaTest
+    * against it. */
+  def pagerankConverged(es: DataFrame, maxIter: Int, tolC: Long): (DataFrame, Int) = {
+    val deg = degrees(es)
+    var r = deg.select(col("u"), lit(1000000L).as("r")).localCheckpoint()
+    var it = 0
+    var delta = Long.MaxValue
+    while (it < maxIter && delta > tolC) {
+      val next = step(es, deg, r).localCheckpoint()
+      delta = next.as("n").join(r.as("p"), "u")
+        .select(max(abs(col("n.r") - col("p.r"))).as("d"))
+        .head().getLong(0)
+      r = next
+      it += 1
+    }
+    (r, it)
+  }
+
+  /** Iteration count for the oracle-checked convergence query: at 85%
+    * damping the geometric decay makes 4 steps span the interesting
+    * range, and the unrolled DuckDB oracle stays readable. */
+  private[graft] val ConvIters = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // One PageRank iteration from the uniform start (r = 1): each node
@@ -52,6 +132,16 @@ object GraphOps {
         .orderBy(col("pr_c").desc, col("part")).limit(30)
     }),
 
+    // PageRank looped to (near-)convergence: ConvIters integer-exact
+    // steps over the shared edge relation, top-30 nodes by final score.
+    // The early-exit delta-check driver is pagerankConverged (ScalaTest
+    // proves it agrees with this plan at its terminating count); the
+    // oracle needs the deterministic fixed-count unroll.
+    "graph_pagerank_conv" -> ((s, d) =>
+      pagerankFixed(edges(s, d), ConvIters)
+        .select(col("u").as("part"), col("r").as("pr_c"))
+        .orderBy(col("pr_c").desc, col("part")).limit(30)),
+
     // Degree distribution of the co-purchase graph — the first thing a
     // graph workload reports, and the skew signal that decides whether
     // the neighbor shuffle needs salting.
@@ -69,6 +159,13 @@ object GraphOps {
       |       FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)""".stripMargin
 
+  /** One unrolled oracle PageRank step: prev CTE -> next CTE. */
+  private def stepSql(prev: String, next: String): String =
+    s"""$next AS (SELECT e.v AS u,
+       |  CAST(150000 + (sum($prev.r // dg.deg) * 85) // 100 AS BIGINT) AS r
+       |  FROM e JOIN $prev ON e.u = $prev.u JOIN dg ON e.u = dg.u
+       |  GROUP BY e.v)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "graph_pagerank_step" ->
       s"""WITH $edgesSql,
@@ -78,6 +175,17 @@ object GraphOps {
         |FROM e JOIN ct ON e.u = ct.u
         |GROUP BY e.v
         |ORDER BY pr_c DESC, part LIMIT 30""".stripMargin,
+
+    "graph_pagerank_conv" -> {
+      val steps = (1 to ConvIters)
+        .map(i => stepSql(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH $edgesSql,
+        |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+        |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM dg),
+        |$steps
+        |SELECT u AS part, r AS pr_c FROM r$ConvIters
+        |ORDER BY pr_c DESC, part LIMIT 30""".stripMargin
+    },
 
     "graph_degree_stats" ->
       s"""WITH $edgesSql,

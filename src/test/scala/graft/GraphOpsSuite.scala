@@ -39,6 +39,42 @@ class GraphOpsSuite extends AnyFunSuite {
     assert(out.toSeq == expected)
   }
 
+  /** Driver-side integer-exact PageRank, iterated from the uniform
+    * start — the independent model for the fixed-count conv query. */
+  private def pagerankBrute(iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    var r: Map[Long, Long] = deg.map { case (u, _) => u -> 1000000L }
+    for (_ <- 1 to iters) {
+      val contrib = r.map { case (u, ru) => u -> ru / deg(u) }
+      r = edges.groupBy(_._2).map { case (v, es) =>
+        v -> (150000L + es.map(e => contrib(e._1)).sum * 85L / 100L)
+      }
+    }
+    r
+  }
+
+  test("graph_pagerank_conv matches brute-force fixed-count iteration") {
+    val out = SparkEntry.queries("graph_pagerank_conv")(spark, d)
+      .select("part", "pr_c").as[(Long, Long)].collect()
+    val expected = pagerankBrute(graft.ops.GraphOps.ConvIters).toSeq
+      .sortBy { case (v, pc) => (-pc, v) }.take(30)
+    assert(out.toSeq == expected)
+  }
+
+  test("pagerankConverged: delta-check loop terminates and agrees with the fixed unroll") {
+    val es = graft.ops.GraphOps.edges(spark, d)
+    // a loose tolerance must exit before maxIter on this data; tol 0
+    // would run to the cap — both paths end at a fixed-unroll state
+    val (r, it) = graft.ops.GraphOps.pagerankConverged(es, maxIter = 8, tolC = 50000L)
+    assert(it >= 1 && it <= 8)
+    val got = r.as[(Long, Long)].collect().toMap
+    assert(got == pagerankBrute(it))
+    // the exit condition is real: the step that ended the loop moved no
+    // node by more than tol
+    val prev = pagerankBrute(it - 1)
+    if (it < 8) assert(got.map { case (u, v) => math.abs(v - prev(u)) }.max <= 50000L)
+  }
+
   test("graph_degree_stats: histogram sums to node count; Σ deg·n = |directed edges|") {
     val out = SparkEntry.queries("graph_degree_stats")(spark, d)
       .select("deg", "n_nodes").as[(Long, Long)].collect()
