@@ -82,4 +82,21 @@ class MaintOpsSuite extends AnyFunSuite {
       assert(sa >= st - 5, s"query $q: approx sum $sa below exact optimum $st")
     }
   }
+
+  test("ann_ivf_pq_topk: recall gate vs the brute-force ground truth") {
+    val truth = SparkEntry.queries("vec_knn_brute")(spark, d)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val approx = SparkEntry.queries("ann_ivf_pq_topk")(spark, d)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    assert(approx.keySet == truth.keySet, "every query answered")
+    approx.foreach { case (q, ids) => assert(ids.size == 5, s"query $q top-k size") }
+    val hits = truth.map { case (q, t) => t.intersect(approx(q)).size }.sum
+    val recall = hits.toDouble / truth.values.map(_.size).sum
+    info(s"IVF-PQ recall@5 = $recall")
+    // the acceptance gate: Voronoi nprobe=2 + 16×64 ADC shortlist +
+    // exact re-rank measured 0.84 on this data; 0.6 leaves margin
+    assert(recall >= 0.6, s"IVF-PQ recall@5 $recall below gate")
+  }
 }

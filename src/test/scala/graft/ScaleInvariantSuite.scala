@@ -24,6 +24,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "vec_cosine_topk",  // × 1 query row
     "vec_knn_brute",    // × |queries| ≤ 5
     "ann_ivf_topk",     // × per-label centroid table
+    "ann_ivf_pq_topk",  // × per-label centroid table (cell assignment)
     "text_langid",      // × per-language profile table
     "win_ntile_dense",  // × single-row global count
     "rank_tfidf",       // × single-row corpus-stats aggregate
