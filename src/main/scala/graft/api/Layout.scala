@@ -66,12 +66,13 @@ object Layout {
     * key sort-merge-join with NO shuffle exchange on either side — the
     * co-located-join layout a 100 TB star schema is stored in, where
     * re-shuffling the fact table on every query is the dominant cost.
-    * Idempotent per (session, name): the write happens once, later calls
-    * read the existing table — so `name` MUST uniquely identify the
-    * dataset (derive it from the full source path, not a hash of it). */
+    * Idempotent per (session, name, identity): `identity` is the RAW
+    * dataset path — its digest goes into the physical table name, so two
+    * paths that sanitize to the same identifier can never collide. */
   def bucketedTable(spark: SparkSession, df: => DataFrame, name: String,
-                    bucketCol: String, nBuckets: Int = 16): DataFrame =
-    materialize(spark, name)(df.write.bucketBy(nBuckets, bucketCol)
+                    identity: String, bucketCol: String,
+                    nBuckets: Int = 16): DataFrame =
+    materialize(spark, name, identity)(df.write.bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol))
 
   /** Materialize `df` as a PARTITIONED external catalog table (same
@@ -80,18 +81,23 @@ object Layout {
     * `PartitionFilters` — at 100 TB the layout that turns a full-table
     * scan into reading one partition's files. */
   def partitionedTable(spark: SparkSession, df: => DataFrame, name: String,
-                       partCol: String): DataFrame =
-    materialize(spark, name)(df.write.partitionBy(partCol))
+                       identity: String, partCol: String): DataFrame =
+    materialize(spark, name, identity)(df.write.partitionBy(partCol))
 
-  private def materialize(spark: SparkSession, name: String)(
+  private def materialize(spark: SparkSession, name: String, identity: String)(
       writer: => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): DataFrame = {
-    if (!spark.catalog.tableExists(name)) {
+    // collision-proof table identity: the sanitized name is for humans,
+    // the md5 of the raw identity string is what distinguishes datasets
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(identity.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val tbl = s"${name}_$digest"
+    if (!spark.catalog.tableExists(tbl)) {
       installCleanupHook
       val path = java.nio.file.Files
-        .createTempDirectory(s"graft_tbl_$name").toString
+        .createTempDirectory(s"graft_tbl_$tbl").toString
       scratchDirs.add(path)
-      writer.mode("overwrite").option("path", path).saveAsTable(name)
+      writer.mode("overwrite").option("path", path).saveAsTable(tbl)
     }
-    spark.table(name)
+    spark.table(tbl)
   }
 }

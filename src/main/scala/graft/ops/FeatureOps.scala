@@ -71,13 +71,22 @@ object FeatureOps {
         .withColumn("w2", split(col("bg"), " ").getItem(1))
       val ua = uni.select(col("lang"), col("w").as("w1"), col("c_w").as("c_a"))
       val ub = uni.select(col("lang"), col("w").as("w2"), col("c_w").as("c_b"))
+      // overflow guard: every factor is ≤ tot_u, so both triple products
+      // are ≤ tot_u³ — with tot_u ≤ 2e6 that is ≤ 8e18 < Long.Max. Spark
+      // (non-ANSI) would WRAP silently past that while DuckDB raises, so
+      // past the bound this fails loudly instead of hash-diverging; the
+      // sum-of-logs form is the documented replacement at that scale.
       val scored = bi
         .join(ua, Seq("lang", "w1")).join(ub, Seq("lang", "w2"))
         .join(broadcast(uniTot), Seq("lang"))
         .join(broadcast(biTot), Seq("lang"))
-        .withColumn("pmi_c", canon100(lnRatio(
-          col("c_ab") * col("tot_u") * col("tot_u"),
-          col("tot_b") * col("c_a") * col("c_b"))))
+        .withColumn("pmi_c", when(col("tot_u") <= lit(2000000L),
+          canon100(lnRatio(
+            col("c_ab") * col("tot_u") * col("tot_u"),
+            col("tot_b") * col("c_a") * col("c_b"))))
+          .otherwise(raise_error(
+            lit("cooccur_pmi: tot_u exceeds the exact-int64 range; " +
+              "use the sum-of-logs form")).cast("long")))
       val w = Window.partitionBy("lang").orderBy(col("c_ab").desc, col("bg"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
         .select(col("lang"), col("bg"), col("c_ab"), col("pmi_c"), col("rk"))

@@ -204,11 +204,10 @@ object StatsOps {
     // full-table scan into a single partition read. Result equals the
     // unpartitioned SQL.
     "scan_partition_prune" -> ((s, d) => {
-      val suf = d.replaceAll("[^A-Za-z0-9]", "_")
       val t = Layout.partitionedTable(s,
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice"), year(col("o_orderdate")).as("o_year")),
-        s"graft_part_orders_$suf", "o_year")
+        "graft_part_orders", d, "o_year")
       t.filter(col("o_year") === 1998)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
@@ -249,16 +248,15 @@ object StatsOps {
     // join (oracle = unbucketed SQL); the one-time bucketed write is the
     // fixture's stand-in for the warehouse's ingest-time layout job.
     "join_bucketed" -> ((s, d) => {
-      // the full path (sanitized), NOT a hash of it: table names must be
-      // collision-proof per dataset within a session
-      val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+      // the raw path is the table identity (Layout digests it into the
+      // physical name) — two datasets can never share a cached table
       val o = Layout.bucketedTable(s,
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
-        s"graft_bkt_orders_$suf", "o_orderkey")
+        "graft_bkt_orders", d, "o_orderkey")
       val l = Layout.bucketedTable(s,
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_extendedprice", "l_discount"),
-        s"graft_bkt_lineitem_$suf", "l_orderkey")
+        "graft_bkt_lineitem", d, "l_orderkey")
       o.hint("merge")
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")

@@ -113,6 +113,67 @@ object StreamOps {
     }
   }
 
+  /** A user's open session interval: [start_us, end_us) with end =
+    * last event + gap, and the event count. */
+  case class Sess(start_us: Long, end_us: Long, n: Long)
+
+  /** Emitted closed session. */
+  case class SessOut(user_id: Long, start_us: Long, end_us: Long, n: Long)
+
+  /** Session windows implemented by hand on transformWithState with
+    * event-time TIMERS: per-user ListState of open session intervals,
+    * merged by interval sweep on every batch (merge rule `start <
+    * prev.end` — an event exactly `gap` after the last starts a NEW
+    * session, matching both session_window and the gaps-and-islands
+    * oracle's `diff >= gap` break); a timer at each session end fires
+    * once the watermark passes it, evicting and emitting the session.
+    * This is the retention-expiry pattern: state removed by time, not by
+    * input — exercised here with deterministic event-time timers (a
+    * wall-clock TTLConfig does the same eviction but is inherently not
+    * oracle-checkable; see StreamingSuite's TTL test). */
+  class SessionTimerProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), SessOut] {
+    @transient private var sessions: org.apache.spark.sql.streaming.ListState[Sess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[Sess]("sessions",
+        org.apache.spark.sql.Encoders.product[Sess],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessOut] = {
+      // arrivals as ms-floored single-point intervals, merged with the
+      // open sessions in one sorted sweep
+      val pts = rows.map { case (_, tsUs) =>
+        val t = (tsUs / 1000) * 1000
+        Sess(t, t + gapUs, 1L)
+      }.toArray
+      val all = (sessions.get().toArray ++ pts).sortBy(s => (s.start_us, s.end_us))
+      val merged = scala.collection.mutable.ArrayBuffer[Sess]()
+      for (s <- all) {
+        if (merged.nonEmpty && s.start_us < merged.last.end_us) {
+          val p = merged.remove(merged.length - 1)
+          merged += Sess(p.start_us, math.max(p.end_us, s.end_us), p.n + s.n)
+        } else merged += s
+      }
+      sessions.put(merged.toArray)
+      // one timer per open session end; duplicates across batches are
+      // idempotent, stale ones (session extended) fire into a no-op
+      merged.foreach(s => getHandle.registerTimer(s.end_us / 1000))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessOut] = {
+      val expiryMs = info.getExpiryTimeInMs
+      val (done, live) = sessions.get().toArray.partition(_.end_us / 1000 <= expiryMs)
+      if (live.isEmpty) sessions.clear() else sessions.put(live)
+      done.sortBy(_.start_us).iterator
+        .map(s => SessOut(key, s.start_us, s.end_us, s.n))
+    }
+  }
+
   private val nameCounter = new AtomicLong(0)
   private def freshName(prefix: String): String =
     s"${prefix}_${nameCounter.incrementAndGet()}"
@@ -252,6 +313,82 @@ object StreamOps {
       }.orderBy("win_us", "event_type")
     }),
 
+    // TRUE-streaming session windows (the batch twin is
+    // stream_session_30m): 30-min-gap sessions per user over MemoryStream
+    // micro-batches with a 10-minute watermark, APPEND mode — a session
+    // is emitted only once the final watermark (max event time − 10 min)
+    // passes its end; later sessions stay in state. Fed as two batches
+    // split at the median TIMESTAMP, so sessions spanning the split are
+    // merged ACROSS batches by the session-window state store (the merge
+    // is the thing batch mode can't exercise). No batch-2 event can
+    // reopen an emitted session: an emitted session ended ≥ 40 min
+    // before any batch-2 timestamp (10-min watermark + 30-min gap), so
+    // the final emitted set is exactly the gaps-and-islands sessions
+    // closed under the final watermark — the oracle's cutoff. Event
+    // times are floored to whole MILLISECONDS first (the spec serializes
+    // time as ISO-8601, ms precision — reference README.md:312): Spark's
+    // watermark is ms-granular, so µs-fraction event times would make
+    // the emit-or-hold boundary engine-internal instead of
+    // oracle-reproducible; the floor pins it exactly.
+    "stream_session_state" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val agg = ms.toDF()
+        .withColumn("ets", timestamp_millis(expr("ts_us div 1000")))
+        .withWatermark("ets", "10 minutes")
+        .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"), col("n"))
+      runToMemory(s, agg, freshName("session_state"), OutputMode.Append) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: open sessions carry
+        ms.addData(b2.toSeq)
+      }.orderBy("user_id", "start_us")
+    }),
+
+    // The SAME session semantics implemented on transformWithState with
+    // EVENT-TIME TIMERS (retention expiry done by hand): ListState holds
+    // each user's open sessions as merged intervals; every batch merges
+    // the arrivals in (interval-sweep — the same merge the session state
+    // store does natively above) and registers a timer at each session
+    // end; when the watermark passes a timer, the expired-timer callback
+    // evicts the closed sessions from state and emits them. Stale timers
+    // (a session got extended past its old end) fire and match nothing —
+    // cheaper than delete-and-reregister churn on every arrival. One
+    // oracle across three implementations (batch gaps-and-islands,
+    // session_window state store, timer-driven eviction): the semantics
+    // cannot drift.
+    "stream_session_timers" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = ms.toDF()
+          .withColumn("ets", timestamp_millis(expr("ts_us div 1000")))
+          .withWatermark("ets", "10 minutes")
+          .select(col("user_id"), col("ts_us")).as[(Long, Long)]
+        val out = src.groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor(30L * 60 * 1000000),
+            TimeMode.EventTime(), OutputMode.Append())
+        runToMemory(s, out.toDF(), freshName("session_timers"),
+            OutputMode.Append) { q =>
+          ms.addData(b1.toSeq)
+          q.processAllAvailable()        // batch boundary: open sessions carry
+          ms.addData(b2.toSeq)
+        }.orderBy("user_id", "start_us")
+      } finally
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
+    }),
+
     // Cross-batch idempotency (README.md:113-114): dedup on id within the
     // watermark. Batch 1 delivers the feed; batch 2 redelivers the most
     // recent 5 minutes (at-least-once); state built in batch 1 drops every
@@ -288,6 +425,11 @@ object StreamOps {
       val sorted = ces.sortBy(_.id)
       val (b1, b2) = sorted.splitAt(sorted.length / 2)
       val ms = MemoryStream[CloudEvent](s)
+      // NOTE: this save/restore mutates the SESSION-global provider conf;
+      // a streaming query started concurrently on the same session would
+      // pick RocksDB up silently. Fine for the single-threaded fixture
+      // driver — use spark.newSession() to scope it if fixtures ever run
+      // concurrently (same pattern in stream_session_timers).
       val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -555,6 +697,42 @@ object StreamOps {
         |WHERE win_us + 3600000000 <= mx - 600000000
         |ORDER BY win_us, event_type""".stripMargin,
 
+    // gaps-and-islands sessions, kept only where the final watermark
+    // (bounded feed max − 10 min) closed the session (append-mode
+    // finalization; same <= convention as stream_watermark_late)
+    "stream_session_state" ->
+      """WITH e AS (SELECT user_id, event_id, (epoch_us(ts) // 1000) * 1000 AS us
+        |           FROM events WHERE event_id < 20000),
+        |mx AS (SELECT max(us) AS m FROM e),
+        |b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM b),
+        |g AS (SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |        count(*) AS n
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n FROM g, mx
+        |WHERE end_us <= m - 600000000
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // the timer-driven session implementation lands the identical set
+    "stream_session_timers" ->
+      """WITH e AS (SELECT user_id, event_id, (epoch_us(ts) // 1000) * 1000 AS us
+        |           FROM events WHERE event_id < 20000),
+        |mx AS (SELECT max(us) AS m FROM e),
+        |b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM b),
+        |g AS (SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |        count(*) AS n
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n FROM g, mx
+        |WHERE end_us <= m - 600000000
+        |ORDER BY user_id, start_us""".stripMargin,
+
     // effectively-once: output is the distinct feed despite redelivery
     "stream_dedup_state" ->
       """SELECT event_id, user_id, event_type FROM events
@@ -595,6 +773,13 @@ object StreamOps {
     // The GLOBAL watermark is the MIN over the two branches' watermarks
     // (each branch tracks its own max event time − 30 min) — using the
     // overall feed maximum would overstate it.
+    // BOUNDARY CONVENTION: the null-match row emits on STRICT p_us < wm.
+    // Spark's outer-join eviction applies internal ≤/<-with-1ms
+    // adjustments, so a purchase timestamp landing EXACTLY on the final
+    // watermark could diverge between engine and oracle; no fixture
+    // timestamp hits the boundary today (verified by the 154/154 gate at
+    // sf0.01 and sf0.1) — if the generator ever changes, exclude the
+    // exact-boundary timestamp or re-derive this convention.
     "stream_join_outer" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
         |  FROM events WHERE event_type = 'purchase' AND event_id < 20000),

@@ -12,6 +12,29 @@ import graft.streaming.StreamOps
   * scope for case classes used in streams). */
 case class RmOut(subject: String, id: String, method: String)
 
+/** Per-key event counter whose ValueState carries a processing-time TTL:
+  * state older than `ttlMs` is evicted before the next read, so a count
+  * restarts after an idle gap — the wall-clock retention policy
+  * TTLConfig implements (deterministic retention lives in
+  * StreamOps.SessionTimerProcessor's event-time timers). */
+class TtlCountProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamOps.Ev, (Long, Long)] {
+  @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+  override def handleInputRows(key: Long, rows: Iterator[StreamOps.Ev],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+    val cur = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(cur)
+    Iterator.single((key, cur))
+  }
+}
+
 /** Streaming-vs-batch parity (SURVEY §5.4-5.5): the stateful operators fed
   * in multiple micro-batches must agree with their batch formulations on
   * the same data, for any batch split.
@@ -192,6 +215,94 @@ class StreamingSuite extends AnyFunSuite {
     assert(out.contains((3L, 2L)) && out.contains((1L, -1L)) && out.contains((5L, 4L)),
       s"unexpected outer-join output: $out")
     assert(!out.contains((1L, 4L)), "late click must not match a closed purchase")
+  }
+
+  test("session_window state store ≡ timer-driven session eviction (full fixtures)") {
+    val a = StreamOps.queries("stream_session_state")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSet
+    val b = StreamOps.queries("stream_session_timers")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "native session windows and timer eviction must agree")
+    assert(a.nonEmpty)
+  }
+
+  test("a session spanning the batch split merges across batches; open tail stays in state (planted)") {
+    import spark.implicits._
+    val base = 1700000000000000L
+    val min = 60000000L
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    val agg = ms.toDF()
+      .withColumn("ets", timestamp_millis(expr("ts_us div 1000")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("start_us"),
+        col("n"))
+    val out = StreamOps.runToMemory(spark, agg, "session_planted",
+        OutputMode.Append) { q =>
+      ms.addData(Seq(
+        StreamOps.Ev(1, base, 7, "click", 1.0),
+        StreamOps.Ev(2, base + 10 * min, 7, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2 extends the batch-1 session (20min < 30min gap), then a
+      // far event closes it via the watermark and itself stays open
+      ms.addData(Seq(
+        StreamOps.Ev(3, base + 20 * min, 7, "click", 1.0),
+        StreamOps.Ev(4, base + 600 * min, 7, "click", 1.0)))
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((7L, base, 3L)),
+      s"expected one merged 3-event session, still-open tail unemitted: $out")
+  }
+
+  test("state with a processing-time TTL is evicted between arrivals") {
+    import spark.implicits._
+    // A ProcessingTime-mode query self-triggers timer micro-batches
+    // continuously, so processAllAvailable/AvailableNow never settle —
+    // poll the foreachBatch output queue instead and stop the query
+    // explicitly once both emissions landed.
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    val counted = ms.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttlMs = 100),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt").toString
+    val old = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def await(n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000
+      while (got.size < n && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(got.size >= n, s"timed out waiting for $n emissions: $got")
+    }
+    val q = counted.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0), r.getLong(1)))))
+      .start()
+    try {
+      ms.addData(StreamOps.Ev(1, 1000000L, 5, "click", 1.0))
+      await(1)
+      Thread.sleep(500) // let the 100ms TTL lapse in wall-clock time
+      ms.addData(StreamOps.Ev(2, 2000000L, 5, "click", 1.0))
+      await(2)
+      // without TTL the second arrival would read the prior count and
+      // emit (5, 2); expired state must reset to a fresh count
+      assert(got.toArray(Array.empty[(Long, Long)]).toSeq == Seq((5L, 1L), (5L, 1L)),
+        s"TTL-expired state leaked into the second arrival: $got")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+          .toSeq.reverseIterator.foreach(p =>
+            try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }
   }
 
   test("feed sink upsert across batches ≡ batch compaction (stream_feed_sink)") {
