@@ -36,27 +36,42 @@ object GraphOps {
     * rather than recomputing if it ever isn't. */
   private val edgeCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** The cached relation is hash-partitioned ON u before persisting:
+    * every downstream consumer — degree aggregates, per-iteration
+    * contribution joins — requires exactly that distribution, so the
+    * partitioning is paid once and every later exchange on the big side
+    * disappears (the iterate-in-place layout a distributed PageRank
+    * keeps its edge list in; broadcasting node state instead would cap
+    * the graph at driver memory). */
   private[graft] def edges(s: SparkSession, d: String): DataFrame =
-    edgeCache.computeIfAbsent((s, d), _ =>
-      buildEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK))
+    edgeCache.computeIfAbsent((s, d), _ => {
+      // explicit partition count: a bare repartition(col) is an
+      // AQE-coalescible shuffle, so the cache could not ADVERTISE its
+      // partitioning and every consumer would re-exchange; pinning the
+      // count makes InMemoryTableScan's HashPartitioning(u, n) line up
+      // with consumers' requirements exchange-free
+      val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      buildEdges(s, d).repartition(n, col("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Distinct undirected co-purchase edges, emitted in both directions
     * (u ↔ v). collect_set dedups (order, part) so a part appearing on two
     * lineitems of one order doesn't double an edge; pair generation then
-    * happens inside each order's set (~C(7,2) pairs) — local, codegen'd,
-    * never a join. Shuffle 1: group items by order. Shuffle 2: distinct
-    * pairs. The previous self-join formulation cost four. */
-  private def buildEdges(s: SparkSession, d: String): DataFrame = {
-    val byOrder = Tables.lineitem(s, d)
+    * happens inside each order's set (~items² per order) — local,
+    * codegen'd, never a join — and u ≠ v yields BOTH directions in the
+    * same single pass (a union with the swapped projection would
+    * re-evaluate the whole scan+group chain twice). Shuffle 1: group
+    * items by order. Shuffle 2: distinct pairs. The original self-join
+    * formulation cost four shuffles and two passes. */
+  private def buildEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
-    val und = byOrder
       .select(explode(col("pks")).as("u"), col("pks"))
       .select(col("u"), explode(col("pks")).as("v"))
-      .where(col("u") < col("v"))
+      .where(col("u") =!= col("v"))
       .distinct()
-    und.union(und.select(col("v").as("u"), col("u").as("v")))
-  }
 
   /** One integer-exact PageRank step: given scores r(u) (1e6-scaled),
     * each node sends floor(r/deg) units to every neighbor and the new
@@ -64,7 +79,10 @@ object GraphOps {
     * so any engine reproduces it bit-for-bit. */
   private def step(es: DataFrame, deg: DataFrame, r: DataFrame): DataFrame = {
     val contrib = r.join(deg, "u").select(col("u"), expr("r div deg").as("c"))
-    es.join(contrib, "u")
+    // shuffle-hash build on the node-sized contrib side: the u-partitioned
+    // edge relation joins exchange-free AND sort-free (SMJ would re-sort
+    // the 2|E|-row side every iteration)
+    es.join(contrib.hint("shuffle_hash"), "u")
       .groupBy(col("v").as("u"))
       .agg(sum("c").as("sc"))
       .select(col("u"), (lit(150000L) + expr("(sc * 85) div 100")).as("r"))
