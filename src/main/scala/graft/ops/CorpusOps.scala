@@ -155,6 +155,51 @@ object CorpusOps {
         .orderBy("vec_id")
     }),
 
+    // Cross-document repeated-passage detection (the C4/RefinedWeb
+    // "remove repeated spans" stage): every 8-token sliding span is
+    // fingerprinted; spans occurring in ≥ 2 documents are the
+    // boilerplate/duplication signal a curation pipeline strips. Span
+    // generation is row-local (transform over a token-index sequence,
+    // codegen'd — no join, no window); the only shuffle is the
+    // span-fingerprint aggregate, whose cardinality is bounded by the
+    // corpus token count. Top-200 spans by occurrence count.
+    "text_span_dedup" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val spans = transform(
+        sequence(lit(1), greatest(size(toks) - 7, lit(0))),
+        i => md5(concat_ws(" ", slice(toks, i, lit(8)))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(spans).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_occur"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occur").desc, col("fp")).limit(200)
+    }),
+
+    // One pair-count stage of BPE tokenizer training: corpus word counts
+    // (vocabulary-sized — the BPE trainer's working set), then adjacent
+    // CHARACTER-pair frequencies weighted by word count; the top pair is
+    // the next merge a trainer would apply. The heavy distributed part
+    // of BPE training is exactly this aggregate — a full trainer loops
+    // argmax → merge → recount with the same shapes (cf. the PageRank
+    // step/loop pairing in GraphOps). Top-20 merge candidates.
+    "bpe_pair_stats" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("c"))
+        .filter(length(col("tk")) >= 2)
+      val pairs = transform(
+        sequence(lit(1), length(col("tk")) - 1),
+        i => struct(col("tk").substr(i, lit(1)).as("l"),
+          col("tk").substr(i + 1, lit(1)).as("r")))
+      wc.select(explode(pairs).as("p"), col("c"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(20)
+    }),
+
     // int8 embedding quantization: per-vector max-abs scale, q_i =
     // floor(x_i·127/maxabs) — floor, never round (determinism rule); the
     // checksums (sum of q, saturation count) are integer-exact.
@@ -292,6 +337,26 @@ object CorpusOps {
         |  CAST(max(CASE WHEN sub = 3 THEN cid END) AS BIGINT) AS code3,
         |  CAST(sum(serr) AS BIGINT) AS err_c
         |FROM pick GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "text_span_dedup" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |sp AS (SELECT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+        |       FROM t, unnest(generate_series(1, greatest(len(toks) - 7, 0))) u(i)),
+        |g AS (SELECT fp, count(*) AS n_occur,
+        |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        min(doc_id) AS first_doc
+        |      FROM sp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT fp, n_occur, n_docs, first_doc FROM g
+        |ORDER BY n_occur DESC, fp LIMIT 200""".stripMargin,
+
+    "bpe_pair_stats" ->
+      """WITH wc AS (SELECT tk, count(*) AS c FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS tk FROM documents)
+        |  GROUP BY tk HAVING len(tk) >= 2),
+        |p AS (SELECT substr(tk, i, 1) AS l, substr(tk, i + 1, 1) AS r, c
+        |      FROM wc, unnest(generate_series(1, len(tk) - 1)) u(i))
+        |SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p
+        |GROUP BY l, r ORDER BY n DESC, l, r LIMIT 20""".stripMargin,
 
     "vec_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

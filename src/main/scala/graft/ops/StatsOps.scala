@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.api.{Layout, Relevance, Sketches}
 import graft.io.Tables
@@ -71,6 +72,45 @@ object StatsOps {
         .select(col("id").as("doc_id"), col("dl"),
           canon(col("score")).as("score_c"))
         .orderBy(desc("score_c"), col("doc_id")).limit(20)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
+    // and the embedding-cosine list — the fusion stage every modern
+    // lexical+vector search stack runs. Each arm contributes
+    // floor(1e8/(60+rank)) integer units (the classic RRF k=60, scaled
+    // to integers so the fused ordering is engine-exact); documents in
+    // only one list score with the other arm absent. Both arms are
+    // TakeOrderedAndProject top-50s; the rank windows then run over
+    // those ≤50-row LIMITed relations (bounded by construction — at
+    // 100 TB the top-k is still 50 rows), and the fusion join is
+    // 50×50.
+    "rank_fusion_rrf" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s) // native vector kernels
+      val lexTop = Relevance.bm25(Tables.documents(s, d), col("doc_id"),
+          col("text"), Terms, k1 = K1, b = B)
+        .select(col("id").as("doc_id"), canon(col("score")).as("score_c"))
+        .orderBy(col("score_c").desc, col("doc_id")).limit(50)
+      val lex = lexTop.withColumn("rl", row_number().over(
+          Window.orderBy(col("score_c").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rl"))
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val dotq = call_function("vec_dot", col("embedding"), col("qe"))
+      val nE = sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+      val nQ = sqrt(call_function("vec_dot", col("qe"), col("qe")))
+      val vecTop = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .withColumn("cos_c", canon(dotq / (nE * nQ)))
+        .select(col("vec_id"), col("cos_c"))
+        .orderBy(col("cos_c").desc, col("vec_id")).limit(50)
+      val vec = vecTop.withColumn("rv", row_number().over(
+          Window.orderBy(col("cos_c").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rv"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_c",
+          coalesce(expr("CAST(100000000 AS BIGINT) div (60 + rl)"), lit(0L)) +
+            coalesce(expr("CAST(100000000 AS BIGINT) div (60 + rv)"), lit(0L)))
+        .select(col("doc_id"), col("rrf_c"))
+        .orderBy(col("rrf_c").desc, col("doc_id")).limit(20)
     }),
 
     // Count-min heavy hitters over token instances: 4 md5 hash rows × 256
@@ -312,6 +352,51 @@ object StatsOps {
         |  ) * 10000) AS BIGINT) AS score_c
         |FROM tfs CROSS JOIN st
         |ORDER BY score_c DESC, doc_id LIMIT 20""".stripMargin,
+
+    "rank_fusion_rrf" ->
+      """WITH d0 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |tfs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf_0,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf_1,
+        |    CAST(len(list_filter(toks, x -> x = 'filter')) AS BIGINT) AS tf_2
+        |  FROM d0),
+        |st AS (SELECT count(*) AS nn, sum(len(toks)) AS sumdl,
+        |    sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN list_contains(toks, 'filter') THEN 1 ELSE 0 END) AS df_2
+        |  FROM d0),
+        |bm AS (SELECT doc_id,
+        |  CAST(floor((
+        |    ln((nn - df_0 + 0.5) / CAST(df_0 + 0.5 AS DOUBLE) + 1.0) * (tf_0 * 2.25) /
+        |      (tf_0 + 1.25 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))) +
+        |    ln((nn - df_1 + 0.5) / CAST(df_1 + 0.5 AS DOUBLE) + 1.0) * (tf_1 * 2.25) /
+        |      (tf_1 + 1.25 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))) +
+        |    ln((nn - df_2 + 0.5) / CAST(df_2 + 0.5 AS DOUBLE) + 1.0) * (tf_2 * 2.25) /
+        |      (tf_2 + 1.25 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn)))
+        |  ) * 10000) AS BIGINT) AS score_c
+        |  FROM tfs CROSS JOIN st
+        |  ORDER BY score_c DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score_c DESC, doc_id) AS rl FROM bm),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT vec_id,
+        |  CAST(floor((
+        |    list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_transform(generate_series(1, len(qe)),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b)))
+        |  ) * 10000) AS BIGINT) AS cos_c
+        |  FROM embeddings, q WHERE vec_id <> 0),
+        |vt AS (SELECT vec_id, cos_c FROM cs ORDER BY cos_c DESC, vec_id LIMIT 50),
+        |vrk AS (SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY cos_c DESC, vec_id) AS rv FROM vt),
+        |f AS (SELECT COALESCE(lex.doc_id, vrk.doc_id) AS doc_id,
+        |    COALESCE(100000000 // (60 + rl), 0) + COALESCE(100000000 // (60 + rv), 0) AS rrf_c
+        |  FROM lex FULL OUTER JOIN vrk ON lex.doc_id = vrk.doc_id)
+        |SELECT doc_id, CAST(rrf_c AS BIGINT) AS rrf_c FROM f
+        |ORDER BY rrf_c DESC, doc_id LIMIT 20""".stripMargin,
 
     "heavy_hitters_cms" ->
       """WITH inst AS (SELECT unnest(str_split(text, ' ')) AS tk FROM documents),

@@ -254,8 +254,8 @@ object StreamOps {
       var prev = -1L
       var cur = s.table(name).count()
       var spins = 0
-      while (cur != prev && spins < 100) {
-        prev = cur; Thread.sleep(100)
+      while (cur != prev && spins < 200) {
+        prev = cur; Thread.sleep(50)
         q.processAllAvailable()
         cur = s.table(name).count(); spins += 1
       }

@@ -181,4 +181,46 @@ class CorpusOpsSuite extends AnyFunSuite {
     // a codebook vector reconstructs itself exactly
     (0L until 8L).foreach(c => assert(out(c)._1 == Seq(c, c, c, c) && out(c)._2 == 0L))
   }
+
+  test("text_span_dedup: counts match a brute-force span index") {
+    val out = q("text_span_dedup")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: every 8-token span across the corpus
+    val index = scala.collection.mutable.Map[String, Vector[Long]]()
+    docs.foreach { case (id, _, text) =>
+      val t = text.split(" ")
+      (0 to t.length - 8).foreach { i =>
+        val key = t.slice(i, i + 8).mkString(" ")
+        index(key) = index.getOrElse(key, Vector.empty) :+ id
+      }
+    }
+    val dup = index.values.filter(_.distinct.size >= 2)
+    assert(out.length == math.min(200, dup.size))
+    val expect = dup.map(occ =>
+      (occ.size.toLong, occ.distinct.size.toLong, occ.min)).toSeq
+    out.foreach { case (_, nOcc, nDocs, firstDoc) =>
+      assert(nDocs >= 2 && nOcc >= nDocs)
+      assert(expect.contains((nOcc, nDocs, firstDoc)),
+        s"span row ($nOcc, $nDocs, $firstDoc) not in brute-force index")
+    }
+    // the top row really is a maximal-occurrence span
+    if (out.nonEmpty) assert(out.head._2 == dup.map(_.size).max)
+  }
+
+  test("bpe_pair_stats: pair counts match a brute-force recount") {
+    val out = q("bpe_pair_stats")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val wc = docs.flatMap(_._3.split(" ")).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }.filter(_._1.length >= 2)
+    val pairs = scala.collection.mutable.Map[(String, String), Long]()
+    wc.foreach { case (t, c) =>
+      (0 until t.length - 1).foreach { i =>
+        val k = (t.substring(i, i + 1), t.substring(i + 1, i + 2))
+        pairs(k) = pairs.getOrElse(k, 0L) + c
+      }
+    }
+    val expected = pairs.toSeq.map { case ((l, r), n) => (l, r, n) }
+      .sortBy { case (l, r, n) => (-n, l, r) }.take(20)
+    assert(out.toSeq == expected)
+  }
 }

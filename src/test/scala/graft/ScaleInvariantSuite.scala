@@ -29,6 +29,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "win_ntile_dense",  // × single-row global count
     "rank_tfidf",       // × single-row corpus-stats aggregate
     "rank_bm25",        // × single-row corpus-stats aggregate
+    "rank_fusion_rrf",  // × single-row corpus stats + 1-row query vector
     "kmeans_assign_step", // × k=8 centroid table
     "zorder_layout",    // × single-row max(l_partkey), max(l_suppkey) row
     "tfidf_vectorize",  // × single-row corpus doc-count aggregate
@@ -46,7 +47,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "train_shard_manifest", // same histogram via its shuffleOrder stage
     "feed_gap_detect",      // bucket min/max summary relation only
     "quality_pipeline_e2e", // same histogram via its shuffleOrder stage
-    "dedup_ngram_jaccard_prefix" // vocabulary-sized dictionary-encode rank
+    "dedup_ngram_jaccard_prefix", // vocabulary-sized dictionary-encode rank
+    "rank_fusion_rrf"       // rank windows over ≤50-row LIMITed top-k arms
   )
 
   /** Queries whose heavy work happens eagerly at DataFrame-construction

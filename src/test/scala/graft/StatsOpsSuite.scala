@@ -62,6 +62,36 @@ class StatsOpsSuite extends AnyFunSuite {
       "equal dl: score must increase with tf")
   }
 
+  test("rank_fusion_rrf: fused ranking matches RRF over the two arms' own outputs") {
+    val out = q("rank_fusion_rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty && out.length <= 20)
+    // recompute RRF from the shipped arms themselves: BM25 top-50 ranks
+    // and cosine top-50 ranks (same tie rules the operator uses)
+    val lex = graft.api.Relevance.bm25(graft.io.Tables.documents(spark, d),
+        col("doc_id"), col("text"), Seq("join", "hash", "filter"), k1 = 1.25, b = 0.75)
+      .select(col("id"), floor(col("score") * 10000).cast("long").as("sc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val embs = graft.io.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qe = embs(0L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val vec = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, e) =>
+        id -> math.floor(dot(e, qe) / (math.sqrt(dot(e, e)) * math.sqrt(dot(qe, qe))) * 10000).toLong }
+      .sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val fused = (lex.keySet ++ vec.keySet).toSeq.map { id =>
+      id -> (lex.get(id).map(r => 100000000L / (60 + r)).getOrElse(0L) +
+        vec.get(id).map(r => 100000000L / (60 + r)).getOrElse(0L))
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(out.toSeq == fused, "fused ranking must equal driver-side RRF")
+  }
+
   // ---- sketches ---------------------------------------------------------
 
   test("heavy_hitters_cms: estimates are one-sided (est ≥ exact) and exact counts are right") {
