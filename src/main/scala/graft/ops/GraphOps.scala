@@ -33,7 +33,10 @@ object GraphOps {
     * the unsanitized path, so two datasets can never collide (the Layout
     * materialize() lesson). The persisted relation is ~|E| longs, far
     * under executor memory even at 100× this data; MEMORY_AND_DISK spills
-    * rather than recomputing if it ever isn't. */
+    * rather than recomputing if it ever isn't. The map holds a strong
+    * session reference — fine for this library's one-session-per-JVM
+    * drivers (Verify/Bench/tests); a long-lived multi-session service
+    * would key a weak map or call unpersist on session teardown. */
   private val edgeCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** The cached relation is hash-partitioned ON u before persisting:

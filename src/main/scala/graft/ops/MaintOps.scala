@@ -104,6 +104,41 @@ object MaintOps {
         .orderBy("c_custkey")
     }),
 
+    // Quantile-sketch MERGEABILITY proven differentially (the
+    // sketch_kmv_merge pattern): per-(type, day) partial 256-bucket
+    // histograms — what each ingest shard builds independently — merged
+    // by bucket-wise sum, then the same quantile extraction as
+    // quantile_hist. Lossless BECAUSE the bucket edges are global
+    // (min/max fixed before bucketing, a cheap two-pass): a sketch whose
+    // parameters depend on its own shard's data would not merge. The
+    // oracle makes the partial stage explicit, so a lossy merge would
+    // hash-mismatch; merged ≡ direct is additionally asserted in
+    // MaintOpsSuite.
+    "quantile_hist_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), canon(col("value")).as("vi"),
+          to_date(timestamp_micros(col("ts_us"))).as("day"))
+      val st = ev.groupBy("event_type")
+        .agg(min("vi").as("mn"), max("vi").as("mx"), count(lit(1)).as("n"))
+      val partial = ev.join(broadcast(st), "event_type")
+        .withColumn("bk", expr("((vi - mn) * 256) div (mx - mn + 1)"))
+        .groupBy("event_type", "day", "bk").agg(count(lit(1)).as("c"))
+      val hist = partial.groupBy("event_type", "bk").agg(sum("c").as("c"))
+      val wc = Window.partitionBy("event_type").orderBy("bk")
+      val cum = hist.withColumn("cum", sum("c").over(wc))
+        .join(broadcast(st), "event_type")
+      def qb(p: Int): Column =
+        min(when(col("cum") * 100 >= col("n") * p, col("bk")))
+      cum.groupBy("event_type")
+        .agg(first("n").as("n"), qb(50).as("b50"), qb(95).as("b95"),
+          qb(99).as("b99"), first("mn").as("mn"), first("mx").as("mx"))
+        .select(col("event_type"), col("n"),
+          (col("mn") + expr("(b50 * (mx - mn + 1)) div 256")).as("est50_c"),
+          (col("mn") + expr("(b95 * (mx - mn + 1)) div 256")).as("est95_c"),
+          (col("mn") + expr("(b99 * (mx - mn + 1)) div 256")).as("est99_c"))
+        .orderBy("event_type")
+    }),
+
     // ANN quality evaluation: recall@5 of the IVF nprobe=1 search against
     // the brute-force ground truth, per query — the acceptance gate any
     // approximate index must pass before it replaces the exact path.
@@ -126,6 +161,36 @@ object MaintOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // the merge path: per-day partials summed bucket-wise must land the
+    // direct histogram's exact quantile estimates (the final result is
+    // day-assignment independent — merging is a plain sum)
+    "quantile_hist_merge" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vi,
+        |    CAST(ts AS DATE) AS day FROM events),
+        |st AS (SELECT event_type, min(vi) AS mn, max(vi) AS mx,
+        |    count(*) AS n FROM v GROUP BY event_type),
+        |p AS (SELECT v.event_type, day, ((vi - mn) * 256) // (mx - mn + 1) AS bk,
+        |    count(*) AS c
+        |  FROM v JOIN st ON v.event_type = st.event_type
+        |  GROUP BY v.event_type, day, bk),
+        |h AS (SELECT event_type, bk, CAST(sum(c) AS BIGINT) AS c
+        |  FROM p GROUP BY event_type, bk),
+        |cu AS (SELECT event_type, bk,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bk) AS cum FROM h),
+        |q AS (SELECT cu.event_type,
+        |    min(CASE WHEN cum * 100 >= n * 50 THEN bk END) AS b50,
+        |    min(CASE WHEN cum * 100 >= n * 95 THEN bk END) AS b95,
+        |    min(CASE WHEN cum * 100 >= n * 99 THEN bk END) AS b99
+        |  FROM cu JOIN st ON cu.event_type = st.event_type
+        |  GROUP BY cu.event_type)
+        |SELECT q.event_type, st.n,
+        |  CAST(mn + (b50 * (mx - mn + 1)) // 256 AS BIGINT) AS est50_c,
+        |  CAST(mn + (b95 * (mx - mn + 1)) // 256 AS BIGINT) AS est95_c,
+        |  CAST(mn + (b99 * (mx - mn + 1)) // 256 AS BIGINT) AS est99_c
+        |FROM q JOIN st ON q.event_type = st.event_type
+        |ORDER BY q.event_type""".stripMargin,
+
     "quantile_hist" ->
       """WITH v AS (SELECT event_type,
         |    CAST(floor(value * 10000) AS BIGINT) AS vi FROM events),

@@ -83,6 +83,16 @@ class MaintOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("quantile_hist_merge: merged per-day partials equal the direct sketch") {
+    val direct = SparkEntry.queries("quantile_hist")(spark, d)
+      .collect().map(_.toSeq)
+    val merged = SparkEntry.queries("quantile_hist_merge")(spark, d)
+      .collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq,
+      "bucket-wise merge of shard histograms must be lossless")
+    assert(merged.nonEmpty)
+  }
+
   test("ann_ivf_pq_topk: recall gate vs the brute-force ground truth") {
     val truth = SparkEntry.queries("vec_knn_brute")(spark, d)
       .select("qid", "vec_id").as[(Long, Long)].collect()
