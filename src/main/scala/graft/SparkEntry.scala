@@ -30,6 +30,7 @@ object SparkEntry {
       (FeatureOps.queries, FeatureOps.oracles),
       (GraphOps.queries, GraphOps.oracles),
       (MaintOps.queries, MaintOps.oracles),
+      (LoopOps.queries, LoopOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

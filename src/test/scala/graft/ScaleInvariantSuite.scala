@@ -34,7 +34,9 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "zorder_layout",    // × single-row max(l_partkey), max(l_suppkey) row
     "tfidf_vectorize",  // × single-row corpus doc-count aggregate
     "dedup_semantic_block", // × k=8 centroid table (kmeans blocking assign)
-    "ann_recall_eval"   // composes vec_knn_brute × ann_ivf_topk (both above)
+    "ann_recall_eval",  // composes vec_knn_brute × ann_ivf_topk (both above)
+    "kmeans_train_iters", // × k=8 centroid table, twice (two Lloyd assigns)
+    "zonemap_prune"     // × single-row chunks-scanned/total counter pair
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
