@@ -442,6 +442,42 @@ object Pipeline {
         .orderBy("qid", "rk")
     }),
 
+    // Matryoshka staged retrieval: shortlist on the cheap 32-dim PREFIX
+    // of the embedding (MRL-style nested representations), exact 64-dim
+    // re-rank on the ≤100-row shortlist. At 100 TB the prefix stage is
+    // the scan: half the bytes per candidate (or a prefix-only index);
+    // full vectors are fetched for 100 rows per query. (On these
+    // untrained uniform embeddings a 16-dim prefix measured only 0.48
+    // recall@5 — MRL-trained prefixes concentrate variance, random ones
+    // do not, so the demo uses the 32-dim tier: 0.96 at sf0.01.) Components are
+    // floor-canonized to integers BEFORE either distance sum
+    // (quantize-before-sum), so shortlist membership and final ranks are
+    // bit-equal across engines — both stage cuts break ties on vec_id.
+    // Measured recall@5 vs vec_knn_brute: gated in MaintOpsSuite.
+    "vec_prefix_rerank_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+          .as("ev"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ev").as("qe"))
+      def isq(a: String, b: String): Column =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      val w1 = Window.partitionBy("qid").orderBy(col("psqd"), col("vec_id"))
+      val w2 = Window.partitionBy("qid").orderBy(col("sqd"), col("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("psqd", isq("slice(ev, 1, 32)", "slice(qe, 1, 32)"))
+        .withColumn("rk1", row_number().over(w1))
+        .filter(col("rk1") <= 100)
+        .withColumn("sqd", isq("ev", "qe"))
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id"), col("psqd"), col("sqd"))
+        .orderBy("qid", "rk")
+    }),
+
     // Language ID, n-gram/marker-token heuristic: per-language profile =
     // top-20 tokens by in-language document frequency; prediction = argmax
     // profile overlap (tie → lang asc); output = confusion matrix. The
@@ -768,6 +804,28 @@ object Pipeline {
         |  FROM rr)
         |SELECT qid, rk, vec_id, CAST(floor(dist * 10000) AS BIGINT) AS dist_c
         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "vec_prefix_rerank_topk" ->
+      """WITH e AS (SELECT vec_id, gs AS pos,
+        |    CAST(floor(CAST(embedding[gs] AS DOUBLE) * 10000) AS BIGINT) AS v
+        |  FROM embeddings, generate_series(1, 64) AS t(gs)),
+        |q AS (SELECT vec_id AS qid, pos, v FROM e WHERE vec_id < 5),
+        |ps AS (SELECT e.vec_id, q.qid, sum((e.v - q.v) * (e.v - q.v)) AS psqd
+        |  FROM e JOIN q ON e.pos = q.pos AND e.vec_id <> q.qid
+        |  WHERE e.pos <= 32 GROUP BY e.vec_id, q.qid),
+        |sl AS (SELECT qid, vec_id, psqd FROM (SELECT qid, vec_id, psqd,
+        |    row_number() OVER (PARTITION BY qid ORDER BY psqd, vec_id) AS rk1
+        |  FROM ps) t WHERE rk1 <= 100),
+        |fs AS (SELECT sl.qid, sl.vec_id, sl.psqd,
+        |    sum((e.v - q.v) * (e.v - q.v)) AS sqd
+        |  FROM sl JOIN q ON q.qid = sl.qid
+        |  JOIN e ON e.vec_id = sl.vec_id AND e.pos = q.pos
+        |  GROUP BY sl.qid, sl.vec_id, sl.psqd)
+        |SELECT qid, rk, vec_id, CAST(psqd AS BIGINT) AS psqd,
+        |  CAST(sqd AS BIGINT) AS sqd
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sqd, vec_id) AS rk FROM fs) t
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "text_langid" ->
       """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk

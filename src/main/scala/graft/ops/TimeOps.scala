@@ -72,6 +72,63 @@ object TimeOps {
           canon100(sum(col("delta_us")) * lit(1.0) /
             (count(lit(1)) * lit(1000000.0))).as("mean_sec_c"))
         .orderBy("event_type")
+    }),
+
+    // CUSUM mean-shift screen: per (type, user) series, the running sum
+    // of centi-canon deviations from the SERIES integer mean; the
+    // changepoint candidate is the |cusum| peak. Per type, report the
+    // user whose series deviates hardest. Windows are per-series (the
+    // file's scale rule — never 5 giant per-type partitions), and both
+    // argmax selections are max(struct(...)) aggregates, not sorts:
+    // (mac, −event_id) picks the peak then the EARLIEST event on ties,
+    // (mac, −user_id) picks the strongest series then the smallest user
+    // — unique tiebreakers make both selections total.
+    "ts_changepoint_cusum" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts_us"), canon(col("value"), 100L).as("y"))
+      val st = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+        .select(col("event_type"), col("user_id"), col("n"),
+          expr("sy div n").as("yb")) // sy ≥ 0 (values non-negative) → div ≡ //
+      val w = Window.partitionBy("event_type", "user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val peak = ev.join(st, Seq("event_type", "user_id"))
+        .withColumn("cusum", sum(col("y") - col("yb")).over(w))
+        .groupBy("event_type", "user_id")
+        .agg(max(struct(abs(col("cusum")).as("mac"),
+          (-col("event_id")).as("ne"), col("ts_us").as("ts"),
+          col("n").as("n"))).as("p"))
+      peak.groupBy("event_type")
+        .agg(max(struct(col("p.mac").as("mac"),
+          (-col("user_id")).as("nu"), col("p.ne").as("ne"),
+          col("p.ts").as("ts"), col("p.n").as("n"))).as("b"))
+        .select(col("event_type"), (-col("b.nu")).as("user_id"),
+          col("b.n").as("n"), col("b.mac").as("max_abs_cusum"),
+          (-col("b.ne")).as("cp_event_id"), col("b.ts").as("cp_ts_us"))
+        .orderBy("event_type")
+    }),
+
+    // Marketing attribution, last-touch: each purchase is credited to
+    // the most recent PRIOR click/view by the same user (strictly-before
+    // frame; 'none' when the purchase has no prior touch). Purchase
+    // counts and canon value sums per touch channel — 3 rows out.
+    "attribution_touch" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"), canon(col("value")).as("vc"))
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"),
+            col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("touch"), lit("none")).as("touch"), col("vc"))
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_purchases"), sum("vc").as("sum_value_c"))
+        .orderBy("touch")
     })
   )
 
@@ -126,6 +183,42 @@ object TimeOps {
         |  CAST(floor((CAST(sum(delta_us) AS DOUBLE) / (count(*) * 1000000.0)) * 100)
         |    AS BIGINT) AS mean_sec_c
         |FROM d WHERE delta_us IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // row_number selections replicate the max(struct) tiebreaks exactly:
+    // (mac DESC, event_id ASC) within a series, (mac DESC, user_id ASC)
+    // across series — both orders are total (unique final key)
+    "ts_changepoint_cusum" ->
+      """WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        |st AS (SELECT event_type, user_id, count(*) AS n, sum(y) // count(*) AS yb
+        |  FROM e GROUP BY 1, 2),
+        |cs AS (SELECT e.event_type, e.user_id, e.event_id, e.us, st.n,
+        |    sum(e.y - st.yb) OVER (PARTITION BY e.event_type, e.user_id
+        |      ORDER BY e.us, e.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM e JOIN st ON e.event_type = st.event_type AND e.user_id = st.user_id),
+        |pk AS (SELECT event_type, user_id, n, abs(cusum) AS mac, event_id, us
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+        |      ORDER BY abs(cusum) DESC, event_id) AS rn FROM cs) t
+        |  WHERE rn = 1)
+        |SELECT event_type, user_id, n, CAST(mac AS BIGINT) AS max_abs_cusum,
+        |  event_id AS cp_event_id, us AS cp_ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY mac DESC, user_id) AS rn FROM pk) t
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "attribution_touch" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vc FROM events),
+        |t AS (SELECT *, last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT coalesce(touch, 'none') AS touch, count(*) AS n_purchases,
+        |  CAST(sum(vc) AS BIGINT) AS sum_value_c
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch""".stripMargin
   )
 }

@@ -83,6 +83,46 @@ class GraphOpsSuite extends AnyFunSuite {
     assert(out.map { case (dg, n) => dg * n }.sum == edges.size)
   }
 
+  /** Adjacency sets and the driver-side triangle enumeration (x<y<z):
+    * for every id-ordered edge (u,v), the triangles it starts are the
+    * common neighbors above v — independent of the operator's
+    * wedge-join plan. */
+  private lazy val adj: Map[Long, Set[Long]] =
+    edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+
+  private lazy val triBrute: Seq[(Long, Long, Long)] =
+    for {
+      (u, v) <- edges.filter(e => e._1 < e._2)
+      w <- (adj(u) intersect adj(v)).toSeq.sorted if w > v
+    } yield (u, v, w)
+
+  test("graph_triangle_count matches driver-side triangle enumeration") {
+    val out = SparkEntry.queries("graph_triangle_count")(spark, d)
+      .select("part", "n_tri", "n_tri_total").as[(Long, Long, Long)].collect()
+    val tot = triBrute.size.toLong
+    assert(tot > 0, "fixture graph must contain triangles")
+    val perNode = triBrute.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val expected = perNode.toSeq.sortBy { case (p, n) => (-n, p) }.take(30)
+      .map { case (p, n) => (p, n, tot) }
+    assert(out.toSeq == expected)
+  }
+
+  test("graph_jaccard_edges matches driver-side common-neighbor Jaccard") {
+    val out = SparkEntry.queries("graph_jaccard_edges")(spark, d)
+      .select("u", "v", "cn", "deg_u", "deg_v", "jac_c")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val deg = adj.map { case (u, s) => u -> s.size.toLong }
+    val cn = triBrute.flatMap(t => Seq((t._1, t._2), (t._1, t._3), (t._2, t._3)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val expected = cn.toSeq.map { case ((u, v), c) =>
+      (u, v, c, deg(u), deg(v), c * 10000L / (deg(u) + deg(v) - c))
+    }.sortBy { case (u, v, _, _, _, j) => (-j, u, v) }.take(30)
+    assert(out.toSeq == expected)
+    // cn is bounded by the smaller neighborhood
+    out.foreach { case (u, v, c, du, dv, _) => assert(c <= math.min(du, dv)) }
+  }
+
   test("anomaly_mad: outliers bounded; median/MAD match driver recomputation") {
     val out = SparkEntry.queries("anomaly_mad")(spark, d).collect()
     assert(out.nonEmpty)

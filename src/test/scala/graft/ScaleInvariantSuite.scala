@@ -36,7 +36,9 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "dedup_semantic_block", // × k=8 centroid table (kmeans blocking assign)
     "ann_recall_eval",  // composes vec_knn_brute × ann_ivf_topk (both above)
     "kmeans_train_iters", // × k=8 centroid table, twice (two Lloyd assigns)
-    "zonemap_prune"     // × single-row chunks-scanned/total counter pair
+    "zonemap_prune",    // × single-row chunks-scanned/total counter pair
+    "graph_triangle_count", // × single-row global triangle-count total
+    "vec_prefix_rerank_topk" // × |queries| ≤ 5 (matryoshka staged retrieval)
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a

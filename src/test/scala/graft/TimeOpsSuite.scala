@@ -94,4 +94,54 @@ class TimeOpsSuite extends AnyFunSuite {
       assert(minUs >= 0L && maxUs >= minUs, s"type $t bounds")
     }
   }
+
+  test("ts_changepoint_cusum matches driver-side per-series recomputation") {
+    val out = q("ts_changepoint_cusum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length === 5, "one row per event type")
+    val ev = graft.io.Tables.events(spark, d)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        col("ts_us"), floor(col("value") * 100).cast("long").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val bySeries = rows.groupBy(_._2).map { case (u, es) =>
+        val s = es.sortBy(e => (e._4, e._3))
+        val yb = s.map(_._5).sum / s.length // values >= 0, so / == floor-div
+        var acc = 0L
+        val peaks = s.map { e => acc += e._5 - yb; (math.abs(acc), e._3, e._4) }
+        val (mac, eid, ts) = peaks.maxBy(p => (p._1, -p._2))
+        (u, s.length.toLong, mac, eid, ts)
+      }
+      val best = bySeries.maxBy(x => (x._3, -x._1))
+      (t, best._1, best._2, best._3, best._4, best._5)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected)
+  }
+
+  test("attribution_touch matches driver-side last-touch replay") {
+    val out = q("attribution_touch").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.io.Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), floor(col("value") * 10000).cast("long").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val credit = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var touch: String = null
+      es.sortBy(e => (e._3, e._2)).flatMap { e =>
+        val r = if (e._4 == "purchase")
+          Some((if (touch == null) "none" else touch, e._5)) else None
+        if (e._4 == "click" || e._4 == "view") touch = e._4
+        r
+      }
+    }
+    val expected = credit.groupBy(_._1)
+      .map { case (t, xs) => t -> (xs.size.toLong, xs.map(_._2).sum) }
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (t, (n, sv)) => assert(out(t) == ((n, sv)), s"channel $t") }
+    // every purchase credited exactly once
+    assert(out.values.map(_._1).sum == ev.count(_._4 == "purchase"))
+  }
 }
