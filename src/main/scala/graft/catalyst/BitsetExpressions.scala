@@ -48,6 +48,28 @@ object Bitsets {
     acc
   }
 
+  /** |A ∩ B| of two SORTED long arrays by two-pointer merge — no hash
+    * set, no allocation, one pass. The node-iterator triangle kernel:
+    * adjacency lists are sorted once at build time, then every edge's
+    * common-neighbor count is a linear merge. Inputs must be sorted
+    * ascending and null-free (duplicates count per matching position,
+    * so distinct inputs give true set cardinality). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { acc += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
+  }
+
   /** Bitset directly from token STRINGS via a hashed dictionary — the
     * zero-shuffle encode path: when the dictionary is small enough to sit
     * in the plan as a map literal, per-doc sets become bitsets in a single
@@ -175,6 +197,36 @@ case class BitsetIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "bitset_intersect_count"
+}
+
+/** `sorted_intersect_count(a, b)`: BIGINT |A ∩ B| of two SORTED
+  * array<bigint> by two-pointer merge (see
+  * [[Bitsets.sortedIntersectCount]]). */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two non-null array<bigint> sorted arrays, got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitsets.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.catalyst.Bitsets.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
 }
 
 /** `word_bigrams(text)`: consecutive space-separated word bigrams (see

@@ -41,6 +41,9 @@ object GraftExtensions {
     descriptor("bitset_intersect_count", classOf[BitsetIntersectCountExpr]) {
       children => BitsetIntersectCountExpr(children(0), children(1))
     },
+    descriptor("sorted_intersect_count", classOf[SortedIntersectCountExpr]) {
+      children => SortedIntersectCountExpr(children(0), children(1))
+    },
     descriptor("ngram_shingles", classOf[NgramShinglesExpr]) {
       children => NgramShinglesExpr(children(0), children(1))
     },

@@ -174,63 +174,73 @@ object GraphOps {
     }),
 
     // Triangle participation per node (top-30) + the global triangle
-    // count carried alongside: each triangle x<y<z is found exactly once
-    // as a wedge x→y→z closed by the x→z edge. This graph's degree
-    // distribution is flat (max 222 vs mean ~120 at sf0.1), so
-    // degree-ordered orientation — the classic skew guard that bounds
-    // out-degree by ~√(2|E|) — buys nothing here (measured 41M ordered
-    // wedges vs 37M id-ordered); id-ordering keeps the plan and the
-    // oracle structurally identical. On a skewed graph (the usual case
-    // at 100 TB) flip `oriented` to order by (degree, id) — the triangle
-    // total is orientation-invariant, so the oracle is unchanged.
+    // count carried alongside, both derived from the shared per-edge
+    // common-neighbor relation: Σ_edge cn = 3·T (each triangle has 3
+    // edges) and Σ_{edges at p} cn = 2·tri(p) (each triangle at p has 2
+    // edges there) — both divisions exact. Nodes with zero triangles are
+    // filtered, matching the oracle's wedge-enumeration form.
     "graph_triangle_count" -> ((s, d) => {
-      val tri = triangles(s, d)
-      val tot = tri.agg(count(lit(1)).as("n_tri_total"))
-      tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
-        .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      val cn = commonNeighbors(s, d)
+      val tot = cn.agg((sum("cn") / 3).cast("long").as("n_tri_total"))
+      cn.select(explode(array(col("u"), col("v"))).as("part"), col("cn"))
+        .groupBy("part").agg((sum("cn") / 2).cast("long").as("n_tri"))
+        .filter(col("n_tri") > 0)
         .orderBy(col("n_tri").desc, col("part")).limit(30)
         .crossJoin(broadcast(tot))
         .orderBy(col("n_tri").desc, col("part"))
     }),
 
     // Item-item neighborhood similarity, the co-occurrence recommender
-    // score: for every co-purchased pair, common-neighbor count (= the
-    // pair's per-edge triangle count, exploded from the same triangle
-    // relation) and integer-scaled neighbor Jaccard
+    // score: for every co-purchased pair with at least one common
+    // neighbor, integer-scaled neighbor Jaccard
     // cn·10⁴ div (deg_u + deg_v − cn). Top-30 by (jac_c, u, v) — the
     // unique edge key makes the order total.
-    "graph_jaccard_edges" -> ((s, d) => {
-      val deg = edges(s, d).groupBy("u").agg(count(lit(1)).as("deg"))
-      val cn = triangles(s, d)
-        .select(explode(array(
-          struct(col("x").as("u"), col("y").as("v")),
-          struct(col("x").as("u"), col("z").as("v")),
-          struct(col("y").as("u"), col("z").as("v")))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
-      cn.join(deg.withColumnRenamed("deg", "deg_u"), "u")
-        .join(deg.select(col("u").as("v"), col("deg").as("deg_v")), "v")
+    "graph_jaccard_edges" -> ((s, d) =>
+      commonNeighbors(s, d)
+        .filter(col("cn") > 0)
         .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
           expr("(cn * 10000) div (deg_u + deg_v - cn)").as("jac_c"))
-        .orderBy(col("jac_c").desc, col("u"), col("v")).limit(30)
-    })
+        .orderBy(col("jac_c").desc, col("u"), col("v")).limit(30))
   )
 
-  /** Triangle relation (x < y < z, one row per triangle): id-oriented
-    * edges e1 wedge-joined on the middle vertex, closed by the third
-    * edge. The wedge side (~Σ deg²/4 rows — 37M at sf0.1) is the
-    * intrinsic cost of exact triangle enumeration; both joins are
-    * key-partitioned shuffles, never a cartesian, and the oriented edge
-    * filter halves every input. e1 inherits the cache's u-partitioning,
-    * so the b-side of the wedge join is exchange-free. */
-  private def triangles(s: SparkSession, d: String): DataFrame = {
-    val e1 = edges(s, d).where(col("u") < col("v"))
-    e1.as("a").join(e1.as("b"), col("a.v") === col("b.u"))
-      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
-      .join(e1.as("c"),
-        col("x") === col("c.u") && col("z") === col("c.v"))
-      .select(col("x"), col("y"), col("z"))
-  }
+  /** Per-edge common-neighbor relation (u < v, one row per undirected
+    * edge, with cn = |N(u) ∩ N(v)| and both degrees) — the node-iterator
+    * triangle algorithm (GraphX's TriangleCount shape): per-node
+    * adjacency sets intersected per edge. Built ONCE per (session,
+    * dataset) and persisted, shared by the triangle and Jaccard queries
+    * the way `edges` is shared by the PageRank family.
+    *
+    * Why not the wedge self-join: this graph's flat degree distribution
+    * (max 222 vs mean ~120 at sf0.1) makes the wedge relation Σdeg²/4 ≈
+    * 37M rows — measured 11.7 s/query through two shuffles, vs ~3 s
+    * total here for |E| rows carrying ~120-element arrays. The
+    * adjacency build aggregates exchange-FREE off the u-partitioned
+    * edge cache, the u-side join is likewise exchange-free, and the one
+    * real shuffle moves |E| rows keyed on v. At 100 TB the guard is
+    * super-node adjacency width: cap or salt lists past ~√(2|E|)
+    * (degree-split the node), the standard node-iterator skew fix. */
+  private val cnCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def commonNeighbors(s: SparkSession, d: String): DataFrame =
+    cnCache.computeIfAbsent((s, d), _ => {
+      graft.catalyst.GraftExtensions.install(s) // sorted_intersect_count
+      // adjacency sorted ONCE at build time; every edge's cn is then a
+      // single-pass two-pointer merge (native codegen'd kernel — no
+      // per-row hash set the way array_intersect allocates one)
+      val adj = edges(s, d).groupBy("u")
+        .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+        .select(col("u"), col("nbrs"),
+          size(col("nbrs")).cast("long").as("deg"))
+      edges(s, d).where(col("u") < col("v"))
+        .join(adj.select(col("u"), col("nbrs").as("nu"),
+          col("deg").as("deg_u")), "u")
+        .join(adj.select(col("u").as("v"), col("nbrs").as("nv"),
+          col("deg").as("deg_v")), "v")
+        .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
+          call_function("sorted_intersect_count",
+            col("nu"), col("nv")).as("cn"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   private val edgesSql =
     """lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

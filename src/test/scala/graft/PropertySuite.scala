@@ -122,6 +122,14 @@ class PropertySuite extends AnyFunSuite {
         s"bitset_intersect_count(bitset_from_ids(a, $nWords), bitset_from_ids(b, $nWords)) AS viaBits",
         "CAST(size(array_intersect(a, b)) AS BIGINT) AS viaArr")
       .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // sorted two-pointer merge count == array_intersect size on the same
+    // sets (cast to bigint, sorted at the call site per the contract)
+    idCases.map { case (a, b) => (a.map(_.toLong), b.map(_.toLong)) }
+      .toDF("a", "b")
+      .selectExpr(
+        "sorted_intersect_count(sort_array(a), sort_array(b)) AS viaMerge",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS viaArr")
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
     // ngram_shingles == array_distinct(transform(sequence(...), substr))
     val texts = Seq("", "ab", "abcde", "aaaaaaaa", "hello world hello world",
       "überstraße größe", Seq.fill(30)(s"w${rnd.nextInt(9)}").mkString(" "))
