@@ -140,6 +140,39 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of join: for each purchase, the click closest in TIME —
+    // before or after — by the same user (ties → the earlier/backward
+    // click). Same single-shuffle union-tag shape as join_asof, with a
+    // second window scanning forward; both candidate id+ts pairs ride
+    // the same per-user window order (event_id is the feed's total time
+    // order), so the min-|Δt| pick is pure row-local arithmetic.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isin("click", "purchase"))
+      val isClick = when(col("event_type") === "click", col("event_id"))
+      val isClickTs = when(col("event_type") === "click", col("ts_us"))
+      val wb = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wf = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("bk_id", last(isClick, ignoreNulls = true).over(wb))
+        .withColumn("bk_ts", last(isClickTs, ignoreNulls = true).over(wb))
+        .withColumn("fw_id", first(isClick, ignoreNulls = true).over(wf))
+        .withColumn("fw_ts", first(isClickTs, ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "purchase")
+        .withColumn("near_click_id",
+          when(col("bk_id").isNull, col("fw_id"))
+            .when(col("fw_id").isNull, col("bk_id"))
+            .when(col("ts_us") - col("bk_ts") <= col("fw_ts") - col("ts_us"),
+              col("bk_id"))
+            .otherwise(col("fw_id")))
+        .withColumn("delta_us",
+          when(col("near_click_id") === col("bk_id"), col("ts_us") - col("bk_ts"))
+            .when(col("near_click_id") === col("fw_id"), col("fw_ts") - col("ts_us")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("near_click_id"), col("delta_us"))
+        .orderBy("event_id")
+    }),
+
     // interval join: events within 1h after the same user's signup
     "join_interval" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -245,6 +278,35 @@ object Relational {
         |     AND c.event_id < p.event_id) AS last_click_id
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    // the window formulation mirrors the engine exactly: event_id order
+    // == time order, strictly-before / strictly-after frames, tie → the
+    // backward click via <=
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |t AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bk_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bk_ts,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fw_id,
+        |    first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fw_ts
+        |  FROM e),
+        |p AS (SELECT *, CASE WHEN bk_id IS NULL THEN fw_id
+        |    WHEN fw_id IS NULL THEN bk_id
+        |    WHEN us - bk_ts <= fw_ts - us THEN bk_id ELSE fw_id END AS near_click_id
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, us AS ts_us, near_click_id,
+        |  CASE WHEN near_click_id = bk_id THEN us - bk_ts
+        |       WHEN near_click_id = fw_id THEN fw_ts - us END AS delta_us
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "join_interval" ->
       """SELECT s.event_id AS signup_id, e.event_id, e.user_id

@@ -113,6 +113,46 @@ object StreamOps {
     }
   }
 
+  /** Last marketing touch carried per user across micro-batches. */
+  case class Touch(channel: String, ts_us: Long, event_id: Long)
+
+  /** A purchase credited to its most recent prior touch channel. */
+  case class CreditOut(user_id: Long, event_id: Long, touch: String, vc: Long)
+
+  /** Streaming last-touch attribution on transformWithState: a
+    * ValueState[Touch] per user carries the latest click/view across
+    * micro-batches; each batch's rows are processed in event-time order
+    * (the per-key iterator has no order contract, so the handler sorts
+    * its batch — bounded by the per-user-per-batch row count) and every
+    * purchase is credited to the touch standing at its timestamp. The
+    * batch twin is `attribution_touch`; the state here is ONE tiny row
+    * per user (not a window over history), the shape that holds at
+    * 100 TB. */
+  class LastTouchProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, CreditOut] {
+    @transient private var touch: org.apache.spark.sql.streaming.ValueState[Touch] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState[Touch]("touch",
+        org.apache.spark.sql.Encoders.product[Touch],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[CreditOut] = {
+      var cur = if (touch.exists()) Option(touch.get()) else None
+      val out = Seq.newBuilder[CreditOut]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (e.event_type == "purchase")
+          out += CreditOut(key, e.event_id, cur.map(_.channel).getOrElse("none"),
+            math.floor(e.value * 10000).toLong)
+        if (e.event_type == "click" || e.event_type == "view")
+          cur = Some(Touch(e.event_type, e.ts_us, e.event_id))
+      }
+      cur.foreach(touch.update)
+      out.result().iterator
+    }
+  }
+
   /** A user's open session interval: [start_us, end_us) with end =
     * last event + gap, and the event count. */
   case class Sess(start_us: Long, end_us: Long, n: Long)
@@ -448,6 +488,40 @@ object StreamOps {
         finalReadModel(emitted)
           .select(col("subject"), col("id"), col("event_type"), col("method"))
           .orderBy("subject")
+      } finally
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
+    }),
+
+    // Streaming last-touch attribution (batch twin: attribution_touch):
+    // ValueState[Touch] per user carries the latest click/view ACROSS
+    // micro-batches; purchases are credited as they arrive. Fed as two
+    // batches split at the median TIMESTAMP — every user's batch-2
+    // events are later than their batch-1 events, so the cross-batch
+    // carry is exactly the sequential replay the oracle computes. The
+    // emitted credit stream is then reduced to per-channel totals.
+    "stream_attribution_tws" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val credits = ms.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new LastTouchProcessor, TimeMode.None(),
+            OutputMode.Append())
+        val emitted = runToMemory(s, credits.toDF(),
+            freshName("attribution_tws"), OutputMode.Append) { q =>
+          ms.addData(b1.toSeq)
+          q.processAllAvailable()        // batch boundary: touch state carries
+          ms.addData(b2.toSeq)
+        }
+        emitted.groupBy("touch")
+          .agg(count(lit(1)).as("n_purchases"), sum("vc").as("sum_value_c"))
+          .orderBy("touch")
       } finally
         s.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
     }),
@@ -837,6 +911,22 @@ object StreamOps {
         |SELECT d1 AS d_new, d2 AS d_old,
         |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
         |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
-        |ORDER BY d_new, d_old""".stripMargin
+        |ORDER BY d_new, d_old""".stripMargin,
+
+    // sequential last-touch replay over the fixture window — identical
+    // logic to attribution_touch's oracle, bounded to the replayed rows
+    "stream_attribution_tws" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vc FROM events
+        |  WHERE event_id < 20000),
+        |t AS (SELECT *, last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT coalesce(touch, 'none') AS touch, count(*) AS n_purchases,
+        |  CAST(sum(vc) AS BIGINT) AS sum_value_c
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch""".stripMargin
   )
 }

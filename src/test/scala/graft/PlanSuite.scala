@@ -128,4 +128,36 @@ class PlanSuite extends AnyFunSuite {
         s"$q is per-row — it must not hash-shuffle:\n$p")
     }
   }
+
+  test("common-neighbor build: adjacency aggregates exchange-free off the edge cache") {
+    // the cache itself is what we pin, so bypass the persisted result and
+    // plan the BUILD: adjacency groupBy(u) and the u-side join must reuse
+    // the cached relation's HashPartitioning(u) — exactly one exchange
+    // (the v-side re-key), the native merge kernel in the projection
+    val es = graft.ops.GraphOps.edges(spark, TestSpark.sfDir)
+    graft.catalyst.GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions._
+    val adj = es.groupBy("u")
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+      .select(col("u"), col("nbrs"), size(col("nbrs")).cast("long").as("deg"))
+    val build = es.where(col("u") < col("v"))
+      .join(adj.select(col("u"), col("nbrs").as("nu"), col("deg").as("deg_u")), "u")
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv"),
+        col("deg").as("deg_v")), "v")
+      .select(col("u"), col("v"),
+        call_function("sorted_intersect_count", col("nu"), col("nv")).as("cn"))
+    val plan = build.queryExecution.sparkPlan
+    assert(plan.toString.contains("sorted_intersect_count"),
+      s"cn must use the native merge kernel:\n$plan")
+    // walk the physical TREE (InMemoryTableScan is a leaf, so the cache's
+    // own build exchanges don't count): at most the v-side re-key may
+    // shuffle — the adjacency aggregate and the u-side join reuse the
+    // cache's HashPartitioning(u), and small scales broadcast instead
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1,
+      s"only the v-side re-key may shuffle — adjacency and the u-join " +
+        s"must reuse the cache's u-partitioning:\n$plan")
+  }
 }

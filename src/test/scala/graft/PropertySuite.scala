@@ -236,6 +236,35 @@ class PropertySuite extends AnyFunSuite {
     assert(typed === relational)
   }
 
+  test("join_asof_nearest ≡ driver-side nearest-click replay (ties backward)") {
+    val out = SparkEntry.queries("join_asof_nearest")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    val ev = graft.io.Tables.events(spark, TestSpark.sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(_._2)
+      s.zipWithIndex.collect { case ((_, eid, ts, "purchase"), i) =>
+        val bk = s.take(i).reverse.find(_._4 == "click")
+        val fw = s.drop(i + 1).find(_._4 == "click")
+        val near = (bk, fw) match {
+          case (None, None) => None
+          case (Some(b), None) => Some((b._2, ts - b._3))
+          case (None, Some(f)) => Some((f._2, f._3 - ts))
+          case (Some(b), Some(f)) =>
+            if (ts - b._3 <= f._3 - ts) Some((b._2, ts - b._3))
+            else Some((f._2, f._3 - ts))
+        }
+        eid -> ((near.map(_._1), near.map(_._2)))
+      }
+    }.toMap
+    assert(out === expected)
+    out.values.flatMap(_._2).foreach(d => assert(d >= 0))
+  }
+
   test("approx_count_distinct within 5% of exact per event_type (SURVEY §2.3)") {
     val ev = graft.io.Tables.events(spark, TestSpark.sfDir)
     val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))

@@ -178,6 +178,50 @@ class StreamingSuite extends AnyFunSuite {
       "cross-batch pair must join; out-of-window click must not")
   }
 
+  test("streaming last-touch attribution ≡ batch attribution (full fixture)") {
+    // sf0.001 is inside ReplayBound, so the streaming fixture and the
+    // batch operator see identical rows — totals must match exactly
+    val streaming = StreamOps.queries("stream_attribution_tws")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("attribution_touch")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streaming == batch,
+      "cross-batch ValueState replay must equal the batch window replay")
+    assert(streaming.nonEmpty)
+  }
+
+  test("touch state carries across micro-batches (planted)") {
+    import spark.implicits._
+    val base = 1700000000000000L
+    val min = 60000000L
+    val oldProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamOps.Ev](spark)
+      val credits = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new StreamOps.LastTouchProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val out = StreamOps.runToMemory(spark, credits.toDF(),
+          "attr_planted", OutputMode.Append) { q =>
+        // batch 1: a view then a click (click is latest), one purchase
+        // BEFORE any touch → 'none'
+        ms.addData(Seq(
+          StreamOps.Ev(1, base - 50 * min, 7, "purchase", 2.0),
+          StreamOps.Ev(2, base - 40 * min, 7, "view", 1.0),
+          StreamOps.Ev(3, base - 30 * min, 7, "click", 1.0)))
+        q.processAllAvailable()
+        // batch 2: purchase with NO touch in its own batch — must credit
+        // the click carried in ValueState from batch 1
+        ms.addData(Seq(StreamOps.Ev(4, base, 7, "purchase", 3.0)))
+      }.collect().map(r => (r.getLong(1), r.getString(2))).toMap
+      assert(out === Map(1L -> "none", 4L -> "click"),
+        "batch-2 purchase must credit the batch-1 click via carried state")
+    } finally
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
+  }
+
   test("transformWithState read model ≡ flatMapGroupsWithState read model") {
     val a = StreamOps.queries("stream_readmodel_state")(spark, TestSpark.sfDir)
       .collect().map(_.toSeq).toSet
