@@ -145,6 +145,25 @@ object Aggregates {
         .orderBy("bucket")
     }),
 
+    // Exact mode per group (the aggregate SQL's MODE() without relying
+    // on engine-specific tie rules): modal order priority per customer
+    // market segment, tie → lexicographically smallest priority. The
+    // argmax is a min(struct(-n, priority)) AGGREGATE over the
+    // (segment, priority) count relation — no window, no sort; the
+    // count relation is |segments|×|priorities| rows at any data size.
+    "agg_mode_exact" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("c_mktsegment")
+        .agg(min(struct((-col("n")).as("nn"), col("o_orderpriority").as("p")))
+          .as("m"))
+        .select(col("c_mktsegment"), col("m.p").as("mode_priority"),
+          (-col("m.nn")).as("n_mode"))
+        .orderBy("c_mktsegment")
+    }),
+
     // HLL sketch distinct (no oracle: implementations differ; ScalaTest
     // bounds-checks vs exact count instead)
     "agg_approx_distinct" -> ((s, d) => {
@@ -156,6 +175,17 @@ object Aggregates {
   )
 
   def oracles: Map[String, String] = Map(
+    // row_number (n DESC, priority ASC) replicates min(struct(-n, p))
+    "agg_mode_exact" ->
+      """SELECT c_mktsegment, o_orderpriority AS mode_priority,
+        |  CAST(n AS BIGINT) AS n_mode
+        |FROM (SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_orderpriority) t
+        |WHERE rk = 1 ORDER BY c_mktsegment""".stripMargin,
+
     "agg_pivot_wide" ->
       """SELECT user_id % 10 AS bucket,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

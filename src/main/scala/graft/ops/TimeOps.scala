@@ -110,6 +110,28 @@ object TimeOps {
         .orderBy("event_type")
     }),
 
+    // Period-over-period change: weekly canon-value sums per event type,
+    // each week vs the previous OBSERVED week (lag over the |type×week|
+    // aggregate relation — the window input is period-count-sized at any
+    // data volume). Delta in canon units; relative change in integer ppm
+    // via sign·(|Δ|·10⁶ div prev), rows emitted only where a previous
+    // week exists and prev > 0 (integer div by zero diverges between
+    // engines: Spark nulls, DuckDB errors).
+    "ts_period_over_period" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_us div 604800000000").as("week"))
+        .agg(sum(canon(col("value"))).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      wk.withColumn("prev", lag(col("v"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") > 0)
+        .select(col("event_type"), col("week"), col("v"), col("prev"),
+          (col("v") - col("prev")).as("delta"),
+          (signum(col("v") - col("prev")).cast("long") *
+            expr("(abs(v - prev) * 1000000) div prev")).as("pct_ppm"))
+        .orderBy("event_type", "week")
+    }),
+
     // Marketing attribution, last-touch: each purchase is credited to
     // the most recent PRIOR click/view by the same user (strictly-before
     // frame; 'none' when the purchase has no prior touch). Purchase
@@ -207,6 +229,19 @@ object TimeOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
         |    ORDER BY mac DESC, user_id) AS rn FROM pk) t
         |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "ts_period_over_period" ->
+      """WITH wk AS (SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |    sum(CAST(floor(value * 10000) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(v) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        |  FROM wk)
+        |SELECT event_type, week, CAST(v AS BIGINT) AS v,
+        |  CAST(prev AS BIGINT) AS prev, CAST(v - prev AS BIGINT) AS delta,
+        |  CAST(CASE WHEN v >= prev THEN (abs(v - prev) * 1000000) // prev
+        |       ELSE -((abs(v - prev) * 1000000) // prev) END AS BIGINT) AS pct_ppm
+        |FROM l WHERE prev IS NOT NULL AND prev > 0
+        |ORDER BY event_type, week""".stripMargin,
 
     "attribution_touch" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,

@@ -144,4 +144,38 @@ class TimeOpsSuite extends AnyFunSuite {
     // every purchase credited exactly once
     assert(out.values.map(_._1).sum == ev.count(_._4 == "purchase"))
   }
+
+  test("ts_period_over_period: deltas and ppm reproduce from the emitted sums") {
+    val out = q("ts_period_over_period").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (v, prev, delta, ppm) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(prev > 0 && delta == v - prev)
+      val expect = math.signum(v - prev) * (math.abs(v - prev) * 1000000L / prev)
+      assert(ppm == expect)
+    }
+    // each type's weeks strictly increase (lag ran over a total order)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val weeks = rows.map(_.getLong(1))
+      assert(weeks.sorted.sameElements(weeks) && weeks.distinct.length == weeks.length)
+    }
+  }
+
+  test("agg_mode_exact: the mode really is the max count, ties break lexicographically") {
+    val out = SparkEntry.queries("agg_mode_exact")(spark, d).collect()
+    assert(out.nonEmpty)
+    val counts = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    out.foreach { r =>
+      val (seg, p, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      val segCounts = counts.filter(_._1 == seg)
+      assert(n == segCounts.map(_._3).max, s"$seg mode count")
+      val best = segCounts.filter(_._3 == n).map(_._2).min
+      assert(p == best, s"$seg tie must break to the smallest priority")
+    }
+  }
 }
