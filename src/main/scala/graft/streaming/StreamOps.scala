@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, TimeMode, Trigger}
@@ -526,6 +526,55 @@ object StreamOps {
         s.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
     }),
 
+    // Streaming quantile-sketch maintenance (batch twin: quantile_hist):
+    // the 256-bucket histogram kept as STREAMING aggregation state —
+    // |types|×256 cells total, updated per micro-batch, never the data.
+    // Bucket EDGES are fixed before the stream starts (the mergeable-
+    // sketch contract: partials only merge under global parameters; a
+    // production stream fixes edges a priori or from a calibration
+    // pass — here the bounded replay window provides them, and the
+    // oracle recomputes the identical min/max over the same window).
+    // Update-mode re-emits a cell whenever its count grows; counts are
+    // monotone, so the final sketch is the per-cell MAX emission. The
+    // quantile extraction is the same integer tail as quantile_hist.
+    "stream_quantile_hist" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val edgeDf = rows.groupBy(_.event_type).toSeq.map { case (t, es) =>
+        val vs = es.map(e => math.floor(e.value * 10000).toLong)
+        (t, vs.min, vs.max)
+      }.toDF("event_type", "mn", "mx")
+      val ms = MemoryStream[Ev](s)
+      val hist = ms.toDF()
+        .select(col("event_type"), floor(col("value") * 10000).cast("long").as("vi"))
+        .join(broadcast(edgeDf), "event_type")
+        .withColumn("bk", expr("((vi - mn) * 256) div (mx - mn + 1)"))
+        .groupBy("event_type", "bk").agg(count(lit(1)).as("c"))
+      val emitted = runToMemory(s, hist, freshName("qhist_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: cell counts carry
+        ms.addData(b2.toSeq)
+      }
+      val fin = emitted.groupBy("event_type", "bk").agg(max("c").as("c"))
+      val wc = Window.partitionBy("event_type").orderBy("bk")
+      val wAll = Window.partitionBy("event_type")
+      def qb(p: Int): Column =
+        min(when(col("cum") * 100 >= col("n") * p, col("bk")))
+      fin.withColumn("cum", sum("c").over(wc))
+        .withColumn("n", sum("c").over(wAll)) // both windows over the 256-cell relation
+        .join(broadcast(edgeDf), "event_type")
+        .groupBy("event_type")
+        .agg(first("n").as("n"), qb(50).as("b50"), qb(95).as("b95"),
+          qb(99).as("b99"), first("mn").as("mn"), first("mx").as("mx"))
+        .select(col("event_type"), col("n"),
+          (col("mn") + expr("(b50 * (mx - mn + 1)) div 256")).as("est50_c"),
+          (col("mn") + expr("(b95 * (mx - mn + 1)) div 256")).as("est95_c"),
+          (col("mn") + expr("(b99 * (mx - mn + 1)) div 256")).as("est99_c"))
+        .orderBy("event_type")
+    }),
+
     // Continuously-maintained aggregate read model (README.md:168-179,
     // 274-292): flatMapGroupsWithState keyed by subject keeps the latest
     // envelope per subject; a DELETE tombstone removes the state
@@ -912,6 +961,33 @@ object StreamOps {
         |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
         |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    // the batch quantile_hist oracle bounded to the replay window — the
+    // streaming state's final sketch must land the identical histogram
+    "stream_quantile_hist" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vi FROM events
+        |  WHERE event_id < 20000),
+        |st AS (SELECT event_type, min(vi) AS mn, max(vi) AS mx,
+        |    count(*) AS n FROM v GROUP BY event_type),
+        |h AS (SELECT v.event_type, ((vi - mn) * 256) // (mx - mn + 1) AS bk,
+        |    count(*) AS c
+        |  FROM v JOIN st ON v.event_type = st.event_type
+        |  GROUP BY v.event_type, bk),
+        |cu AS (SELECT event_type, bk,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bk) AS cum FROM h),
+        |q AS (SELECT cu.event_type,
+        |    min(CASE WHEN cum * 100 >= n * 50 THEN bk END) AS b50,
+        |    min(CASE WHEN cum * 100 >= n * 95 THEN bk END) AS b95,
+        |    min(CASE WHEN cum * 100 >= n * 99 THEN bk END) AS b99
+        |  FROM cu JOIN st ON cu.event_type = st.event_type
+        |  GROUP BY cu.event_type)
+        |SELECT q.event_type, st.n,
+        |  CAST(mn + (b50 * (mx - mn + 1)) // 256 AS BIGINT) AS est50_c,
+        |  CAST(mn + (b95 * (mx - mn + 1)) // 256 AS BIGINT) AS est95_c,
+        |  CAST(mn + (b99 * (mx - mn + 1)) // 256 AS BIGINT) AS est99_c
+        |FROM q JOIN st ON q.event_type = st.event_type
+        |ORDER BY q.event_type""".stripMargin,
 
     // sequential last-touch replay over the fixture window — identical
     // logic to attribution_touch's oracle, bounded to the replayed rows

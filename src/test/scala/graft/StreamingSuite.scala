@@ -222,6 +222,18 @@ class StreamingSuite extends AnyFunSuite {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
   }
 
+  test("streaming quantile sketch ≡ batch quantile_hist (full fixture)") {
+    // sf0.001 is inside ReplayBound: the streaming state's final
+    // histogram must land the batch operator's exact quantile estimates
+    val streaming = StreamOps.queries("stream_quantile_hist")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("quantile_hist")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streaming == batch,
+      "cross-batch cell accumulation must equal the batch histogram")
+    assert(streaming.nonEmpty)
+  }
+
   test("transformWithState read model ≡ flatMapGroupsWithState read model") {
     val a = StreamOps.queries("stream_readmodel_state")(spark, TestSpark.sfDir)
       .collect().map(_.toSeq).toSet
