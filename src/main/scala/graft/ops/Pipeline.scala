@@ -583,6 +583,44 @@ object Pipeline {
         .select(col("doc_id"), col("nbytes"), col("fp"),
           col("fake_w"), col("fake_h"), col("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    // Uniform temporal frame sampling over the stubbed video column
+    // (the Spark-side plumbing is the point — the real decoder is
+    // containerized out, SURVEY §2.10): k = 4 frames per doc, idx =
+    // (i·n) div 4 for n > 4 (strictly increasing — differences ≥ 1),
+    // every frame when n ≤ 4; per-frame fingerprint keyed on (doc fp,
+    // idx). Pure per-row expressions + a bounded explode (≤ 4
+    // rows/doc) — no shuffle until the output sort at any scale.
+    "multimodal_frame_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("n_frames", col("n_chars") % 30 + 1)
+        .withColumn("i",
+          explode(expr("sequence(CAST(0 AS BIGINT), least(n_frames, 4) - 1)")))
+        .withColumn("frame_idx",
+          expr("CASE WHEN n_frames <= 4 THEN i ELSE (i * n_frames) div 4 END"))
+        .select(col("doc_id"), col("n_frames"), col("i").as("k"),
+          col("frame_idx"),
+          md5(concat(col("fp"), lit(":"), col("frame_idx"))).as("frame_fp"))
+        .orderBy("doc_id", "k")
+    }),
+
+    // Aspect-preserving resize of the stubbed image metadata: fit
+    // (fake_w, fake_h) into a 256×256 box in integer floor arithmetic
+    // — new dims = (dim · 256) div max(w, h). Metadata-only (the pixel
+    // op is the decoder's job); per-row expressions, no shuffle.
+    "multimodal_resize_stub" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("digits", lpad(regexp_replace(col("fp"), "[a-f]", ""), 4, "0"))
+        .withColumn("fake_w", (substring(col("digits"), 1, 2).cast("long") % 8 + 1) * 64)
+        .withColumn("fake_h", (substring(col("digits"), 3, 2).cast("long") % 8 + 1) * 64)
+        .withColumn("new_w", expr("(fake_w * 256) div greatest(fake_w, fake_h)"))
+        .withColumn("new_h", expr("(fake_h * 256) div greatest(fake_w, fake_h)"))
+        .select(col("doc_id"), col("fake_w"), col("fake_h"),
+          col("new_w"), col("new_h"))
+        .orderBy("doc_id")
     })
   )
 
@@ -882,6 +920,33 @@ object Pipeline {
         |  (CAST(substr(digits, 1, 2) AS BIGINT) % 8 + 1) * 64 AS fake_w,
         |  (CAST(substr(digits, 3, 2) AS BIGINT) % 8 + 1) * 64 AS fake_h,
         |  n_chars % 30 + 1 AS n_frames
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS fp,
+        |    n_chars % 30 + 1 AS n_frames FROM documents),
+        |f AS (SELECT doc_id, fp, n_frames,
+        |    unnest(generate_series(0, least(n_frames, 4) - 1)) AS k FROM b),
+        |x AS (SELECT doc_id, n_frames, k,
+        |    CASE WHEN n_frames <= 4 THEN k
+        |         ELSE (k * n_frames) // 4 END AS frame_idx, fp
+        |  FROM f)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(k AS BIGINT) AS k, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(fp || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+        |FROM x ORDER BY doc_id, k""".stripMargin,
+
+    "multimodal_resize_stub" ->
+      """WITH t AS (SELECT doc_id,
+        |    lpad(regexp_replace(md5(text), '[a-f]', '', 'g'), 4, '0') AS digits
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    (CAST(substr(digits, 1, 2) AS BIGINT) % 8 + 1) * 64 AS fake_w,
+        |    (CAST(substr(digits, 3, 2) AS BIGINT) % 8 + 1) * 64 AS fake_h
+        |  FROM t)
+        |SELECT doc_id, fake_w, fake_h,
+        |  CAST((fake_w * 256) // greatest(fake_w, fake_h) AS BIGINT) AS new_w,
+        |  CAST((fake_h * 256) // greatest(fake_w, fake_h) AS BIGINT) AS new_h
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 }

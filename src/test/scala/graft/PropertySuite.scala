@@ -236,6 +236,27 @@ class PropertySuite extends AnyFunSuite {
     assert(typed === relational)
   }
 
+  test("multimodal frame sampling: k = min(n,4) strictly-increasing indices inside the clip") {
+    val rows = SparkEntry.queries("multimodal_frame_sample")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (doc, fs) =>
+      val n = fs.head._2
+      assert(fs.length == math.min(n, 4L), s"doc $doc frame count")
+      val idx = fs.sortBy(_._3).map(_._4)
+      assert(idx.forall(i => i >= 0 && i < n), s"doc $doc index out of clip")
+      assert(idx.distinct.length == idx.length &&
+        idx.sorted.sameElements(idx), s"doc $doc indices must strictly increase")
+    }
+    // resize preserves aspect in floor arithmetic and fits the box
+    SparkEntry.queries("multimodal_resize_stub")(spark, TestSpark.sfDir)
+      .collect().foreach { r =>
+        val (w, h, nw, nh) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(nw <= 256 && nh <= 256 && math.max(nw, nh) == 256)
+        assert(nw == w * 256 / math.max(w, h) && nh == h * 256 / math.max(w, h))
+      }
+  }
+
   test("join_asof_nearest ≡ driver-side nearest-click replay (ties backward)") {
     val out = SparkEntry.queries("join_asof_nearest")(spark, TestSpark.sfDir)
       .collect().map(r => r.getLong(0) ->
