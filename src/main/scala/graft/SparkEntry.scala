@@ -31,6 +31,7 @@ object SparkEntry {
       (GraphOps.queries, GraphOps.oracles),
       (MaintOps.queries, MaintOps.oracles),
       (LoopOps.queries, LoopOps.oracles),
+      (MiningOps.queries, MiningOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -33,6 +33,19 @@ object Sampling {
     (h + lit(1.0)) / lit(16777217.0)
   }
 
+  /** Deterministic bucket in [0, k): the same 6-hex-digit integer decode
+    * as [[hashUniform]], taken mod k. Used for fold/split assignment —
+    * reproducible in any SQL engine via [[hexDecodeSql]] `% k`. */
+  def hashBucket(id: Column, k: Int): Column = {
+    val m = md5(id.cast("string"))
+    val h = (1 to 6).map { i =>
+      val a = ascii(substring(m, i, 1))
+      val digit = when(a >= 97, a - 87).otherwise(a - 48)
+      digit.cast("long") * lit(1L << (4 * (6 - i)))
+    }.reduce(_ + _)
+    pmod(h, lit(k.toLong))
+  }
+
   /** SQL (DuckDB/ANSI) replica of [[hashUniform]]'s 6-hex-digit decode,
     * for oracle generators: fixed-order integer sum of ascii-decoded digit
     * values over `m` (an md5 hex string expression). Kept NEXT TO

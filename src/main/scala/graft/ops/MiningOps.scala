@@ -1,0 +1,280 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.io.Tables.canon
+
+/** §2.21 similarity mining & robust analytics — asymmetric containment
+  * dedup, fuzzy (edit-distance) joins, inverted-index construction,
+  * Pareto skylines, Markov path transitions, and leakage-checked k-fold
+  * splits. All oracle-checked; every score is integer-exact before any
+  * comparison (SURVEY.md §2 determinism rules).
+  *
+  * Scale shapes (100 TB notes):
+  *  - containment: candidates come from an ASYMMETRIC prefix filter —
+  *    only the (n1 − ⌈τ·n1⌉ + 1) globally-rarest shingles of the
+  *    contained side probe the inverted index, so candidate volume is
+  *    bounded by rare-shingle collisions, never |docs|²;
+  *  - fuzzy join: edit distance runs once per DISTINCT name pair (the
+  *    dictionary-encode trick for repeated-value domains); row-pair
+  *    counts come from per-(type, name) aggregates — row pairs are never
+  *    materialized. High-cardinality domains would swap the distinct
+  *    dictionary for the lossless q-gram count filter
+  *    (|shared bigrams| ≥ len − 1 − 2·k) in front of the verify;
+  *  - inverted index: postings are built per (token, 256-doc block) so
+  *    no single array exceeds the block size — the global-df screen is a
+  *    window over the block-aggregate relation, not over postings;
+  *  - skyline: per-(type, brand) frontier via PARTITIONED windows (the
+  *    distributed local-frontier-then-merge pattern, where the group key
+  *    is the partition);
+  *  - transitions / kfold: user-partitioned lag windows and hash-bucket
+  *    aggregates — nothing global, nothing collected.
+  */
+object MiningOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Asymmetric near-dup: doc A (5-gram shingle set, same language) is
+    // τ=0.8-contained in a LARGER doc B when |A∩B| ≥ ⌈0.8·|A|⌉ — the
+    // doc-inside-doc case Jaccard misses (its length band excludes
+    // size-skewed pairs). Candidates: each doc's (n − ⌈0.8n⌉ + 1)
+    // rarest shingles probe the full inverted index; any true pair must
+    // collide there (pigeonhole), so the filter is lossless. Verify is
+    // a two-pointer sorted-intersect over dictionary-encoded arrays.
+    // All threshold math is integer (⌈4n/5⌉ = (4n+4) div 5).
+    "dedup_containment" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(call_function("ngram_shingles", col("text"), lit(5))).as("tk"))
+      // rarity-ordered dictionary encode (vocabulary-sized window)
+      val dict = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+        .withColumn("tid",
+          row_number().over(Window.orderBy(col("df"), col("tk"))).cast("long"))
+      val sorted = tok.join(dict, "tk")
+        .groupBy("doc_id", "lang")
+        .agg(array_sort(collect_list(col("tid"))).as("tids"))
+        .withColumn("n", size(col("tids")).cast("long"))
+        .localCheckpoint() // feeds probe, postings, and both verify sides
+      val probe = sorted.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("n").as("n1"),
+        explode(slice(col("tids"), lit(1),
+          (col("n") - expr("(4 * n + 4) div 5") + 1).cast("int"))).as("tid"))
+      val post = sorted.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("n").as("n2"), explode(col("tids")).as("tid"))
+      val cand = probe.join(post,
+          col("l1") === col("l2") && probe("tid") === post("tid") &&
+            (col("n1") < col("n2") ||
+              (col("n1") === col("n2") && col("d1") < col("d2"))))
+        .select("d1", "d2").distinct()
+      val a1 = sorted.select(col("doc_id").as("d1"), col("tids").as("t1"),
+        col("n").as("n1"))
+      val a2 = sorted.select(col("doc_id").as("d2"), col("tids").as("t2"),
+        col("n").as("n2"))
+      cand.join(a1, "d1").join(a2, "d2")
+        .withColumn("shared",
+          call_function("sorted_intersect_count", col("t1"), col("t2")))
+        .filter(col("shared") * 5 >= col("n1") * 4)
+        .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
+          canon(col("shared") * lit(1.0) / col("n1")).as("cont_c"))
+        .orderBy("d1", "d2")
+    }),
+
+    // Fuzzy equi-join: part pairs of the same type whose names are
+    // within edit distance 2. Levenshtein runs once per DISTINCT name
+    // pair (banded length-bucket equi-join, |Δlen| ≤ 2 residual); the
+    // output is the per-name-pair count of qualifying ROW pairs, built
+    // from (type, name) count aggregates — row pairs never materialize.
+    "join_fuzzy_levenshtein" -> ((s, d) => {
+      val cnt = Tables.part(s, d)
+        .groupBy(col("p_type").as("t"), col("p_name").as("nm"))
+        .agg(count(lit(1)).as("c"))
+      val names = cnt.select(col("nm")).distinct()
+        .withColumn("len", length(col("nm")))
+      val aSide = names.select(col("nm").as("nm1"), col("len").as("len1"))
+        .withColumn("lb", floor(col("len1") / 2))
+      val bSide = names.select(col("nm").as("nm2"), col("len").as("len2"))
+        .withColumn("lb", explode(array(floor(col("len2") / 2) - 1,
+          floor(col("len2") / 2), floor(col("len2") / 2) + 1)))
+      val nmPairs = aSide.join(bSide, "lb")
+        .filter(col("nm1") < col("nm2") &&
+          abs(col("len1") - col("len2")) <= 2 &&
+          levenshtein(col("nm1"), col("nm2")) <= 2)
+        .select(col("nm1"), col("nm2"),
+          levenshtein(col("nm1"), col("nm2")).cast("long").as("dist"))
+      val c1 = cnt.select(col("t"), col("nm").as("nm1"), col("c").as("c1"))
+      val c2 = cnt.select(col("t"), col("nm").as("nm2"), col("c").as("c2"))
+      val cross = nmPairs.join(c1, "nm1").join(c2, Seq("t", "nm2"))
+        .groupBy("nm1", "nm2")
+        .agg(min(col("dist")).as("dist"),
+          sum(col("c1") * col("c2")).as("n_pairs"))
+      val same = cnt.groupBy(col("nm"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("n_pairs"))
+        .filter(col("n_pairs") > 0)
+        .select(col("nm").as("nm1"), col("nm").as("nm2"),
+          lit(0L).as("dist"), col("n_pairs"))
+      cross.select("nm1", "nm2", "dist", "n_pairs").unionByName(same)
+        .orderBy("nm1", "nm2")
+    }),
+
+    // Inverted index with BLOCKED postings: token → (256-doc block) →
+    // sorted posting list, per-block tf/df, global df via a window over
+    // the block-aggregate relation (block-count-sized, never postings).
+    // Tokens below df 10 are screened out. Blocking is what keeps every
+    // posting array bounded when a stopword's df is corpus-sized.
+    "index_inverted_build" -> ((s, d) => {
+      val w = Window.partitionBy("token")
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .withColumn("blk", expr("doc_id div 256"))
+        .groupBy("token", "blk")
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df_blk"),
+          array_join(sort_array(collect_set(col("doc_id")))
+            .cast("array<string>"), ",").as("postings"))
+        .withColumn("df", sum(col("df_blk")).over(w))
+        .filter(col("df") >= 10)
+        .select(col("token"), col("blk"), col("df"), col("df_blk"),
+          col("tf"), col("postings"))
+        .orderBy("token", "blk")
+    }),
+
+    // Pareto skyline per (type, brand): parts not dominated on
+    // (maximize retail price, minimize size) by any same-group part.
+    // Window form: on-frontier ⇔ max price over STRICTLY smaller sizes
+    // < mine AND max price at MY size == mine — two partitioned windows,
+    // no self-join. Domination is defined on canon price (both engines
+    // compare the same integers).
+    "skyline_pareto" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"),
+        col("p_brand"), col("p_size").cast("long").as("p_size"),
+        canon(col("p_retailprice")).as("price_c"))
+      val wLt = Window.partitionBy("p_type", "p_brand")
+        .orderBy(col("p_size")).rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy("p_type", "p_brand", "p_size")
+      p.withColumn("max_lt", max(col("price_c")).over(wLt))
+        .withColumn("max_eq", max(col("price_c")).over(wEq))
+        .filter((col("max_lt").isNull || col("max_lt") < col("price_c")) &&
+          col("price_c") === col("max_eq"))
+        .select(col("p_partkey"), col("p_type"), col("p_brand"),
+          col("p_size"), col("price_c"))
+        .orderBy("p_partkey")
+    }),
+
+    // First-order Markov transitions over each user's event-type path:
+    // (prev → next) counts from a user-partitioned lag, transition
+    // probability in integer ppm of the prev-type row total (the ppm
+    // window runs over the |types|² aggregate, not over events).
+    "event_path_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ppm", expr(
+          "(n * 1000000) div sum(n) over (partition by prev_type)"))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // Deterministic 5-fold split (md5 hex-decode bucket of doc_id) with
+    // a cross-fold leakage audit: a doc "leaks" when its exact-text
+    // fingerprint appears in more than one fold — the train/eval
+    // contamination an exact-dedup pass should have removed. Per fold:
+    // sizes plus the leaked-doc count.
+    "split_kfold" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("fold", graft.api.Sampling.hashBucket(col("doc_id"), 5))
+        .withColumn("fp", md5(col("text")))
+      val fpFolds = docs.groupBy("fp")
+        .agg(countDistinct(col("fold")).as("nf"))
+      docs.join(fpFolds, "fp")
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("nf") > 1, 1L).otherwise(0L)).as("n_leaked"))
+        .orderBy("fold")
+    })
+  )
+
+  private def hexDecode5(col: String): String =
+    s"(${graft.api.Sampling.hexDecodeSql(col)}) % 5"
+
+  def oracles: Map[String, String] = Map(
+    "dedup_containment" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substr(text, i, 5))) AS gs FROM documents),
+        |t AS (SELECT doc_id, lang, len(gs) AS n, unnest(gs) AS tk FROM g),
+        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
+        |         any_value(a.n) AS n1, any_value(b.n) AS n2
+        |       FROM t a JOIN t b ON a.lang = b.lang AND a.tk = b.tk
+        |         AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+        |       GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2,
+        |  CAST(floor((shared * 1.0 / n1) * 10000) AS BIGINT) AS cont_c
+        |FROM pr WHERE 5 * shared >= 4 * n1 ORDER BY d1, d2""".stripMargin,
+
+    "join_fuzzy_levenshtein" ->
+      """WITH c AS (SELECT p_type, p_name, count(*) AS n FROM part GROUP BY 1, 2),
+        |d AS (SELECT a.p_name AS nm1, b.p_name AS nm2,
+        |        levenshtein(a.p_name, b.p_name) AS dist, sum(a.n * b.n) AS np
+        |      FROM c a JOIN c b ON a.p_type = b.p_type AND a.p_name < b.p_name
+        |        AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |        AND levenshtein(a.p_name, b.p_name) <= 2
+        |      GROUP BY 1, 2, 3),
+        |e AS (SELECT p_name AS nm1, p_name AS nm2, 0 AS dist,
+        |        sum(n * (n - 1) // 2) AS np
+        |      FROM c GROUP BY 1, 2, 3 HAVING sum(n * (n - 1) // 2) > 0)
+        |SELECT nm1, nm2, CAST(dist AS BIGINT) AS dist, CAST(np AS BIGINT) AS n_pairs
+        |FROM (SELECT * FROM d UNION ALL SELECT * FROM e)
+        |ORDER BY nm1, nm2""".stripMargin,
+
+    "index_inverted_build" ->
+      """WITH t AS (SELECT doc_id, doc_id // 256 AS blk,
+        |    unnest(str_split(text, ' ')) AS token FROM documents),
+        |g AS (SELECT token, blk, count(*) AS tf, count(DISTINCT doc_id) AS df_blk,
+        |        array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+        |      FROM t GROUP BY 1, 2),
+        |w AS (SELECT *, sum(df_blk) OVER (PARTITION BY token) AS df FROM g)
+        |SELECT token, CAST(blk AS BIGINT) AS blk, CAST(df AS BIGINT) AS df,
+        |  CAST(df_blk AS BIGINT) AS df_blk, CAST(tf AS BIGINT) AS tf, postings
+        |FROM w WHERE df >= 10 ORDER BY token, blk""".stripMargin,
+
+    "skyline_pareto" ->
+      """WITH p AS (SELECT p_partkey, p_type, p_brand,
+        |    CAST(p_size AS BIGINT) AS p_size,
+        |    CAST(floor(p_retailprice * 10000) AS BIGINT) AS price_c FROM part)
+        |SELECT p_partkey, p_type, p_brand, p_size, price_c FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.p_type = a.p_type AND b.p_brand = a.p_brand
+        |    AND b.price_c >= a.price_c AND b.p_size <= a.p_size
+        |    AND (b.price_c > a.price_c OR b.p_size < a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "event_path_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (SELECT event_type, lag(event_type)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM e),
+        |g AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
+        |FROM g ORDER BY prev_type, next_type""".stripMargin,
+
+    "split_kfold" ->
+      s"""WITH f AS (SELECT doc_id, n_chars, lang, md5(text) AS fp,
+        |    ${hexDecode5("md5(CAST(doc_id AS VARCHAR))")} AS fold
+        |  FROM documents),
+        |nf AS (SELECT fp, count(DISTINCT fold) AS nf FROM f GROUP BY 1)
+        |SELECT fold, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN nf.nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        |FROM f JOIN nf USING (fp) GROUP BY fold ORDER BY fold""".stripMargin
+  )
+}

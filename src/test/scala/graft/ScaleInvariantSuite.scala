@@ -52,6 +52,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "feed_gap_detect",      // bucket min/max summary relation only
     "quality_pipeline_e2e", // same histogram via its shuffleOrder stage
     "dedup_ngram_jaccard_prefix", // vocabulary-sized dictionary-encode rank
+    "dedup_containment",    // vocabulary-sized dictionary-encode rank
     "rank_fusion_rrf"       // rank windows over ≤50-row LIMITed top-k arms
   )
 
