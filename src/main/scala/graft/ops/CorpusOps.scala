@@ -208,10 +208,37 @@ object CorpusOps {
         .select(col("vec_id"), canon(col("maxabs")).as("maxabs_c"),
           col("sum_q"), col("n_sat"))
         .orderBy("vec_id")
+    }),
+
+    // RAG-style chunking: overlapping 64-token windows at stride 48
+    // (16-token overlap), one row per (doc, chunk) with token count and
+    // chunk fingerprint. Pure per-row explode — chunk count scales with
+    // the doc's own length, no shuffle at all until the output sort.
+    "chunk_overlap_windows" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tks"))
+        .withColumn("n_tok", size(col("tks")).cast("long"))
+        .select(col("doc_id"), col("tks"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_tok") - 1, lit(48L))).as("s"))
+        .select(col("doc_id"), expr("s div 48").as("chunk_id"),
+          least(lit(64L), col("n_tok") - col("s")).as("n_chunk_tok"),
+          md5(array_join(slice(col("tks"), (col("s") + 1).cast("int"),
+            lit(64)), " ")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "chunk_overlap_windows" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS tks FROM documents),
+        |c AS (SELECT doc_id, tks, len(tks) AS n_tok,
+        |        unnest(generate_series(0, len(tks) - 1, 48)) AS s
+        |      FROM t)
+        |SELECT doc_id, s // 48 AS chunk_id,
+        |  least(64, n_tok - s) AS n_chunk_tok,
+        |  md5(array_to_string(list_slice(tks, s + 1, s + 64), ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     "pii_scrub" ->
       """SELECT doc_id,
         |  md5(regexp_replace(text, '\b(customer|key|value|table)\b', '<PII>', 'g')) AS red_fp,

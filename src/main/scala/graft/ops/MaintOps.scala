@@ -157,10 +157,46 @@ object MaintOps {
           sum("td").as("sum_truth_c"))
         .join(approx.groupBy("qid").agg(sum("ad").as("sum_ann_c")), Seq("qid"))
         .orderBy("qid")
+    }),
+
+    // SCD type-2 history build from the CDC-style event feed: per
+    // subject, consecutive duplicate states collapse (change detection
+    // via user-partitioned lag), each surviving change opens a version
+    // valid [ts, next change − 1]; the open version is flagged current.
+    // Both windows are subject-partitioned — the standard lakehouse
+    // dimension-history derivation, never a self-join.
+    "cdc_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val changed = Tables.events(s, d)
+        .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+        .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+          col("ts_us").as("valid_from_us"))
+      val w2 = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us"), col("event_id"))
+      changed
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2) - 1)
+        .withColumn("is_current",
+          when(col("valid_to_us").isNull, 1L).otherwise(0L))
+        .orderBy("user_id", "valid_from_us", "event_id")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "cdc_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS prev_state FROM e),
+        |v AS (SELECT user_id, event_id, event_type AS state, us AS valid_from_us
+        |      FROM c WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, event_id, state, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us, event_id) - 1 AS valid_to_us,
+        |  CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us, event_id) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
     // the merge path: per-day partials summed bucket-wise must land the
     // direct histogram's exact quantile estimates (the final result is
     // day-assignment independent — merging is a plain sum)

@@ -151,10 +151,48 @@ object TimeOps {
         .groupBy("touch")
         .agg(count(lit(1)).as("n_purchases"), sum("vc").as("sum_value_c"))
         .orderBy("touch")
+    }),
+
+    // Batch sessionization with explicit session IDs: a >30-min silence
+    // starts a new session (cumulative-flag gaps-and-islands, window
+    // PARTITIONED by user); per session: event count, span, distinct
+    // types, canon value sum. The session-ID twin of the windowed
+    // stream_session_30m counts.
+    "sessionize_ids" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess", when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"),
+          max("ts_us").as("end_us"),
+          countDistinct("event_type").as("n_types"),
+          sum(canon(col("value"))).as("sum_value_c"))
+        .withColumn("dur_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "sid")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "sessionize_ids" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type, CAST(floor(value * 10000) AS BIGINT) AS vc FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(sum(vc) AS BIGINT) AS sum_value_c,
+        |  max(us) - min(us) AS dur_us
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
     "ts_resample_ffill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
         |    CAST(floor(value * 10000) AS BIGINT) AS v

@@ -805,6 +805,38 @@ object StreamOps {
       s.read.parquet(pairsDir)
         .select(col("d_new"), col("d_old"), col("jac_c"))
         .orderBy("d_new", "d_old")
+    }),
+
+    // Streaming heavy hitters as aggregation state: per (type, user)
+    // count + canon value sum maintained across micro-batches in Update
+    // mode (both monotone — values are non-negative — so the final state
+    // is the per-key MAX emission); top-5 users per type extracted from
+    // the final aggregate with a deterministic (count desc, user) rank.
+    // At scale the state is hash-partitioned on (type, user) and the
+    // rank window runs over the aggregate relation, not events.
+    "stream_topk_state" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val counts = ms.toDF().groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("c"),
+          sum(floor(col("value") * 10000).cast("long")).as("v"))
+      val emitted = runToMemory(s, counts, freshName("topk_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: counts carry
+        ms.addData(b2.toSeq)
+      }
+      val fin = emitted.groupBy("event_type", "user_id")
+        .agg(max("c").as("n"), max("v").as("sum_value_c"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("user_id"))
+      fin.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("event_type"), col("rk"), col("user_id"), col("n"),
+          col("sum_value_c"))
+        .orderBy("event_type", "rk")
     })
   )
 
@@ -1003,6 +1035,18 @@ object StreamOps {
         |SELECT coalesce(touch, 'none') AS touch, count(*) AS n_purchases,
         |  CAST(sum(vc) AS BIGINT) AS sum_value_c
         |FROM t WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY touch""".stripMargin
+        |GROUP BY 1 ORDER BY touch""".stripMargin,
+
+    // the batch per-(type,user) aggregate bounded to the replay window —
+    // the streaming state's final top-5 must land the identical ranks
+    "stream_topk_state" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n,
+        |    sum(CAST(floor(value * 10000) AS BIGINT)) AS sum_value_c
+        |  FROM events WHERE event_id < 20000 GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, user_id) AS rk FROM c)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id,
+        |  CAST(n AS BIGINT) AS n, CAST(sum_value_c AS BIGINT) AS sum_value_c
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
   )
 }

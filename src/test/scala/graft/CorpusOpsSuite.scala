@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import graft.ops.CorpusOps
 
 /** Semantic checks for the §2.12 corpus-analysis & packing operators —
@@ -222,5 +223,28 @@ class CorpusOpsSuite extends AnyFunSuite {
     val expected = pairs.toSeq.map { case ((l, r), n) => (l, r, n) }
       .sortBy { case (l, r, n) => (-n, l, r) }.take(20)
     assert(out.toSeq == expected)
+  }
+
+  test("chunk_overlap_windows: chunks tile every token with stride-48 starts and 16-token overlap") {
+    val chunks = SparkEntry.queries("chunk_overlap_windows")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nTok = graft.io.Tables.documents(spark, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are 0..m consecutive; starts s=48*id all < n_tok
+      assert(sorted.map(_._2).sameElements(sorted.indices.map(_.toLong)))
+      sorted.foreach { case (_, id, len) =>
+        val s = 48 * id
+        assert(s < n && len == math.min(64L, n - s))
+      }
+      // full coverage: last chunk reaches the final token
+      val (_, lastId, lastLen) = sorted.last
+      assert(48 * lastId + lastLen == n || lastLen == 64)
+      assert(48 * sorted.last._2 + sorted.last._3 >= n)
+    }
+    assert(chunks.map(_._1).toSet == nTok.keySet, "every doc chunked")
   }
 }

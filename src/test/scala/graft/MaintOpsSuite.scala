@@ -126,4 +126,24 @@ class MaintOpsSuite extends AnyFunSuite {
     // 0.96 (sf0.01); 0.6 leaves the same margin as the IVF-PQ gate
     assert(recall >= 0.6, s"prefix-rerank recall@5 $recall below gate")
   }
+
+  test("cdc_scd2_intervals: versions tile each subject's timeline; states alternate") {
+    val rows = SparkEntry.queries("cdc_scd2_intervals")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._3)
+      // exactly one open (current) version, and it is the last
+      assert(sorted.count(_._4.isEmpty) == 1 && sorted.last._4.isEmpty)
+      assert(sorted.forall(v => v._5 == (if (v._4.isEmpty) 1L else 0L)))
+      // contiguous, non-overlapping: next valid_from = prev valid_to + 1
+      sorted.sliding(2).foreach {
+        case Array((_, s1, _, Some(to1), _), (_, s2, from2, _, _)) =>
+          assert(to1 + 1 == from2, "contiguous intervals")
+          assert(s1 != s2, "consecutive versions must differ in state")
+        case _ => ()
+      }
+    }
+    assert(rows.nonEmpty)
+  }
 }

@@ -373,4 +373,22 @@ class StreamingSuite extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
     assert(sinkOut === expected)
   }
+
+  test("streaming top-k state across batches ≡ batch aggregate rank (stream_topk_state)") {
+    val got = StreamOps.queries("stream_topk_state")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val w = Window.partitionBy("event_type").orderBy(col("n").desc, col("user_id"))
+    val want = graft.io.Tables.events(spark, TestSpark.sfDir)
+      .filter(col("event_id") < StreamOps.ReplayBound)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000).cast("long")).as("v"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("event_type", "rk", "user_id", "n", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.sortBy(t => (t._1, t._2)).sameElements(want.sortBy(t => (t._1, t._2))))
+  }
 }

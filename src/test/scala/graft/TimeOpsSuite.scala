@@ -178,4 +178,31 @@ class TimeOpsSuite extends AnyFunSuite {
       assert(p == best, s"$seg tie must break to the smallest priority")
     }
   }
+
+  test("sessionize_ids: intra-session gaps <= 30min, inter-session gaps > 30min") {
+    val sess = SparkEntry.queries("sessionize_ids")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val events = graft.io.Tables.events(spark, d)
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, ts) => (u, ts.map(_._2).sorted) }
+    val gap = 1800000000L
+    sess.groupBy(_._1).foreach { case (u, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._3).sum == events(u).length, s"user $u events partitioned")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, end1), (_, _, _, start2, _)) =>
+          assert(start2 - end1 > gap, "sessions separated by > 30min")
+        case _ => ()
+      }
+      sorted.foreach { case (_, _, n, st, en) =>
+        val inSess = events(u).filter(t => t >= st && t <= en)
+        assert(inSess.length == n.toInt, "session span contains exactly its events")
+        inSess.sliding(2).foreach {
+          case Array(a, b) => assert(b - a <= gap, "no intra-session silence > 30min")
+          case _ => ()
+        }
+      }
+    }
+  }
 }
