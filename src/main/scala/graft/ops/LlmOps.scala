@@ -163,10 +163,96 @@ object LlmOps {
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")
+    }),
+
+    // MMR diversity re-rank (λ=0.7, k=5 over a top-20 cosine shortlist):
+    // each pick maximizes 7·sim(q,d) − 3·max_{s∈selected} sim(d,s) in
+    // CANON integers (ties → smallest vec_id), so the greedy is exact in
+    // both engines. Shortlist + 20×20 pairwise sims are computed
+    // distributed; the greedy itself runs on the driver over ≤400
+    // collected pairs — bounded by construction (k and the shortlist are
+    // constants, never data-sized). The oracle unrolls the same five
+    // argmax steps as chained CTEs.
+    "retrieval_mmr" -> native((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val sl = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .withColumn("simq_c", canon(dot(col("embedding"), col("qe")) /
+          (sqrt(ssq(col("embedding"))) * sqrt(ssq(col("qe"))))))
+        .select(col("vec_id"), col("embedding"), col("simq_c"))
+        .orderBy(col("simq_c").desc, col("vec_id")).limit(20)
+        .localCheckpoint()
+      val a = sl.select(col("vec_id").as("av"), col("embedding").as("ea"))
+      val b = sl.select(col("vec_id").as("bv"), col("embedding").as("eb"))
+      val pairs = a.join(broadcast(b), col("av") =!= col("bv"))
+        .withColumn("sim_c", canon(dot(col("ea"), col("eb")) /
+          (sqrt(ssq(col("ea"))) * sqrt(ssq(col("eb"))))))
+        .select("av", "bv", "sim_c")
+      val short = sl.select("vec_id", "simq_c").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ps = pairs.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      var selected = Vector.empty[(Long, Long, Long)] // (vec_id, simq_c, mmr_c)
+      var remaining = short.toVector
+      (1 to 5).foreach { _ =>
+        val scored = remaining.map { case (v, sq) =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(sel => ps((v, sel._1))).max
+          (v, sq, 7L * sq - 3L * pen)
+        }
+        val best = scored.minBy { case (v, _, m) => (-m, v) }
+        selected :+= best
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      import s.implicits._
+      selected.zipWithIndex
+        .map { case ((v, sq, m), i) => (i + 1L, v, sq, m) }
+        .toDF("rk", "vec_id", "simq_c", "mmr_c")
+        .orderBy("rk")
     })
   )
 
+  /** DuckDB cosine between two FLOAT[] refs — fixed-order fold identical
+    * to the native `vec_dot` kernel's summation order. */
+  private def cosSql(x: String, y: String): String = {
+    def dotS(p: String, r: String) =
+      s"list_reduce(list_transform(generate_series(1, len($p)), " +
+        s"i -> CAST($p[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)), (u, w) -> u + w)"
+    s"${dotS(x, y)} / (sqrt(${dotS(x, x)}) * sqrt(${dotS(y, y)}))"
+  }
+
+  /** Unrolled 5-step MMR oracle: sel_i picks argmax of
+    * 7·simq − 3·max(sim to already-selected) with vec_id tiebreak. */
+  private def mmrOracle: String = {
+    val steps = (2 to 5).map { i =>
+      val prev = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""sel$i AS (SELECT c.vec_id, c.simq_c,
+         |  7 * c.simq_c - 3 * (SELECT max(p.sim_c) FROM ps p
+         |    WHERE p.av = c.vec_id AND p.bv IN ($prev)) AS mmr_c
+         |  FROM sl c WHERE c.vec_id NOT IN ($prev)
+         |  ORDER BY mmr_c DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 5).map(i =>
+      s"SELECT $i AS rk, vec_id, simq_c, mmr_c FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |sl AS (SELECT vec_id, embedding,
+       |    CAST(floor((${cosSql("embedding", "qe")}) * 10000) AS BIGINT) AS simq_c
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY simq_c DESC, vec_id LIMIT 20),
+       |ps AS (SELECT a.vec_id AS av, b.vec_id AS bv,
+       |    CAST(floor((${cosSql("a.embedding", "b.embedding")}) * 10000) AS BIGINT) AS sim_c
+       |  FROM sl a, sl b WHERE a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT vec_id, simq_c, 7 * simq_c AS mmr_c FROM sl
+       |  ORDER BY simq_c DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(rk AS BIGINT) AS rk, vec_id, simq_c,
+       |  CAST(mmr_c AS BIGINT) AS mmr_c
+       |FROM ($union) ORDER BY rk""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "retrieval_mmr" -> mmrOracle,
     "text_tokenize_topk" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) t

@@ -196,6 +196,46 @@ object MiningOps {
           countDistinct(col("lang")).as("n_langs"),
           sum(when(col("nf") > 1, 1L).otherwise(0L)).as("n_leaked"))
         .orderBy("fold")
+    }),
+
+    // Market-basket pair mining: co-occurrence support for part pairs
+    // within an order, plus integer-ppm lift. The self-join is on the
+    // ORDER key, so candidate volume is Σ(items-per-order)² — bounded by
+    // basket size, never |parts|²; counts/lift come from aggregates.
+    "basket_pair_support" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val itemCnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
+      val nOrders = li.select(countDistinct(col("ok")).as("no"))
+      val a = li.select(col("ok"), col("pk").as("p1"))
+      val b = li.select(col("ok"), col("pk").as("p2"))
+      a.join(b, "ok").filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        .join(itemCnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
+        .join(itemCnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift_ppm", expr("(support * no * 1000000) div (c1 * c2)"))
+        .select(col("p1"), col("p2"), col("support"), col("c1"), col("c2"),
+          col("lift_ppm"))
+        .orderBy(desc("support"), col("p1"), col("p2")).limit(20)
+    }),
+
+    // Curation-funnel observability: per source, how many docs survive
+    // each quality gate (language, char-length band, token-count band)
+    // and all of them — the "where did my data go" report every
+    // training pipeline needs. Conditional aggregates only; integer ppm.
+    "curation_funnel_report" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pass_lang"),
+          sum(when(col("n_chars").between(200, 5000), 1L).otherwise(0L)).as("pass_len"),
+          sum(when(col("n_tok").between(40, 1000), 1L).otherwise(0L)).as("pass_tok"),
+          sum(when(col("lang") === "en" && col("n_chars").between(200, 5000) &&
+            col("n_tok").between(40, 1000), 1L).otherwise(0L)).as("pass_all"))
+        .withColumn("pass_ppm", expr("(pass_all * 1000000) div n_total"))
+        .orderBy("source")
     })
   )
 
@@ -275,6 +315,32 @@ object MiningOps {
         |SELECT fold, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(sum(CASE WHEN nf.nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
-        |FROM f JOIN nf USING (fp) GROUP BY fold ORDER BY fold""".stripMargin
+        |FROM f JOIN nf USING (fp) GROUP BY fold ORDER BY fold""".stripMargin,
+
+    "basket_pair_support" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ic AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
+        |no AS (SELECT count(DISTINCT ok) AS no FROM li),
+        |s AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(support AS BIGINT) AS support,
+        |  CAST(ca.c AS BIGINT) AS c1, CAST(cb.c AS BIGINT) AS c2,
+        |  CAST((support * no.no * 1000000) // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+        |FROM s JOIN ic ca ON s.p1 = ca.pk JOIN ic cb ON s.p2 = cb.pk, no
+        |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "curation_funnel_report" ->
+      """WITH t AS (SELECT source, lang, n_chars,
+        |    len(str_split(text, ' ')) AS n_tok FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+        |  CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+        |  CAST(sum(CASE WHEN n_tok BETWEEN 40 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_tok,
+        |  CAST(sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 200 AND 5000
+        |    AND n_tok BETWEEN 40 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+        |  CAST((sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 200 AND 5000
+        |    AND n_tok BETWEEN 40 AND 1000 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS pass_ppm
+        |FROM t GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -173,6 +173,29 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // As-of with a staleness TOLERANCE: each purchase matches its most
+    // recent prior click only if it happened within 10 minutes —
+    // older candidates yield NULL (the "data too stale to use" rule a
+    // feature-store join enforces). Same single-window shape as
+    // join_asof; the tolerance is row-local arithmetic after the match.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("ck_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("ck_us",
+          last(when(col("event_type") === "click", col("ts_us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("ok", col("ts_us") - col("ck_us") <= 600000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("ok"), col("ck_id")).as("click_id_10m"),
+          when(col("ok"), col("ts_us") - col("ck_us")).as("staleness_us"))
+        .orderBy("event_id")
+    }),
+
     // interval join: events within 1h after the same user's signup
     "join_interval" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -278,6 +301,22 @@ object Relational {
         |     AND c.event_id < p.event_id) AS last_click_id
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |t AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ck_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ck_us
+        |  FROM e)
+        |SELECT event_id, user_id, us AS ts_us,
+        |  CASE WHEN us - ck_us <= 600000000 THEN ck_id END AS click_id_10m,
+        |  CASE WHEN us - ck_us <= 600000000 THEN us - ck_us END AS staleness_us
+        |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // the window formulation mirrors the engine exactly: event_id order
     // == time order, strictly-before / strictly-after frames, tie → the

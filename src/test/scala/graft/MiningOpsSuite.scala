@@ -134,4 +134,96 @@ class MiningOpsSuite extends AnyFunSuite {
       .filter(_._2 > 0)
     assert(gotLeak == wantLeak.filter(_._2 > 0))
   }
+
+  test("basket_pair_support ≡ brute-force basket pair counts (top-20 order included)") {
+    val got = MiningOps.queries("basket_pair_support")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byOrder = li.groupBy(_._1).map { case (_, v) => v.map(_._2).sorted }
+    val supp = scala.collection.mutable.Map[(Long, Long), Long]()
+    byOrder.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        supp((parts(i), parts(j))) = supp.getOrElse((parts(i), parts(j)), 0L) + 1
+    }
+    val cnt = li.groupBy(_._2).map { case (p, v) => (p, v.length.toLong) }
+    val no = li.map(_._1).distinct.length.toLong
+    val want = supp.toSeq.sortBy { case ((p1, p2), s) => (-s, p1, p2) }.take(20)
+      .map { case ((p1, p2), s) =>
+        (p1, p2, s, cnt(p1), cnt(p2), s * no * 1000000L / (cnt(p1) * cnt(p2)))
+      }
+    assert(got.toSeq == want)
+  }
+
+  test("curation_funnel_report: gate counts are consistent and total covers the corpus") {
+    val rows = MiningOps.queries("curation_funnel_report")(spark, d).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, d).count())
+    rows.foreach { r =>
+      val (total, lang, len, tok, all) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(all <= math.min(lang, math.min(len, tok)))
+      assert(Seq(lang, len, tok, all).forall(v => v >= 0 && v <= total))
+      assert(r.getLong(6) == all * 1000000L / total)
+    }
+  }
+
+  test("join_asof_tolerance: match iff a prior click exists within 10 minutes") {
+    val got = graft.ops.Relational.queries("join_asof_tolerance")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val ev = Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("user_id", "event_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    ev.filter(_._4 == "purchase").foreach { case (u, id, ts, _) =>
+      val prior = byUser(u).filter(e => e._4 == "click" &&
+        (e._3 < ts || (e._3 == ts && e._2 < id)))
+      val want = if (prior.isEmpty) None else {
+        val best = prior.maxBy(e => (e._3, e._2))
+        if (ts - best._3 <= 600000000L) Some((best._2, ts - best._3)) else None
+      }
+      assert(got(id)._1 == want.map(_._1) && got(id)._2 == want.map(_._2),
+        s"purchase $id")
+    }
+  }
+
+  test("retrieval_mmr: greedy objective recomputed from raw canon sims") {
+    val out = graft.ops.LlmOps.queries("retrieval_mmr")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (1L to 5L))
+    // recompute shortlist + sims in Scala from raw embeddings
+    val embs = Tables.embeddings(spark, d).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = embs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def c(x: Double): Long = math.floor(x * 10000).toLong
+    val short = embs.filter(_._1 != 0L)
+      .map { case (id, e) => (id, c(cos(e, q)), e) }
+      .sortBy { case (id, sc, _) => (-sc, id) }.take(20)
+    var selected = Vector.empty[(Long, Array[Float])]
+    val rem = scala.collection.mutable.ArrayBuffer(short: _*)
+    out.foreach { case (_, vid, simq, mmr) =>
+      val scored = rem.map { case (id, sc, e) =>
+        val pen = if (selected.isEmpty) 0L
+          else selected.map(s => c(cos(e, s._2))).max
+        (id, sc, 7L * sc - 3L * pen, e)
+      }
+      val best = scored.minBy { case (id, _, m, _) => (-m, id) }
+      assert((vid, simq, mmr) == ((best._1, best._2, best._3)), s"rank pick $vid")
+      selected :+= ((best._1, best._4))
+      rem --= rem.filter(_._1 == best._1)
+    }
+  }
 }

@@ -38,7 +38,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "kmeans_train_iters", // × k=8 centroid table, twice (two Lloyd assigns)
     "zonemap_prune",    // × single-row chunks-scanned/total counter pair
     "graph_triangle_count", // × single-row global triangle-count total
-    "vec_prefix_rerank_topk" // × |queries| ≤ 5 (matryoshka staged retrieval)
+    "vec_prefix_rerank_topk", // × |queries| ≤ 5 (matryoshka staged retrieval)
+    "basket_pair_support"   // × single-row distinct-order count
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
@@ -63,7 +64,10 @@ class ScaleInvariantSuite extends AnyFunSuite {
     * full execution cost. Their plan-shape guarantees live in the
     * operators they compose (dedup_ngram_jaccard) and TrainOpsSuite. */
   private val eagerlyMaterialized =
-    Set("dedup_cluster_cc", "dedup_cluster_cc_dist", "curation_pipeline_e2e")
+    Set("dedup_cluster_cc", "dedup_cluster_cc_dist", "curation_pipeline_e2e",
+      // bounded driver greedy over a collected 20-row shortlist; its
+      // distributed stages share vec_cosine_topk's swept shape
+      "retrieval_mmr")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("stream_")) // streaming fixtures return materialized results
