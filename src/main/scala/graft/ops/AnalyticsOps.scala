@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.io.Tables.canon
 
@@ -97,6 +98,49 @@ object AnalyticsOps {
           canon(col("o_totalprice"), 100).as("price_c"), col("totqty_c"))
         .orderBy(desc("totqty_c"), col("o_orderkey"))
         .limit(50)
+    }),
+
+    // ABC revenue classification per brand: parts ranked by canon
+    // revenue within their brand, cumulative share against the brand
+    // total (integer×100 compare — no float thresholds), A ≤ 80 %,
+    // B ≤ 95 %, C above; reported as per-(brand, class) counts and
+    // revenue. Both windows are BRAND-partitioned; the revenue relation
+    // is parts-sized, not lineitem-sized.
+    "abc_class_revenue" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum(canon(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rv"))
+      val wCum = Window.partitionBy("p_brand")
+        .orderBy(col("rv").desc, col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("p_brand")
+      rev.withColumn("cum", sum("rv").over(wCum))
+        .withColumn("tot", sum("rv").over(wAll))
+        .withColumn("cls", when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B").otherwise("C"))
+        .groupBy("p_brand", "cls")
+        .agg(count(lit(1)).as("n_parts"), sum("rv").as("rev_c"))
+        .orderBy("p_brand", "cls")
+    }),
+
+    // Per-supplier scorecard: lineitem volume, canon net revenue,
+    // return rate in integer ppm, distinct parts supplied — the
+    // composed "vendor health" report. One broadcast dim join + one
+    // combinable aggregate.
+    "supplier_scorecard" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(canon(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("rev_c"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_ret"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .withColumn("ret_ppm", expr("(n_ret * 1000000) div n_items"))
+        .orderBy("s_suppkey")
     })
   )
 
@@ -159,6 +203,32 @@ object AnalyticsOps {
         |FROM orders
         |  JOIN big ON o_orderkey = l_orderkey
         |  JOIN customer ON o_custkey = c_custkey
-        |ORDER BY totqty_c DESC, o_orderkey LIMIT 50""".stripMargin
+        |ORDER BY totqty_c DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "abc_class_revenue" ->
+      """WITH rev AS (SELECT p_brand, p_partkey,
+        |    sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS rv
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |c AS (SELECT p_brand, p_partkey, rv,
+        |    sum(rv) OVER (PARTITION BY p_brand ORDER BY rv DESC, p_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rv) OVER (PARTITION BY p_brand) AS tot
+        |  FROM rev)
+        |SELECT p_brand,
+        |  CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |       WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS cls,
+        |  count(*) AS n_parts, CAST(sum(rv) AS BIGINT) AS rev_c
+        |FROM c GROUP BY 1, 2 ORDER BY p_brand, cls""".stripMargin,
+
+    "supplier_scorecard" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_c,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_ret,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST((sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS ret_ppm
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -4,6 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 import graft.io.Tables
 
@@ -200,7 +201,28 @@ object GraphOps {
         .filter(col("cn") > 0)
         .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
           expr("(cn * 10000) div (deg_u + deg_v - cn)").as("jac_c"))
-        .orderBy(col("jac_c").desc, col("u"), col("v")).limit(30))
+        .orderBy(col("jac_c").desc, col("u"), col("v")).limit(30)),
+
+    // Label-propagation communities, two deterministic iterations: every
+    // node starts as its own label; each round adopts the MODE of its
+    // neighbors' labels (tie → smallest label, via a per-node rank over
+    // the (node, label) count aggregate — total order, both engines).
+    // Top-30 communities by size. Same shared u-partitioned edge cache;
+    // each round is one join + two keyed aggregations — the scale shape
+    // of every iterative label algorithm on Spark.
+    "graph_label_prop" -> ((s, d) => {
+      val es = edges(s, d)
+      var lab = es.select(col("u")).distinct().withColumn("lab", col("u"))
+      for (_ <- 1 to 2) {
+        val nb = es.join(lab.withColumnRenamed("u", "v").hint("shuffle_hash"), "v")
+          .groupBy("u", "lab").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("u").orderBy(col("c").desc, col("lab"))
+        lab = nb.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("u"), col("lab"))
+      }
+      lab.groupBy("lab").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("lab")).limit(30)
+    })
   )
 
   /** Per-edge common-neighbor relation (u < v, one row per undirected
@@ -306,6 +328,20 @@ object GraphOps {
         |SELECT cn.u, cn.v, cn.cn, a.deg AS deg_u, b.deg AS deg_v,
         |  CAST((cn.cn * 10000) // (a.deg + b.deg - cn.cn) AS BIGINT) AS jac_c
         |FROM cn JOIN dg a ON cn.u = a.u JOIN dg b ON cn.v = b.u
-        |ORDER BY jac_c DESC, cn.u, cn.v LIMIT 30""".stripMargin
+        |ORDER BY jac_c DESC, cn.u, cn.v LIMIT 30""".stripMargin,
+
+    "graph_label_prop" ->
+      s"""WITH $edgesSql,
+        |l0 AS (SELECT DISTINCT u, u AS lab FROM e),
+        |n1 AS (SELECT e.u, l0.lab, count(*) AS c
+        |       FROM e JOIN l0 ON e.v = l0.u GROUP BY 1, 2),
+        |l1 AS (SELECT u, lab FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY u ORDER BY c DESC, lab) AS rn FROM n1) WHERE rn = 1),
+        |n2 AS (SELECT e.u, l1.lab, count(*) AS c
+        |       FROM e JOIN l1 ON e.v = l1.u GROUP BY 1, 2),
+        |l2 AS (SELECT u, lab FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY u ORDER BY c DESC, lab) AS rn FROM n2) WHERE rn = 1)
+        |SELECT lab, count(*) AS n_nodes FROM l2
+        |GROUP BY lab ORDER BY n_nodes DESC, lab LIMIT 30""".stripMargin
   )
 }

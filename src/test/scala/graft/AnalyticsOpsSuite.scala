@@ -51,4 +51,42 @@ class AnalyticsOpsSuite extends AnyFunSuite {
     }
     assert(missed.isEmpty, s"orders above cutoff missing: ${missed.keys.take(5)}")
   }
+
+  test("abc_class_revenue: classes partition each brand's parts; A holds the top share") {
+    val rows = AnalyticsOps.queries("abc_class_revenue")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perBrand = rows.groupBy(_._1)
+    val partsPerBrand = graft.io.Tables.lineitem(spark, TestSpark.sfDir)
+      .join(graft.io.Tables.part(spark, TestSpark.sfDir),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      .select("p_brand", "p_partkey").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    perBrand.foreach { case (brand, cs) =>
+      assert(cs.map(_._3).sum == partsPerBrand(brand).length,
+        s"$brand classes partition its parts")
+      assert(cs.map(_._2).distinct.length == cs.length, "one row per class")
+      // A's per-part mean revenue must be >= C's (ranked classification)
+      val m = cs.map(c => c._2 -> (c._4.toDouble / c._3)).toMap
+      for (a <- m.get("A"); c <- m.get("C")) assert(a >= c)
+    }
+  }
+
+  test("supplier_scorecard: totals and ppm re-derived from lineitem") {
+    val rows = AnalyticsOps.queries("supplier_scorecard")(spark, TestSpark.sfDir)
+      .collect()
+    val li = graft.io.Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_suppkey", "l_returnflag", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byS = li.groupBy(_._1)
+    assert(rows.map(_.getLong(2)).sum == li.length, "every lineitem counted once")
+    rows.foreach { r =>
+      val (k, n, nRet, nParts, ppm) = (r.getLong(0), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+      val mine = byS(k)
+      assert(n == mine.length && nRet == mine.count(_._2 == "R"))
+      assert(nParts == mine.map(_._3).distinct.length)
+      assert(ppm == nRet * 1000000L / n)
+    }
+  }
 }

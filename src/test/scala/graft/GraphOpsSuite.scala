@@ -165,4 +165,32 @@ class GraphOpsSuite extends AnyFunSuite {
       .select(size(split($"text", " ")).cast("long")).as[Long].collect().sum
     assert(out.map(_._3).sum == totTok)
   }
+
+  test("graph_label_prop ≡ brute-force two-round mode-label propagation") {
+    val got = graft.ops.GraphOps.queries("graph_label_prop")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute force from the raw co-purchase edges
+    val li = graft.io.Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    li.groupBy(_._1).values.foreach { o =>
+      val ps = o.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b)
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+    }
+    var lab: Map[Long, Long] = adj.keys.map(u => u -> u).toMap
+    for (_ <- 1 to 2) {
+      lab = adj.map { case (u, nbrs) =>
+        val cnt = nbrs.toSeq.map(lab).groupBy(identity)
+          .map { case (l, v) => (l, v.size) }
+        val best = cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+        u -> best
+      }.toMap
+    }
+    val want = lab.values.groupBy(identity)
+      .map { case (l, v) => (l, v.size.toLong) }.toSeq
+      .sortBy { case (l, n) => (-n, l) }.take(30)
+    assert(got.toSeq == want)
+  }
 }
