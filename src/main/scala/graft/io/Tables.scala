@@ -26,18 +26,29 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
-  /** `events` is the persisted HTTP feed (FIXTURES.md mapping). Its `ts`
-    * column is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless the
-    * legacy nanosAsLong shim is set — runtime-settable, so we set it here
-    * (the driver owns SparkSession construction; SURVEY.md §1.3).
+  /** `events` is the persisted HTTP feed (FIXTURES.md mapping). Fixture
+    * generations have shipped `ts` as parquet TIMESTAMP(NANOS) (which
+    * Spark 4 reads as BIGINT nanos only under the legacy nanosAsLong
+    * shim — runtime-settable, so we set it here; SURVEY.md §1.3) and as
+    * plain TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ under
+    * Spark 4's parquet NTZ inference). Branch on the decoded type so both
+    * vintages work unchanged.
     *
-    * Adds `ts_us` (epoch microseconds, BIGINT) via integer division —
-    * exact, unlike a double-typed `floor(ts/1000)` — matching DuckDB's
-    * `epoch_us(ts)` truncation for the oracle.
+    * Adds `ts_us` (epoch microseconds, BIGINT): integer division for the
+    * nanos-as-long vintage, `unix_micros` for timestamp vintages — both
+    * exact, matching DuckDB's `epoch_us(ts)` for the oracle. The NTZ cast
+    * relies on the session timezone being UTC, which every entry point
+    * (Bench / Verify / tests / the driver contract) pins.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val t = table(spark, sfDir, "events")
+    val tsUs = t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampType => expr("unix_micros(ts)")
+      case _ => expr("unix_micros(cast(ts as timestamp))") // TIMESTAMP_NTZ, UTC session
+    }
+    t.withColumn("ts_us", tsUs)
   }
 
   /** Float canonicalization (determinism rule 1): floor(x*scale) as BIGINT.
