@@ -18,12 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // sorted order + post-query block sweep: same rationale as Bench —
+    // deterministic attribution, graph-family cache locality, and no
+    // accumulation of dead localCheckpoint blocks across ~190 queries
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try graft.api.QueryHygiene.run(spark, name) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

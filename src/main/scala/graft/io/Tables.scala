@@ -46,7 +46,16 @@ object Tables {
     val tsUs = t.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case org.apache.spark.sql.types.TimestampType => expr("unix_micros(ts)")
-      case _ => expr("unix_micros(cast(ts as timestamp))") // TIMESTAMP_NTZ, UTC session
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock -> instant needs the session zone; every entry
+        // point pins UTC in code, but double-check rather than silently
+        // producing host-offset-shifted microseconds.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events(): session timezone must be UTC for the NTZ ts vintage")
+        expr("unix_micros(cast(ts as timestamp))")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected nanos-as-long, " +
+          "TIMESTAMP, or TIMESTAMP_NTZ)")
     }
     t.withColumn("ts_us", tsUs)
   }

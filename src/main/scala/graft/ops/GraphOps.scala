@@ -100,7 +100,11 @@ object GraphOps {
     * reproduces with chained CTEs). Every node has in-neighbors here —
     * the edge relation is symmetric — so the inner join drops nobody. */
   private[graft] def pagerankFixed(es: DataFrame, iters: Int): DataFrame = {
-    val deg = degrees(es)
+    // |V|-row degree table, referenced by every unrolled step: checkpoint
+    // it once — as a plain subplan each of the iters+1 references would
+    // re-aggregate the |E|-row cache (no Exchange to reuse: the agg is
+    // exchange-free off the u-partitioned edge relation)
+    val deg = degrees(es).localCheckpoint()
     var r = deg.select(col("u"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) r = step(es, deg, r)
     r
@@ -214,11 +218,21 @@ object GraphOps {
       val es = edges(s, d)
       var lab = es.select(col("u")).distinct().withColumn("lab", col("u"))
       for (_ <- 1 to 2) {
-        val nb = es.join(lab.withColumnRenamed("u", "v").hint("shuffle_hash"), "v")
-          .groupBy("u", "lab").agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("u").orderBy(col("c").desc, col("lab"))
-        lab = nb.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select(col("u"), col("lab"))
+        // the edge relation is symmetric, so "labels of u's neighbors"
+        // ≡ join each edge's U endpoint to its label and aggregate on V:
+        // the join stays on u — exchange-free off the u-partitioned
+        // cache (a join keyed on v would re-shuffle all |E| rows every
+        // round); only the |V|-row label table moves
+        val nb = es.join(lab.hint("shuffle_hash"), "u")
+          .groupBy(col("v").as("u"), col("lab")).agg(count(lit(1)).as("c"))
+        // mode with tie -> smallest label as ONE hash aggregate:
+        // max(struct(c, -lab)) is (count desc, label asc) lexicographic —
+        // a row_number window here would SORT the |E|-sized round-1
+        // (u, label) relation; the agg is partial-combinable and never
+        // sorts (labels are positive part keys, so -lab is safe)
+        lab = nb.groupBy("u")
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("u"), (-col("m.nl")).as("lab"))
       }
       lab.groupBy("lab").agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("lab")).limit(30)
@@ -253,11 +267,19 @@ object GraphOps {
         .agg(sort_array(collect_set(col("v"))).as("nbrs"))
         .select(col("u"), col("nbrs"),
           size(col("nbrs")).cast("long").as("deg"))
+        .localCheckpoint() // aggregate once, feed both broadcast sides
+      // adjacency is NODE-sized (|V| rows × mean-degree arrays, ~25 MB
+      // here) — broadcast it to both probe sides so the |E|-row edge
+      // relation never shuffles its neighbor arrays (the SMJ alternative
+      // moves |E|×degree longs twice). At 100 TB, |V| outgrows the
+      // broadcast budget and this flips to the shuffled two-sided join
+      // on (u, v) — same plan minus the hints; the node-iterator shape
+      // and the per-edge two-pointer kernel are unchanged.
       edges(s, d).where(col("u") < col("v"))
-        .join(adj.select(col("u"), col("nbrs").as("nu"),
-          col("deg").as("deg_u")), "u")
-        .join(adj.select(col("u").as("v"), col("nbrs").as("nv"),
-          col("deg").as("deg_v")), "v")
+        .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"),
+          col("deg").as("deg_u"))), "u")
+        .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"),
+          col("deg").as("deg_v"))), "v")
         .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
           call_function("sorted_intersect_count",
             col("nu"), col("nv")).as("cn"))

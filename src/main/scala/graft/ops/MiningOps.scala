@@ -13,10 +13,12 @@ import graft.io.Tables.canon
   * comparison (SURVEY.md §2 determinism rules).
   *
   * Scale shapes (100 TB notes):
-  *  - containment: candidates come from an ASYMMETRIC prefix filter —
-  *    only the (n1 − ⌈τ·n1⌉ + 1) globally-rarest shingles of the
-  *    contained side probe the inverted index, so candidate volume is
-  *    bounded by rare-shingle collisions, never |docs|²;
+  *  - containment: adaptive — a dictionary-sized corpus verifies pairs
+  *    with dense bitsets (native AND+popcount); otherwise candidates
+  *    come from an ASYMMETRIC prefix filter — only the (n1 − ⌈τ·n1⌉ + 1)
+  *    globally-rarest shingles of the contained side probe the inverted
+  *    index, so candidate volume is bounded by rare-shingle collisions,
+  *    never |docs|²;
   *  - fuzzy join: edit distance runs once per DISTINCT name pair (the
   *    dictionary-encode trick for repeated-value domains); row-pair
   *    counts come from per-(type, name) aggregates — row pairs are never
@@ -38,47 +40,51 @@ object MiningOps {
     // Asymmetric near-dup: doc A (5-gram shingle set, same language) is
     // τ=0.8-contained in a LARGER doc B when |A∩B| ≥ ⌈0.8·|A|⌉ — the
     // doc-inside-doc case Jaccard misses (its length band excludes
-    // size-skewed pairs). Candidates: each doc's (n − ⌈0.8n⌉ + 1)
-    // rarest shingles probe the full inverted index; any true pair must
-    // collide there (pigeonhole), so the filter is lossless. Verify is
-    // a two-pointer sorted-intersect over dictionary-encoded arrays.
-    // All threshold math is integer (⌈4n/5⌉ = (4n+4) div 5).
+    // size-skewed pairs). Strategy is picked at plan time from the
+    // measured shingle-dictionary size (same adaptive design as
+    // Curation.nearDupPairs): small dictionaries verify pairs with a
+    // native bitset AND+popcount; large ones take the lossless
+    // inverted-index prefix filter (containmentPrefixPath). All
+    // threshold math is integer (⌈4n/5⌉ = (4n+4) div 5).
     "dedup_containment" -> ((s, d) => {
       graft.catalyst.GraftExtensions.install(s)
-      val tok = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          explode(call_function("ngram_shingles", col("text"), lit(5))).as("tk"))
-      // rarity-ordered dictionary encode (vocabulary-sized window)
-      val dict = tok.groupBy("tk").agg(count(lit(1)).as("df"))
-        .withColumn("tid",
-          row_number().over(Window.orderBy(col("df"), col("tk"))).cast("long"))
-      val sorted = tok.join(dict, "tk")
-        .groupBy("doc_id", "lang")
-        .agg(array_sort(collect_list(col("tid"))).as("tids"))
-        .withColumn("n", size(col("tids")).cast("long"))
-        .localCheckpoint() // feeds probe, postings, and both verify sides
-      val probe = sorted.select(col("doc_id").as("d1"), col("lang").as("l1"),
-        col("n").as("n1"),
-        explode(slice(col("tids"), lit(1),
-          (col("n") - expr("(4 * n + 4) div 5") + 1).cast("int"))).as("tid"))
-      val post = sorted.select(col("doc_id").as("d2"), col("lang").as("l2"),
-        col("n").as("n2"), explode(col("tids")).as("tid"))
-      val cand = probe.join(post,
-          col("l1") === col("l2") && probe("tid") === post("tid") &&
-            (col("n1") < col("n2") ||
-              (col("n1") === col("n2") && col("d1") < col("d2"))))
-        .select("d1", "d2").distinct()
-      val a1 = sorted.select(col("doc_id").as("d1"), col("tids").as("t1"),
-        col("n").as("n1"))
-      val a2 = sorted.select(col("doc_id").as("d2"), col("tids").as("t2"),
-        col("n").as("n2"))
-      cand.join(a1, "d1").join(a2, "d2")
-        .withColumn("shared",
-          call_function("sorted_intersect_count", col("t1"), col("t2")))
-        .filter(col("shared") * 5 >= col("n1") * 4)
-        .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
-          canon(col("shared") * lit(1.0) / col("n1")).as("cont_c"))
-        .orderBy("d1", "d2")
+          call_function("ngram_shingles", col("text"), lit(5)).as("gs"))
+        .localCheckpoint() // feeds the dictionary probe and both strategies
+      val dense = graft.api.Curation.denseDictionary(
+        docs.select(explode(col("gs")).as("tk")))
+      dense match {
+        case Some((dictMap, nWords)) =>
+          // dense-bitset strategy (this corpus: ~2k-shingle dictionary →
+          // 32-word bitsets): encode each doc's shingle set map-side,
+          // verify every same-language (n1 ≤ n2)-ordered pair with one
+          // native AND+popcount fold. Containment has no symmetric
+          // length band (a 50-shingle doc can sit inside a 5000-shingle
+          // one), so the pair space is per-language all-pairs — bounded
+          // here by the broadcastable corpus; a corpus past the
+          // broadcast budget flips to the inverted-index prefix path
+          // below, whose candidates stay bounded by rare-shingle
+          // collisions at any corpus size.
+          val sets = docs.select(col("doc_id"), col("lang"),
+            size(col("gs")).cast("long").as("n"),
+            call_function("bitset_from_tokens", col("gs"), dictMap,
+              lit(nWords)).as("bs"))
+          val a = sets.select(col("doc_id").as("d1"), col("lang").as("l1"),
+            col("n").as("n1"), col("bs").as("b1"))
+          val b = sets.select(col("doc_id").as("d2"), col("lang").as("l2"),
+            col("n").as("n2"), col("bs").as("b2"))
+          a.join(broadcast(b), col("l1") === col("l2") &&
+              (col("n1") < col("n2") ||
+                (col("n1") === col("n2") && col("d1") < col("d2"))))
+            .withColumn("shared", call_function("bitset_intersect_count",
+              col("b1"), col("b2")))
+            .filter(col("shared") * 5 >= col("n1") * 4)
+            .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
+              canon(col("shared") * lit(1.0) / col("n1")).as("cont_c"))
+            .orderBy("d1", "d2")
+        case None => containmentPrefixPath(docs)
+      }
     }),
 
     // Fuzzy equi-join: part pairs of the same type whose names are
@@ -238,6 +244,49 @@ object MiningOps {
         .orderBy("source")
     })
   )
+
+  /** The 100 TB containment path: inverted-index prefix filter. Each
+    * doc's (n − ⌈0.8n⌉ + 1) globally-RAREST shingles probe the full
+    * index — any true τ-contained pair must collide there (pigeonhole),
+    * so the filter is lossless and candidate volume is bounded by
+    * rare-shingle collisions, never |docs|². Verify is a two-pointer
+    * sorted-intersect over dictionary-encoded arrays. Taken when the
+    * shingle dictionary outgrows the dense-bitset encode. */
+  private def containmentPrefixPath(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(col("gs")).as("tk"))
+    // rarity-ordered dictionary encode (vocabulary-sized window)
+    val dict = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("df"), col("tk"))).cast("long"))
+    val sorted = tok.join(dict, "tk")
+      .groupBy("doc_id", "lang")
+      .agg(array_sort(collect_list(col("tid"))).as("tids"))
+      .withColumn("n", size(col("tids")).cast("long"))
+      .localCheckpoint() // feeds probe, postings, and both verify sides
+    val probe = sorted.select(col("doc_id").as("d1"), col("lang").as("l1"),
+      col("n").as("n1"),
+      explode(slice(col("tids"), lit(1),
+        (col("n") - expr("(4 * n + 4) div 5") + 1).cast("int"))).as("tid"))
+    val post = sorted.select(col("doc_id").as("d2"), col("lang").as("l2"),
+      col("n").as("n2"), explode(col("tids")).as("tid"))
+    val cand = probe.join(post,
+        col("l1") === col("l2") && probe("tid") === post("tid") &&
+          (col("n1") < col("n2") ||
+            (col("n1") === col("n2") && col("d1") < col("d2"))))
+      .select("d1", "d2").distinct()
+    val a1 = sorted.select(col("doc_id").as("d1"), col("tids").as("t1"),
+      col("n").as("n1"))
+    val a2 = sorted.select(col("doc_id").as("d2"), col("tids").as("t2"),
+      col("n").as("n2"))
+    cand.join(a1, "d1").join(a2, "d2")
+      .withColumn("shared",
+        call_function("sorted_intersect_count", col("t1"), col("t2")))
+      .filter(col("shared") * 5 >= col("n1") * 4)
+      .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
+        canon(col("shared") * lit(1.0) / col("n1")).as("cont_c"))
+      .orderBy("d1", "d2")
+  }
 
   private def hexDecode5(col: String): String =
     s"(${graft.api.Sampling.hexDecodeSql(col)}) % 5"

@@ -268,6 +268,16 @@ object StreamOps {
       .as[Ev]
   }
 
+  /** The fixtures' 20k-row replay window, collected ONCE per (session,
+    * dataset): ~10 fixtures re-scan + re-collect the identical rows
+    * otherwise. Bounded by ReplayBound, so the cache is ~2 MB — fixture
+    * plumbing, not the scale path (that is the DSv2 HTTP source). */
+  private val evRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Ev]]()
+
+  private def evRowsCollected(s: SparkSession, d: String): Array[Ev] =
+    evRowsCache.computeIfAbsent((s, d), _ => evRows(s, d).collect())
+
   /** Run a streaming DataFrame into an in-memory sink table and return the
     * table once its contents stabilize — the stabilization loop covers the
     * trailing no-data micro-batch that finalizes watermark-closed windows
@@ -340,7 +350,7 @@ object StreamOps {
     // (max event time − 10 min) are emitted; the tail stays in state.
     "stream_watermark_late" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect()
+      val rows = evRowsCollected(s, d)
       val ms = MemoryStream[Ev](s)
       val agg = ms.toDF()
         .withColumn("ets", timestamp_micros(col("ts_us")))
@@ -372,7 +382,7 @@ object StreamOps {
     // oracle-reproducible; the floor pins it exactly.
     "stream_session_state" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
       val agg = ms.toDF()
@@ -404,7 +414,7 @@ object StreamOps {
     // cannot drift.
     "stream_session_timers" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
       val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass",
@@ -435,7 +445,7 @@ object StreamOps {
     // redelivered row in batch 2 — output is exactly the distinct feed.
     "stream_dedup_state" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect()
+      val rows = evRowsCollected(s, d)
       val maxTs = rows.iterator.map(_.ts_us).max
       val redelivered = rows.filter(_.ts_us > maxTs - 5L * 60 * 1000000)
       val ms = MemoryStream[Ev](s)
@@ -501,7 +511,7 @@ object StreamOps {
     // emitted credit stream is then reduced to per-channel totals.
     "stream_attribution_tws" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
       val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass",
@@ -539,7 +549,7 @@ object StreamOps {
     // quantile extraction is the same integer tail as quantile_hist.
     "stream_quantile_hist" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val edgeDf = rows.groupBy(_.event_type).toSeq.map { case (t, es) =>
         val vs = es.map(e => math.floor(e.value * 10000).toLong)
@@ -624,7 +634,7 @@ object StreamOps {
     // cross-batch join state, deterministic output.
     "stream_join_interval" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
       val joined = intervalJoinStreams(ms.toDF(), outer = false)
@@ -645,7 +655,7 @@ object StreamOps {
     // same cutoff. Matched pairs are the inner join's exact set.
     "stream_join_outer" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
       val joined = intervalJoinStreams(ms.toDF(), outer = true)
@@ -663,7 +673,7 @@ object StreamOps {
     // spec; serving feeds over HTTP is out of Spark scope).
     "stream_feed_sink" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect().sortBy(_.event_id)
+      val rows = evRowsCollected(s, d).sortBy(_.event_id)
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val stateDir = scratchDir("graft_feed_sink")
       val ckpt = scratchDir("graft_feed_sink_ckpt")
@@ -816,7 +826,7 @@ object StreamOps {
     // rank window runs over the aggregate relation, not events.
     "stream_topk_state" -> ((s, d) => {
       import s.implicits._
-      val rows = evRows(s, d).collect().sortBy(r => (r.ts_us, r.event_id))
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
       val counts = ms.toDF().groupBy("event_type", "user_id")
