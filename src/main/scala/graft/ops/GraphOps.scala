@@ -29,53 +29,50 @@ import graft.io.Tables
   */
 object GraphOps {
 
-  /** Directed edge relation (each undirected edge in both directions),
-    * materialized once per (session, raw dataset path) — the cache key is
+  /** The graph's ONE materialized relation: per-node sorted adjacency
+    * (u, vs = sorted neighbor array, deg), hash-partitioned on u,
+    * cached once per (session, raw dataset path) — the cache key is
     * the unsanitized path, so two datasets can never collide (the Layout
-    * materialize() lesson). The persisted relation is ~|E| longs, far
-    * under executor memory even at 100× this data; MEMORY_AND_DISK spills
-    * rather than recomputing if it ever isn't. The map holds a strong
-    * session reference — fine for this library's one-session-per-JVM
-    * drivers (Verify/Bench/tests); a long-lived multi-session service
-    * would key a weak map or call unpersist on session teardown. */
-  private val edgeCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * materialize() lesson). Everything else DERIVES from it shuffle-free:
+    * the directed edge list is a partition-preserving explode, degrees
+    * are `size(vs)`, and the common-neighbor kernel broadcasts it.
+    * Caching adjacency instead of the exploded edge list is the same
+    * compressed-sparse-row choice every distributed graph engine makes:
+    * |V| rows carrying arrays instead of 2|E| long pairs, and the
+    * per-iteration scans re-explode from ~|V| cached rows. ~25 MB here;
+    * MEMORY_AND_DISK spills rather than recomputing if it ever isn't.
+    * The map holds a strong session reference — fine for this library's
+    * one-session-per-JVM drivers (Verify/Bench/tests); a long-lived
+    * multi-session service would key a weak map or unpersist on session
+    * teardown. */
+  private val adjCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** The cached relation is hash-partitioned ON u before persisting:
-    * every downstream consumer — degree aggregates, per-iteration
-    * contribution joins — requires exactly that distribution, so the
-    * partitioning is paid once and every later exchange on the big side
-    * disappears (the iterate-in-place layout a distributed PageRank
-    * keeps its edge list in; broadcasting node state instead would cap
-    * the graph at driver memory). */
+  /** Build: group items by order (shuffle 1), generate both-direction
+    * pairs inside each order's set (~items² per order — local,
+    * codegen'd, never a join), then ONE u-keyed collect_set aggregation
+    * (shuffle 2) that simultaneously dedups pairs (map-side partial
+    * combine), leaves the relation hash-partitioned on u for every
+    * consumer, and stores the graph in adjacency form. The former
+    * edge-list pipeline paid two more full |E|-row shuffles (global
+    * `distinct` + a pinning `repartition`). */
+  private[graft] def adjacency(s: SparkSession, d: String): DataFrame =
+    adjCache.computeIfAbsent((s, d), _ =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+        .select(explode(col("pks")).as("u"), col("pks"))
+        .select(col("u"), explode(col("pks")).as("v"))
+        .where(col("u") =!= col("v"))
+        .groupBy("u").agg(sort_array(collect_set(col("v"))).as("vs"))
+        .select(col("u"), col("vs"), size(col("vs")).cast("long").as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Directed edge relation (each undirected edge in both directions),
+    * derived from the adjacency cache by a partition-preserving explode:
+    * consumers still see HashPartitioning(u), so u-keyed joins and
+    * aggregates stay exchange-free. */
   private[graft] def edges(s: SparkSession, d: String): DataFrame =
-    edgeCache.computeIfAbsent((s, d), _ => {
-      // explicit partition count: a bare repartition(col) is an
-      // AQE-coalescible shuffle, so the cache could not ADVERTISE its
-      // partitioning and every consumer would re-exchange; pinning the
-      // count makes InMemoryTableScan's HashPartitioning(u, n) line up
-      // with consumers' requirements exchange-free
-      val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      buildEdges(s, d).repartition(n, col("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    })
-
-  /** Distinct undirected co-purchase edges, emitted in both directions
-    * (u ↔ v). collect_set dedups (order, part) so a part appearing on two
-    * lineitems of one order doesn't double an edge; pair generation then
-    * happens inside each order's set (~items² per order) — local,
-    * codegen'd, never a join — and u ≠ v yields BOTH directions in the
-    * same single pass (a union with the swapped projection would
-    * re-evaluate the whole scan+group chain twice). Shuffle 1: group
-    * items by order. Shuffle 2: distinct pairs. The original self-join
-    * formulation cost four shuffles and two passes. */
-  private def buildEdges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
-      .select(explode(col("pks")).as("u"), col("pks"))
-      .select(col("u"), explode(col("pks")).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
+    adjacency(s, d).select(col("u"), explode(col("vs")).as("v"))
 
   /** One integer-exact PageRank step: given scores r(u) (1e6-scaled),
     * each node sends floor(r/deg) units to every neighbor and the new
@@ -98,17 +95,18 @@ object GraphOps {
   /** Fixed-iteration PageRank as a single declarative plan (the
     * oracle-checkable form: a deterministic unrolled chain DuckDB
     * reproduces with chained CTEs). Every node has in-neighbors here —
-    * the edge relation is symmetric — so the inner join drops nobody. */
-  private[graft] def pagerankFixed(es: DataFrame, iters: Int): DataFrame = {
-    // |V|-row degree table, referenced by every unrolled step: checkpoint
-    // it once — as a plain subplan each of the iters+1 references would
-    // re-aggregate the |E|-row cache (no Exchange to reuse: the agg is
-    // exchange-free off the u-partitioned edge relation)
-    val deg = degrees(es).localCheckpoint()
+    * the edge relation is symmetric — so the inner join drops nobody.
+    * `deg` is the |V|-row (u, deg) table — from the adjacency cache it
+    * is a free projection; the es-only overload aggregates it. */
+  private[graft] def pagerankFixed(es: DataFrame, deg: DataFrame,
+                                   iters: Int): DataFrame = {
     var r = deg.select(col("u"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) r = step(es, deg, r)
     r
   }
+
+  private[graft] def pagerankFixed(es: DataFrame, iters: Int): DataFrame =
+    pagerankFixed(es, degrees(es).localCheckpoint(), iters)
 
   /** The loop-to-convergence driver: iterate until the largest per-node
     * score change is ≤ tolC integer units (or maxIter). Each iteration
@@ -148,7 +146,7 @@ object GraphOps {
     // (150000 + (s·85) div 100). Top-30 parts by the integer score.
     "graph_pagerank_step" -> ((s, d) => {
       val es = edges(s, d)
-      val contrib = es.groupBy("u").agg(count(lit(1)).as("deg"))
+      val contrib = adjacency(s, d)
         .select(col("u"), expr("1000000 div deg").as("c"))
       es.join(contrib, "u")
         .groupBy(col("v").as("part"))
@@ -164,7 +162,8 @@ object GraphOps {
     // proves it agrees with this plan at its terminating count); the
     // oracle needs the deterministic fixed-count unroll.
     "graph_pagerank_conv" -> ((s, d) =>
-      pagerankFixed(edges(s, d), ConvIters)
+      pagerankFixed(edges(s, d), adjacency(s, d).select(col("u"), col("deg")),
+          ConvIters)
         .select(col("u").as("part"), col("r").as("pr_c"))
         .orderBy(col("pr_c").desc, col("part")).limit(30)),
 
@@ -172,8 +171,7 @@ object GraphOps {
     // graph workload reports, and the skew signal that decides whether
     // the neighbor shuffle needs salting.
     "graph_degree_stats" -> ((s, d) => {
-      edges(s, d)
-        .groupBy("u").agg(count(lit(1)).as("deg"))
+      adjacency(s, d)
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("deg")
     }),
@@ -216,7 +214,7 @@ object GraphOps {
     // of every iterative label algorithm on Spark.
     "graph_label_prop" -> ((s, d) => {
       val es = edges(s, d)
-      var lab = es.select(col("u")).distinct().withColumn("lab", col("u"))
+      var lab = adjacency(s, d).select(col("u"), col("u").as("lab"))
       for (_ <- 1 to 2) {
         // the edge relation is symmetric, so "labels of u's neighbors"
         // ≡ join each edge's U endpoint to its label and aggregate on V:
@@ -260,25 +258,22 @@ object GraphOps {
   private[graft] def commonNeighbors(s: SparkSession, d: String): DataFrame =
     cnCache.computeIfAbsent((s, d), _ => {
       graft.catalyst.GraftExtensions.install(s) // sorted_intersect_count
-      // adjacency sorted ONCE at build time; every edge's cn is then a
-      // single-pass two-pointer merge (native codegen'd kernel — no
-      // per-row hash set the way array_intersect allocates one)
-      val adj = edges(s, d).groupBy("u")
-        .agg(sort_array(collect_set(col("v"))).as("nbrs"))
-        .select(col("u"), col("nbrs"),
-          size(col("nbrs")).cast("long").as("deg"))
-        .localCheckpoint() // aggregate once, feed both broadcast sides
-      // adjacency is NODE-sized (|V| rows × mean-degree arrays, ~25 MB
-      // here) — broadcast it to both probe sides so the |E|-row edge
-      // relation never shuffles its neighbor arrays (the SMJ alternative
-      // moves |E|×degree longs twice). At 100 TB, |V| outgrows the
-      // broadcast budget and this flips to the shuffled two-sided join
-      // on (u, v) — same plan minus the hints; the node-iterator shape
-      // and the per-edge two-pointer kernel are unchanged.
+      // the adjacency cache already stores each node's SORTED neighbor
+      // array, so every edge's cn is a single-pass two-pointer merge
+      // (native codegen'd kernel — no per-row hash set the way
+      // array_intersect allocates one). Adjacency is NODE-sized (|V|
+      // rows × mean-degree arrays, ~25 MB here) — broadcast it to both
+      // probe sides so the |E|-row edge relation never shuffles its
+      // neighbor arrays (the SMJ alternative moves |E|×degree longs
+      // twice). At 100 TB, |V| outgrows the broadcast budget and this
+      // flips to the shuffled two-sided join on (u, v) — same plan
+      // minus the hints; the node-iterator shape and the per-edge
+      // two-pointer kernel are unchanged.
+      val adj = adjacency(s, d)
       edges(s, d).where(col("u") < col("v"))
-        .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"),
+        .join(broadcast(adj.select(col("u"), col("vs").as("nu"),
           col("deg").as("deg_u"))), "u")
-        .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"),
+        .join(broadcast(adj.select(col("u").as("v"), col("vs").as("nv"),
           col("deg").as("deg_v"))), "v")
         .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
           call_function("sorted_intersect_count",
