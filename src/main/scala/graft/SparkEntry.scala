@@ -32,6 +32,7 @@ object SparkEntry {
       (MaintOps.queries, MaintOps.oracles),
       (LoopOps.queries, LoopOps.oracles),
       (MiningOps.queries, MiningOps.oracles),
+      (AuditOps.queries, AuditOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** §2.23 corpus-audit operators: the governance questions a training-data
+  * owner asks AFTER dedup/quality machinery exists — which sources
+  * contaminate each other, which duplicate to keep, and what the corpus'
+  * temporal shape is. All oracle-checked, all integer-exact.
+  *
+  * Scale shapes (100 TB notes):
+  *  - source overlap: reuses the adaptive near-dup pair kernel
+  *    (Curation.nearDupPairs — bitset verify or All-Pairs/PPJoin); the
+  *    matrix aggregate runs over PAIRS (already ≪ corpus) keyed by a
+  *    source-pair key whose cardinality is |sources|²;
+  *  - keep-best: connected components over the pair graph
+  *    (TrainOps.connectedComponents — driver union-find when the pair
+  *    graph is bounded, hook+compress rounds otherwise), then ONE
+  *    max(struct) aggregate per cluster — never a window over the corpus;
+  *  - seasonal profile: map-side (type, hour) partial aggregation; the
+  *    ppm share window runs over the |types|×24 aggregate, not events.
+  */
+object AuditOps {
+
+  /** Near-dup pairs (exact Jaccard ≥ 0.5, same language, |Δchars| ≤ 20)
+    * with both docs' sources attached — the text_dedup_near contract,
+    * reused so the audit agrees with the dedup pass it audits. */
+  private def sourcedPairs(s: SparkSession, d: String): DataFrame = {
+    val docsT = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(split(col("text"), " ")).as("tks"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    graft.api.Curation.nearDupPairs(docsT, col("doc_id"), col("tks"),
+        col("lang"), col("n_chars"), tau = 0.5)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cross-source contamination matrix: near-dup pairs bucketed by
+    // UNORDERED source pair (least/greatest canonicalizes, so a↔b and
+    // b↔a land in one cell). The diagonal (src_a = src_b) is
+    // within-source duplication; off-diagonal cells are the
+    // "my web scrape duplicates my books corpus" signal that decides
+    // which source a curator drops.
+    "dedup_source_overlap" -> ((s, d) =>
+      sourcedPairs(s, d)
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")),
+
+    // Keep-best dedup decision: connected components over the strict
+    // (Jaccard ≥ 0.7) n-gram duplicate graph — the dedup_cluster_cc
+    // contract — then per cluster keep the LONGEST member (most complete
+    // duplicate), ties to the smallest doc_id. One max(struct) aggregate:
+    // (n_chars, -doc_id) is (longest, then smallest id) lexicographically.
+    "dedup_keep_best" -> ((s, d) => {
+      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      val chars = Tables.documents(s, d)
+        .select(col("doc_id").as("node"), col("n_chars"))
+      TrainOps.connectedComponents(pairs)
+        .join(chars, "node")
+        .groupBy("cluster_rep")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").cast("long").as("a"),
+            (-col("node")).as("b"))).as("m"))
+        .select(col("cluster_rep"), col("n_members"),
+          (-col("m.b")).as("kept_doc"), col("m.a").as("kept_chars"))
+        .orderBy("cluster_rep")
+    }),
+
+    // Hour-of-day activity profile per event type with integer-ppm share
+    // — the corpus' temporal shape (UTC hours; ts_us is epoch micros).
+    // The share window runs over the |types|×24 aggregate, never events.
+    "ts_seasonal_profile" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("hod", expr("(ts_us div 3600000000) % 24"))
+        .groupBy("event_type", "hod").agg(count(lit(1)).as("n"))
+        .withColumn("ppm", expr(
+          "(n * 1000000) div sum(n) over (partition by event_type)"))
+        .orderBy("event_type", "hod"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_source_overlap" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, lang, n_chars,
+        |    unnest(str_split(text, ' ')) AS tk FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS ntk FROM tok GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.lang = b.lang
+        |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT d1, d2 FROM pair
+        |  JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id
+        |  WHERE shared * 1.0 / (ca.ntk + cb.ntk - shared) >= 0.5)
+        |SELECT least(da.source, db.source) AS src_a,
+        |  greatest(da.source, db.source) AS src_b, count(*) AS n_pairs
+        |FROM nd JOIN documents da ON nd.d1 = da.doc_id
+        |  JOIN documents db ON nd.d2 = db.doc_id
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+        |      i -> substr(text, i, 5))) AS gs
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |        len(list_intersect(a.gs, b.gs)) AS shared,
+        |        len(a.gs) AS n1, len(b.gs) AS n2
+        |      FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |        AND abs(a.n_chars - b.n_chars) <= 20),
+        |pairs AS (SELECT d1, d2 FROM p
+        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |r(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src),
+        |cc AS (SELECT node, min(lbl) AS cluster_rep FROM r GROUP BY node),
+        |j AS (SELECT cc.cluster_rep, cc.node, d.n_chars
+        |      FROM cc JOIN documents d ON cc.node = d.doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_rep
+        |         ORDER BY n_chars DESC, node) AS rn FROM j),
+        |agg AS (SELECT cluster_rep, count(*) AS n_members FROM j GROUP BY 1)
+        |SELECT agg.cluster_rep, agg.n_members, rk.node AS kept_doc,
+        |  CAST(rk.n_chars AS BIGINT) AS kept_chars
+        |FROM agg JOIN rk ON agg.cluster_rep = rk.cluster_rep AND rk.rn = 1
+        |ORDER BY agg.cluster_rep""".stripMargin,
+
+    "ts_seasonal_profile" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod FROM events),
+        |g AS (SELECT event_type, hod, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT event_type, CAST(hod AS BIGINT) AS hod, n,
+        |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ppm
+        |FROM g ORDER BY event_type, hod""".stripMargin
+  )
+}
