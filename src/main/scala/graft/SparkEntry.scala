@@ -33,6 +33,7 @@ object SparkEntry {
       (LoopOps.queries, LoopOps.oracles),
       (MiningOps.queries, MiningOps.oracles),
       (AuditOps.queries, AuditOps.oracles),
+      (EvalOps.queries, EvalOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,292 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.io.Tables.{canon, canon100}
+import graft.api.{Sampling, Vectors}
+
+/** §2.24 tokenizer-training, embedding-diagnostics & model-evaluation
+  * operators — the measurement loop around a training-data pipeline:
+  * one BPE merge iteration, per-dimension embedding health stats, the
+  * long-form reshape feeding metric stores, series autocorrelation,
+  * leave-one-out kNN label quality, and a differential proof that the
+  * weighted sampler's top-k merges across shards. All oracle-checked.
+  *
+  * Scale shapes (100 TB notes):
+  *  - bpe_merge_step: pair counting is a map-side-combinable aggregate
+  *    over adjacent-token pairs; the winning rule is a LIMIT 1 over the
+  *    pair AGGREGATE; greedy-merge islands use doc-partitioned windows
+  *    (bounded by each doc's own length) over only the rows matching
+  *    the one winning pair — never a corpus-wide window;
+  *  - emb_dim_stats: posexplode fans each vector into |dim| rows but the
+  *    aggregate is map-side combinable per dimension — |dim| cells of
+  *    state no matter the corpus size;
+  *  - unpivot_measures: stack() is a pure map-side generator (no
+  *    shuffle before the output sort) — 4× the rows, zero wide stages;
+  *  - ts_autocorr: all windows/aggregates run over the per-(type, day)
+  *    COUNT relation (calendar-sized), and the correlation sums are
+  *    exact BIGINT arithmetic so partial aggregation is lossless;
+  *  - knn_classify_eval: the probe side broadcasts (evaluation sets are
+  *    bounded by construction); per-query candidate ranking partitions
+  *    by qid. For corpus×corpus evaluation at 100 TB you'd sample the
+  *    probe set — the operator's contract (bounded probes) makes that
+  *    explicit rather than hiding a quadratic blow-up;
+  *  - sample_weighted_merge: per-shard local top-k via a (shard)-
+  *    partitioned window, then a global top-k over ≤ |shards|·k
+  *    survivors — the distributed form of the A-Res sampler, proven
+  *    ≡ the direct global sample under the direct sample's own oracle.
+  */
+object EvalOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One BPE-style merge iteration over the whitespace-token corpus:
+    // find the globally most frequent ADJACENT token pair (ties by
+    // lexicographic pair), then count per document how many times the
+    // greedy left-to-right non-overlapping merge would fire. A run of
+    // L consecutive matching positions (L+1 repeated tokens) yields
+    // ceil(L/2) merges — islands via the p − row_number() trick inside
+    // each doc.
+    "bpe_merge_step" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tks"))
+        .filter(size(col("tks")) >= 2)
+      val pairs = toks.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tks)-2), " +
+            "i -> struct(tks[i] as w1, tks[i+1] as w2, i as p))")).as("pr"))
+        .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"),
+          col("pr.p").as("p"))
+      val top = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+        .select("w1", "w2")
+      val wd = Window.partitionBy("doc_id").orderBy("p")
+      val runs = pairs.join(broadcast(top), Seq("w1", "w2"))
+        .withColumn("grp", col("p") - row_number().over(wd))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+      runs.groupBy("doc_id").agg(sum(expr("(len + 1) div 2")).as("n_merges"))
+        .crossJoin(broadcast(top))
+        .select(col("doc_id"), col("w1"), col("w2"), col("n_merges"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-dimension embedding health: count / mean / stddev / min / max
+    // for each of the |dim| coordinates — the drift dashboard an
+    // embedding pipeline watches. |dim| aggregation cells total.
+    "emb_dim_stats" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          canon(avg(col("v"))).as("mean_c"),
+          canon100(stddev_samp(col("v"))).as("sd_c"),
+          canon(min(col("v"))).as("min_c"),
+          canon(max(col("v"))).as("max_c"))
+        .orderBy("pos")),
+
+    // Wide→long reshape of the lineitem measures (the melt feeding a
+    // generic metric store). stack() is a map-side generator: 4× rows,
+    // no shuffle before the deterministic output order.
+    "unpivot_measures" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .selectExpr("l_orderkey",
+          "cast(l_linenumber as bigint) as l_linenumber",
+          "stack(4, 'discount', l_discount, 'extendedprice', l_extendedprice, " +
+            "'quantity', l_quantity, 'tax', l_tax) as (measure, val)")
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          canon(col("val")).as("val_c"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // Row-lag autocorrelation (k = 1..3) of the per-type DAILY event
+    // count series. Every sum is exact BIGINT (counts and their
+    // products), so the Pearson numerator/denominators are
+    // merge-order-independent; only the final ratio is floating.
+    "ts_autocorr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val per = (1 to 3).map { k =>
+        daily.withColumn("y", lag(col("x"), k).over(w))
+          .filter(col("y").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .withColumn("k", lit(k.toLong))
+      }.reduce(_ unionByName _)
+      per
+        .withColumn("num", col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("da", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("db", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+        .select(col("event_type"), col("k"), col("n_pairs"),
+          when(col("da") > 0 && col("db") > 0,
+            canon100(col("num") /
+              (sqrt(col("da").cast("double")) * sqrt(col("db").cast("double")))))
+            .as("r_c"))
+        .orderBy("event_type", "k")
+    }),
+
+    // Leave-one-out 5-NN majority-vote label prediction over the
+    // embedding corpus, reported as per-true-label accuracy (ppm) — the
+    // "are my embeddings any good" gate before they drive dedup or
+    // retrieval. Ties in the vote break to the smallest label.
+    "knn_classify_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val nn = Vectors.knn(emb, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k = 5)
+      val lbl = emb.select(col("vec_id").as("id"),
+        col("label").cast("long").as("nlabel"))
+      val pred = nn.join(lbl, "id")
+        .groupBy("qid", "nlabel").agg(count(lit(1)).as("c"))
+        .groupBy("qid")
+        .agg(max(struct(col("c"), (-col("nlabel")).as("nl"))).as("m"))
+        .select(col("qid"), (-col("m.nl")).as("pred"))
+      val truth = emb.select(col("vec_id").as("qid"),
+        col("label").cast("long").as("label"))
+      pred.join(truth, "qid")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("correct"))
+        .withColumn("acc_ppm", expr("(correct * 1000000) div n"))
+        .orderBy("label")
+    }),
+
+    // Distributed form of the A-Res weighted sampler: each shard
+    // (source) keeps its LOCAL priority top-100, the global top-100 is
+    // taken over the ≤ |shards|·100 survivors — provably identical to
+    // the direct global sample (the global top-k is contained in the
+    // union of shard top-ks), and checked under the direct sample's own
+    // oracle formulation.
+    "sample_weighted_merge" -> ((s, d) => {
+      val pri = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .withColumn("priority",
+          -log(Sampling.hashUniform(col("doc_id"))) /
+            greatest(col("n_chars").cast("double"), lit(1e-12)))
+      val wS = Window.partitionBy("source")
+        .orderBy(col("priority"), col("doc_id"))
+      pri.withColumn("lrk", row_number().over(wS)).filter(col("lrk") <= 100)
+        .orderBy(col("priority"), col("doc_id")).limit(100)
+        .select(col("doc_id"), col("n_chars"),
+          floor(col("priority") * lit(100000000.0)).cast("long").as("pri_c"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "bpe_merge_step" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS tks FROM documents
+        |           WHERE len(str_split(text, ' ')) >= 2),
+        |pr AS (SELECT doc_id, i AS p, tks[i] AS w1, tks[i+1] AS w2
+        |       FROM t, unnest(generate_series(1, len(tks) - 1)) u(i)),
+        |top AS (SELECT w1, w2 FROM (SELECT w1, w2, count(*) AS c
+        |          FROM pr GROUP BY 1, 2)
+        |        ORDER BY c DESC, w1, w2 LIMIT 1),
+        |m AS (SELECT pr.doc_id, pr.p,
+        |        pr.p - row_number() OVER (PARTITION BY pr.doc_id ORDER BY pr.p) AS grp
+        |      FROM pr JOIN top USING (w1, w2)),
+        |runs AS (SELECT doc_id, grp, count(*) AS len FROM m GROUP BY 1, 2),
+        |res AS (SELECT doc_id, CAST(sum((len + 1) // 2) AS BIGINT) AS n_merges
+        |        FROM runs GROUP BY 1)
+        |SELECT res.doc_id, top.w1, top.w2, res.n_merges
+        |FROM res, top ORDER BY res.doc_id""".stripMargin,
+
+    "emb_dim_stats" ->
+      """WITH p AS (SELECT CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+        |SELECT pos, count(*) AS n,
+        |  CAST(floor(avg(v) * 10000) AS BIGINT) AS mean_c,
+        |  CAST(floor(stddev_samp(v) * 100) AS BIGINT) AS sd_c,
+        |  CAST(floor(min(v) * 10000) AS BIGINT) AS min_c,
+        |  CAST(floor(max(v) * 10000) AS BIGINT) AS max_c
+        |FROM p GROUP BY pos ORDER BY pos""".stripMargin,
+
+    "unpivot_measures" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         'discount' AS measure, l_discount AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'extendedprice',
+        |         l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'quantity',
+        |         l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'tax',
+        |         l_tax FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, measure,
+        |  CAST(floor(val * 10000) AS BIGINT) AS val_c
+        |FROM u ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "ts_autocorr" ->
+      """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |a1 AS (SELECT event_type, 1 AS k, x,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS y FROM dly),
+        |a2 AS (SELECT event_type, 2 AS k, x,
+        |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS y FROM dly),
+        |a3 AS (SELECT event_type, 3 AS k, x,
+        |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS y FROM dly),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3),
+        |g AS (SELECT event_type, k, count(*) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM u WHERE y IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(k AS BIGINT) AS k, n_pairs,
+        |  CASE WHEN n_pairs*sxx - sx*sx > 0 AND n_pairs*syy - sy*sy > 0
+        |    THEN CAST(floor(CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE))) * 100) AS BIGINT)
+        |    ELSE NULL END AS r_c
+        |FROM g ORDER BY event_type, k""".stripMargin,
+
+    "knn_classify_eval" ->
+      """WITH d AS (SELECT vec_id, embedding, label FROM embeddings),
+        |s AS (SELECT q.vec_id AS qid, x.vec_id AS id, x.label AS nlabel,
+        |    list_reduce(list_transform(generate_series(1, len(x.embedding)),
+        |      i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) *
+        |           (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM d q JOIN d x ON x.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dist, id) AS rk FROM s),
+        |v AS (SELECT qid, CAST(nlabel AS BIGINT) AS nlabel, count(*) AS c
+        |      FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |p AS (SELECT qid, nlabel AS pred, row_number() OVER (PARTITION BY qid
+        |    ORDER BY c DESC, nlabel) AS pr FROM v),
+        |j AS (SELECT CAST(t.label AS BIGINT) AS label, p.pred
+        |      FROM p JOIN d t ON p.qid = t.vec_id WHERE p.pr = 1)
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+        |  (CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS acc_ppm
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
+
+    // merged shard top-k ≡ direct global sample — same oracle text as
+    // sample_weighted (SampleOps), duplicated verbatim on purpose: the
+    // DIFFERENTIAL claim is that the sharded plan matches the direct
+    // formulation.
+    "sample_weighted_merge" -> {
+      val hv = Sampling.hexDecodeSql("m")
+      s"""WITH u AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
+        |    FROM documents),
+        |h AS (SELECT doc_id, n_chars, $hv AS hv FROM u),
+        |p AS (SELECT doc_id, n_chars,
+        |    -ln(CAST(hv + 1 AS DOUBLE) / 16777217.0) /
+        |      greatest(CAST(n_chars AS DOUBLE), 1e-12) AS pri
+        |  FROM h),
+        |top AS (SELECT * FROM p ORDER BY pri, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars,
+        |  CAST(floor(pri * 100000000.0) AS BIGINT) AS pri_c
+        |FROM top ORDER BY doc_id""".stripMargin
+    }
+  )
+}

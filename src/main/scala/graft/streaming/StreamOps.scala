@@ -847,6 +847,40 @@ object StreamOps {
         .select(col("event_type"), col("rk"), col("user_id"), col("n"),
           col("sum_value_c"))
         .orderBy("event_type", "rk")
+    }),
+
+    // Streaming CDC apply: the cdc_merge_snapshot contract driven by a
+    // live stream. Latest-change-per-key is streaming aggregation state
+    // (max of the event_id-led struct — event_id strictly increases, so
+    // each Update-mode emission dominates the previous one and the final
+    // state is the per-key MAX emission); the batch tail merges that
+    // state into the customer snapshot exactly like the batch operator.
+    // At scale the state store holds one ~40-byte struct per live key,
+    // and the merge is a key-partitioned left join (MERGE INTO's shape).
+    "stream_cdc_apply" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(_.event_id)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val latest = ms.toDF().groupBy("user_id")
+        .agg(max(struct(col("event_id"), col("event_type"), col("value"))).as("st"))
+      val emitted = runToMemory(s, latest, freshName("cdc_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: state carries
+        ms.addData(b2.toSeq)
+      }
+      val fin = emitted.groupBy("user_id").agg(max("st").as("st"))
+        .select(col("user_id").as("c_custkey"),
+          col("st.event_type").as("ch_type"), col("st.value").as("ch_value"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        .join(fin, Seq("c_custkey"), "left")
+        .filter(col("ch_type").isNull || col("ch_type") =!= "error")
+        .select(col("c_custkey"),
+          when(col("ch_type").isNotNull, 1L).otherwise(0L).as("updated"),
+          coalesce(Tables.canon(col("ch_value")),
+            Tables.canon(col("c_acctbal"))).as("bal_c"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -1057,6 +1091,22 @@ object StreamOps {
         |    ORDER BY n DESC, user_id) AS rk FROM c)
         |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id,
         |  CAST(n AS BIGINT) AS n, CAST(sum_value_c AS BIGINT) AS sum_value_c
-        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+
+    // the cdc_merge_snapshot oracle restricted to the fixture's bounded
+    // replay window
+    "stream_cdc_apply" ->
+      """WITH ch AS (SELECT user_id,
+        |    arg_max(event_type, event_id) AS ch_type,
+        |    arg_max(value, event_id) AS ch_value
+        |  FROM events WHERE event_id < 20000 GROUP BY user_id)
+        |SELECT c_custkey,
+        |  CAST(CASE WHEN ch.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS updated,
+        |  CAST(coalesce(floor(ch_value * 10000), floor(c_acctbal * 10000))
+        |    AS BIGINT) AS bal_c
+        |FROM customer LEFT JOIN ch ON c_custkey = ch.user_id
+        |WHERE ch.user_id IS NULL OR ch_type <> 'error'
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.EvalOps
+import graft.io.Tables
+
+/** Semantic invariants for §2.24 (EvalOps) on the sf0.001 fixture —
+  * brute-force re-derivations in plain Scala (the DuckDB oracle checks
+  * the same queries at sf0.01+).
+  */
+class EvalOpsSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def docsTokens: Array[(Long, Array[String])] =
+    Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+
+  test("bpe_merge_step ≡ brute-force greedy left-to-right merge count") {
+    val rows = EvalOps.queries("bpe_merge_step")(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3))))
+    assert(rows.nonEmpty)
+    // brute force: top adjacent pair by (count desc, w1, w2)
+    val docs = docsTokens
+    val allPairs = docs.flatMap { case (_, t) => t.sliding(2).collect {
+      case Array(a, b) => (a, b) } }
+    val top = allPairs.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.head._1
+    // greedy scan per doc
+    val brute = docs.map { case (id, t) =>
+      var i = 0; var n = 0L
+      while (i < t.length - 1) {
+        if ((t(i), t(i + 1)) == top) { n += 1; i += 2 } else i += 1
+      }
+      (id, n)
+    }.filter(_._2 > 0).toMap
+    assert(rows.map { case (id, (_, _, n)) => (id, n) }.toMap == brute)
+    rows.foreach { case (_, (w1, w2, _)) => assert((w1, w2) == top) }
+  }
+
+  test("emb_dim_stats: one row per dimension, exact min/max/mean") {
+    val rows = EvalOps.queries("emb_dim_stats")(spark, d).collect()
+    val vecs = Tables.embeddings(spark, d).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    assert(rows.length == dim)
+    rows.foreach { r =>
+      val pos = r.getLong(0).toInt
+      val col = vecs.map(_(pos))
+      assert(r.getLong(1) == vecs.length)                      // n
+      assert(r.getLong(2) == math.floor(col.sum / col.length * 10000).toLong)
+      assert(r.getLong(4) == math.floor(col.min * 10000).toLong)
+      assert(r.getLong(5) == math.floor(col.max * 10000).toLong)
+    }
+  }
+
+  test("unpivot_measures: 4 rows per lineitem, values preserved") {
+    val n = Tables.lineitem(spark, d).count()
+    val out = EvalOps.queries("unpivot_measures")(spark, d)
+    assert(out.count() == 4 * n)
+    // spot-check round trip for one order line
+    val li = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity").limit(1).collect().head
+    val got = out.filter(col("l_orderkey") === li.getLong(0) &&
+        col("l_linenumber") === li.getInt(1).toLong &&
+        col("measure") === "quantity")
+      .select("val_c").collect().head.getLong(0)
+    assert(got == math.floor(li.getDouble(2) * 10000).toLong)
+  }
+
+  test("ts_autocorr ≡ brute-force Pearson over the lagged daily series") {
+    val rows = EvalOps.queries("ts_autocorr")(spark, d).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for ((t, xs) <- daily; k <- 1 to 3) {
+      val pairs = xs.drop(k).zip(xs.dropRight(k)) // (x_t, x_{t-k}) row-lag
+      val (exp: Option[Long], np) = if (pairs.isEmpty) (None, 0L) else {
+        val n = pairs.length.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val da = n * sxx - sx * sx; val db = n * syy - sy * sy
+        if (da > 0 && db > 0)
+          (Some(math.floor((n * sxy - sx * sy).toDouble /
+            (math.sqrt(da.toDouble) * math.sqrt(db.toDouble)) * 100).toLong), n)
+        else (None, n)
+      }
+      if (np > 0) {
+        val (gotN, gotR) = rows((t, k.toLong))
+        assert(gotN == np, s"type=$t k=$k")
+        assert(gotR == exp, s"type=$t k=$k")
+      } else assert(!rows.contains((t, k.toLong)))
+    }
+  }
+
+  test("knn_classify_eval ≡ brute-force LOO-5NN majority vote") {
+    val rows = EvalOps.queries("knn_classify_eval")(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val emb = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2).toLong))
+    // exact leave-one-out 5-NN majority vote (ties: lowest label)
+    val preds = emb.map { case (qid, qv, _) =>
+      val nn = emb.filter(_._1 != qid)
+        .map { case (id, v, l) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - qv(i); s += t * t; i += 1 }
+          (s, id, l)
+        }.sortBy(t => (t._1, t._2)).take(5)
+      val vote = nn.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      (qid, vote)
+    }.toMap
+    val brute = emb.groupBy(_._3).map { case (l, vs) =>
+      val n = vs.length.toLong
+      val correct = vs.count(v => preds(v._1) == l).toLong
+      l -> ((n, correct, correct * 1000000 / n))
+    }
+    assert(rows == brute)
+  }
+
+  test("sample_weighted_merge ≡ direct sample_weighted top-100") {
+    val merged = EvalOps.queries("sample_weighted_merge")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.api.Sampling.sampleWeighted(
+        Tables.documents(spark, d).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 100)
+      .select(col("doc_id"), col("n_chars"),
+        floor(col("priority") * lit(100000000.0)).cast("long").as("pri_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct)
+  }
+}
