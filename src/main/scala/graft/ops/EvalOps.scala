@@ -130,14 +130,19 @@ object EvalOps {
         .orderBy("event_type", "k")
     }),
 
-    // Leave-one-out 5-NN majority-vote label prediction over the
+    // Leave-one-out 5-NN majority-vote label prediction against the full
     // embedding corpus, reported as per-true-label accuracy (ppm) — the
     // "are my embeddings any good" gate before they drive dedup or
-    // retrieval. Ties in the vote break to the smallest label.
+    // retrieval. Ties in the vote break to the smallest label. The PROBE
+    // panel is bounded by construction (vec_id < 1000): the panel
+    // broadcasts while the corpus side streams — evaluating every corpus
+    // row as a probe would be a quadratic blow-up at 100 TB, so the
+    // bounded panel is the operator's contract, not a shortcut.
     "knn_classify_eval" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 1000)
       val nn = Vectors.knn(emb, col("vec_id"), col("embedding"),
-        emb, col("vec_id"), col("embedding"), k = 5)
+        probes, col("vec_id"), col("embedding"), k = 5)
       val lbl = emb.select(col("vec_id").as("id"),
         col("label").cast("long").as("nlabel"))
       val pred = nn.join(lbl, "id")
@@ -145,7 +150,7 @@ object EvalOps {
         .groupBy("qid")
         .agg(max(struct(col("c"), (-col("nlabel")).as("nl"))).as("m"))
         .select(col("qid"), (-col("m.nl")).as("pred"))
-      val truth = emb.select(col("vec_id").as("qid"),
+      val truth = probes.select(col("vec_id").as("qid"),
         col("label").cast("long").as("label"))
       pred.join(truth, "qid")
         .groupBy("label")
@@ -250,12 +255,13 @@ object EvalOps {
 
     "knn_classify_eval" ->
       """WITH d AS (SELECT vec_id, embedding, label FROM embeddings),
+        |q0 AS (SELECT * FROM d WHERE vec_id < 1000),
         |s AS (SELECT q.vec_id AS qid, x.vec_id AS id, x.label AS nlabel,
         |    list_reduce(list_transform(generate_series(1, len(x.embedding)),
         |      i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) *
         |           (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))),
         |      (a, b) -> a + b) AS dist
-        |  FROM d q JOIN d x ON x.vec_id <> q.vec_id),
+        |  FROM q0 q JOIN d x ON x.vec_id <> q.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY dist, id) AS rk FROM s),
         |v AS (SELECT qid, CAST(nlabel AS BIGINT) AS nlabel, count(*) AS c
@@ -263,7 +269,7 @@ object EvalOps {
         |p AS (SELECT qid, nlabel AS pred, row_number() OVER (PARTITION BY qid
         |    ORDER BY c DESC, nlabel) AS pr FROM v),
         |j AS (SELECT CAST(t.label AS BIGINT) AS label, p.pred
-        |      FROM p JOIN d t ON p.qid = t.vec_id WHERE p.pr = 1)
+        |      FROM p JOIN q0 t ON p.qid = t.vec_id WHERE p.pr = 1)
         |SELECT label, count(*) AS n,
         |  CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
         |  (CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)

@@ -109,8 +109,10 @@ class EvalOpsSuite extends AnyFunSuite {
       .select("vec_id", "embedding", "label").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
         r.getInt(2).toLong))
-    // exact leave-one-out 5-NN majority vote (ties: lowest label)
-    val preds = emb.map { case (qid, qv, _) =>
+    // exact leave-one-out 5-NN majority vote (ties: lowest label) over
+    // the bounded probe panel (vec_id < 1000 — the operator's contract)
+    val probes = emb.filter(_._1 < 1000)
+    val preds = probes.map { case (qid, qv, _) =>
       val nn = emb.filter(_._1 != qid)
         .map { case (id, v, l) =>
           var s = 0.0; var i = 0
@@ -121,7 +123,7 @@ class EvalOpsSuite extends AnyFunSuite {
         .sortBy { case (l, c) => (-c, l) }.head._1
       (qid, vote)
     }.toMap
-    val brute = emb.groupBy(_._3).map { case (l, vs) =>
+    val brute = probes.groupBy(_._3).map { case (l, vs) =>
       val n = vs.length.toLong
       val correct = vs.count(v => preds(v._1) == l).toLong
       l -> ((n, correct, correct * 1000000 / n))

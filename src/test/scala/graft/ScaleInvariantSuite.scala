@@ -39,7 +39,9 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "zonemap_prune",    // × single-row chunks-scanned/total counter pair
     "graph_triangle_count", // × single-row global triangle-count total
     "vec_prefix_rerank_topk", // × |queries| ≤ 5 (matryoshka staged retrieval)
-    "basket_pair_support"   // × single-row distinct-order count
+    "basket_pair_support",  // × single-row distinct-order count
+    "bpe_merge_step",       // × LIMIT-1 winning-pair relation
+    "knn_classify_eval"     // × bounded probe panel (vec_id < 1000)
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
