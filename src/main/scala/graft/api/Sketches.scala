@@ -100,6 +100,30 @@ object Sketches {
           .otherwise(col("n_exact").cast("double")).as("est"))
   }
 
+  /** The KMV sketch CONTENT per group — the k smallest `(u, id)` pairs
+    * of the group's distinct ids, 1-based rank included. This is the
+    * mergeable form: set operations (union by re-rank, intersection by
+    * inclusion–exclusion) compose from these rows. Same salted
+    * two-phase top-k shape as [[kmvDistinct]]; ≤ k rows per group. */
+  def kmvSketchRows(df: DataFrame, group: Column, id: Column, k: Int = 32,
+                    nSalts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = df.select(group.as("_graft_g"), id.as("_graft_id")).distinct()
+      .withColumn("_graft_u", Sampling.hashUniform(col("_graft_id")))
+      .withColumn("_graft_salt", pmod(hash(col("_graft_id")), lit(nSalts)))
+    val wLocal = Window.partitionBy(col("_graft_g"), col("_graft_salt"))
+      .orderBy(col("_graft_u"), col("_graft_id"))
+    val wGroup = Window.partitionBy(col("_graft_g"))
+      .orderBy(col("_graft_u"), col("_graft_id"))
+    dist
+      .withColumn("_graft_lrk", row_number().over(wLocal))
+      .filter(col("_graft_lrk") <= k)
+      .withColumn("_graft_rk", row_number().over(wGroup))
+      .filter(col("_graft_rk") <= k)
+      .select(col("_graft_g").as("group"), col("_graft_id").as("id"),
+        col("_graft_u").as("u"), col("_graft_rk").as("rk"))
+  }
+
   /** Bloom bit set of `build`'s keys: the distinct `(seed, slot)` pairs
     * occupied by `k` md5-derived positions per key in a `16^slotHexChars`-
     * slot space. At most `k·16^slotHexChars` rows regardless of build

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.io.Tables.{canon, canon100}
-import graft.api.{Sampling, Vectors}
+import graft.api.{Sampling, Sketches, Vectors}
 
 /** §2.24 tokenizer-training, embedding-diagnostics & model-evaluation
   * operators — the measurement loop around a training-data pipeline:
@@ -179,6 +179,116 @@ object EvalOps {
         .select(col("doc_id"), col("n_chars"),
           floor(col("priority") * lit(100000000.0)).cast("long").as("pri_c"))
         .orderBy("doc_id")
+    }),
+
+    // Chi-square independence cells for order status × priority: each
+    // cell's observed count, expected count under independence
+    // (row·col/total), and chi-square contribution. Every window runs
+    // over the |status|×|priority| AGGREGATE relation — the contingency
+    // table — never the data.
+    "chisq_independence" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val e = cells
+        .withColumn("rn", sum("n").over(Window.partitionBy("o_orderstatus")))
+        .withColumn("cn", sum("n").over(Window.partitionBy("o_orderpriority")))
+        .withColumn("tot", sum("n").over(Window.partitionBy()))
+        .withColumn("e", col("rn").cast("double") * col("cn").cast("double") /
+          col("tot").cast("double"))
+      e.select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          canon100(col("e")).as("e_c"),
+          canon100((col("n").cast("double") - col("e")) *
+            (col("n").cast("double") - col("e")) / col("e")).as("contrib_c"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // Pairwise Pearson correlation of the four lineitem measures,
+    // integer-quantized first (whole units for quantity/price, cents
+    // for discount/tax) so every sum is exact BIGINT and partial
+    // aggregation is lossless; the moment combination casts to double
+    // identically in both engines. ONE map-side-combinable aggregate
+    // row, fanned to 6 pair rows. (At 100 TB the raw second moments
+    // approach int64 range — promote the sums to DECIMAL(38,0) there;
+    // the shape is unchanged.)
+    "corr_measures" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_extendedprice")).cast("long").as("p"),
+        floor(col("l_discount") * 100).cast("long").as("dd"),
+        floor(col("l_tax") * 100).cast("long").as("tx"))
+      val agg = li.agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"),
+        sum("dd").as("sd"), sum("tx").as("st"),
+        sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+        sum(col("dd") * col("dd")).as("sdd"), sum(col("tx") * col("tx")).as("stt"),
+        sum(col("dd") * col("p")).as("sdp"), sum(col("dd") * col("q")).as("sdq"),
+        sum(col("dd") * col("tx")).as("sdt"), sum(col("p") * col("q")).as("spq"),
+        sum(col("p") * col("tx")).as("spt"), sum(col("q") * col("tx")).as("sqt"))
+      def corrC(sx: String, sy: String, sxy: String,
+                sxx: String, syy: String): Column = {
+        val n = col("n").cast("double")
+        val num = n * col(sxy).cast("double") -
+          col(sx).cast("double") * col(sy).cast("double")
+        val da = n * col(sxx).cast("double") -
+          col(sx).cast("double") * col(sx).cast("double")
+        val db = n * col(syy).cast("double") -
+          col(sy).cast("double") * col(sy).cast("double")
+        when(da > 0 && db > 0, canon100(num / (sqrt(da) * sqrt(db))))
+      }
+      def pair(m1: String, m2: String, c: Column): Column =
+        struct(lit(m1).as("m1"), lit(m2).as("m2"), c.as("corr_c"))
+      agg.select(explode(array(
+          pair("discount", "extendedprice", corrC("sd", "sp", "sdp", "sdd", "spp")),
+          pair("discount", "quantity", corrC("sd", "sq", "sdq", "sdd", "sqq")),
+          pair("discount", "tax", corrC("sd", "st", "sdt", "sdd", "stt")),
+          pair("extendedprice", "quantity", corrC("sp", "sq", "spq", "spp", "sqq")),
+          pair("extendedprice", "tax", corrC("sp", "st", "spt", "spp", "stt")),
+          pair("quantity", "tax", corrC("sq", "st", "sqt", "sqq", "stt"))
+        )).as("r"))
+        .select(col("r.m1").as("m1"), col("r.m2").as("m2"),
+          col("r.corr_c").as("corr_c"))
+        .orderBy("m1", "m2")
+    }),
+
+    // KMV set-operation sketch: for every event-type pair, the estimated
+    // distinct-user overlap by inclusion–exclusion — est(A) + est(B) −
+    // est(A∪B), where the union sketch is the re-ranked k-minima of the
+    // two sketches (the classic mergeable-KMV union). Everything
+    // downstream of the two-phase sketch build touches ≤ k rows per
+    // type and ≤ 2k rows per pair; |types|² pairs total.
+    "sketch_kmv_intersect" -> ((s, d) => {
+      val k = 32
+      val ev = Tables.events(s, d)
+      val est = Sketches.kmvDistinct(ev, col("event_type"), col("user_id"), k)
+        .select(col("group"), col("est"))
+      val sk = Sketches.kmvSketchRows(ev, col("event_type"), col("user_id"), k)
+      val pairs = est.select(col("group").as("ta"), col("est").as("est_a"))
+        .join(broadcast(est.select(col("group").as("tb"), col("est").as("est_b"))),
+          col("ta") < col("tb"))
+      val prA = pairs.join(sk.select(col("group").as("ta"),
+        col("id"), col("u")), "ta")
+      val prB = pairs.join(sk.select(col("group").as("tb"),
+        col("id"), col("u")), "tb")
+      val pu = prA.select("ta", "tb", "id", "u")
+        .unionByName(prB.select("ta", "tb", "id", "u"))
+        .dropDuplicates("ta", "tb", "id")
+      val wP = Window.partitionBy("ta", "tb").orderBy(col("u"), col("id"))
+      val uk = pu.withColumn("rk", row_number().over(wP))
+        .filter(col("rk") === k)
+        .select(col("ta"), col("tb"), col("u").as("u_k"))
+      val mn = pu.groupBy("ta", "tb").agg(count(lit(1)).as("m_n"))
+      pairs.join(mn, Seq("ta", "tb")).join(uk, Seq("ta", "tb"), "left")
+        .withColumn("est_u", coalesce(lit((k - 1).toDouble) / col("u_k"),
+          col("m_n").cast("double")))
+        .select(col("ta"), col("tb"),
+          canon100(col("est_a")).as("est_a_c"),
+          canon100(col("est_b")).as("est_b_c"),
+          canon100(col("est_u")).as("est_union_c"),
+          canon100(greatest(col("est_a") + col("est_b") - col("est_u"),
+            lit(0.0))).as("est_inter_c"))
+        .orderBy("ta", "tb")
     })
   )
 
@@ -293,6 +403,98 @@ object EvalOps {
         |SELECT doc_id, n_chars,
         |  CAST(floor(pri * 100000000.0) AS BIGINT) AS pri_c
         |FROM top ORDER BY doc_id""".stripMargin
+    },
+
+    "chisq_independence" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT *, sum(n) OVER (PARTITION BY o_orderstatus) AS rn,
+        |    sum(n) OVER (PARTITION BY o_orderpriority) AS cn,
+        |    sum(n) OVER () AS tot FROM c),
+        |e AS (SELECT *, CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) /
+        |    CAST(tot AS DOUBLE) AS e FROM w)
+        |SELECT o_orderstatus, o_orderpriority, n,
+        |  CAST(floor(e * 100) AS BIGINT) AS e_c,
+        |  CAST(floor((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e
+        |    * 100) AS BIGINT) AS contrib_c
+        |FROM e ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "corr_measures" ->
+      """WITH li AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS dd,
+        |    CAST(floor(l_tax * 100) AS BIGINT) AS tx
+        |  FROM lineitem),
+        |a AS (SELECT count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+        |    CAST(sum(dd) AS BIGINT) AS sd, CAST(sum(tx) AS BIGINT) AS st,
+        |    CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(p*p) AS BIGINT) AS spp,
+        |    CAST(sum(dd*dd) AS BIGINT) AS sdd, CAST(sum(tx*tx) AS BIGINT) AS stt,
+        |    CAST(sum(dd*p) AS BIGINT) AS sdp, CAST(sum(dd*q) AS BIGINT) AS sdq,
+        |    CAST(sum(dd*tx) AS BIGINT) AS sdt, CAST(sum(p*q) AS BIGINT) AS spq,
+        |    CAST(sum(p*tx) AS BIGINT) AS spt, CAST(sum(q*tx) AS BIGINT) AS sqt
+        |  FROM li),
+        |pairs AS (
+        |  SELECT 'discount' AS m1, 'extendedprice' AS m2,
+        |    sd AS sx, sp AS sy, sdp AS sxy, sdd AS sxx, spp AS syy, n FROM a
+        |  UNION ALL SELECT 'discount', 'quantity', sd, sq, sdq, sdd, sqq, n FROM a
+        |  UNION ALL SELECT 'discount', 'tax', sd, st, sdt, sdd, stt, n FROM a
+        |  UNION ALL SELECT 'extendedprice', 'quantity', sp, sq, spq, spp, sqq, n FROM a
+        |  UNION ALL SELECT 'extendedprice', 'tax', sp, st, spt, spp, stt, n FROM a
+        |  UNION ALL SELECT 'quantity', 'tax', sq, st, sqt, sqq, stt, n FROM a)
+        |SELECT m1, m2,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |       sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 100) AS BIGINT)
+        |    ELSE NULL END AS corr_c
+        |FROM pairs ORDER BY m1, m2""".stripMargin,
+
+    "sketch_kmv_intersect" -> {
+      val hv = Sampling.hexDecodeSql("m")
+      s"""WITH dist AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type, user_id,
+        |    CAST($hv + 1 AS DOUBLE) / 16777217.0 AS uv
+        |  FROM (SELECT event_type, user_id,
+        |      md5(CAST(user_id AS VARCHAR)) AS m FROM dist) z),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY uv, user_id) AS rn FROM h),
+        |sk AS (SELECT event_type, user_id, uv FROM r WHERE rn <= 32),
+        |ex AS (SELECT event_type, count(*) AS n FROM dist GROUP BY 1),
+        |est AS (SELECT ex.event_type,
+        |    coalesce(31.0 / kth.u_k, CAST(ex.n AS DOUBLE)) AS est
+        |  FROM ex LEFT JOIN (SELECT event_type, uv AS u_k FROM r
+        |    WHERE rn = 32) kth ON ex.event_type = kth.event_type),
+        |prs AS (SELECT a.event_type AS ta, a.est AS est_a,
+        |    b.event_type AS tb, b.est AS est_b
+        |  FROM est a JOIN est b ON a.event_type < b.event_type),
+        |pu AS (SELECT DISTINCT ta, tb, user_id, uv FROM (
+        |    SELECT p.ta, p.tb, s.user_id, s.uv FROM prs p
+        |      JOIN sk s ON s.event_type = p.ta
+        |    UNION ALL
+        |    SELECT p.ta, p.tb, s.user_id, s.uv FROM prs p
+        |      JOIN sk s ON s.event_type = p.tb) t),
+        |pr AS (SELECT *, row_number() OVER (PARTITION BY ta, tb
+        |    ORDER BY uv, user_id) AS rk FROM pu),
+        |un AS (SELECT ta, tb, count(*) AS m_n FROM pu GROUP BY 1, 2),
+        |uk AS (SELECT ta, tb, uv AS u_k FROM pr WHERE rk = 32),
+        |eu AS (SELECT un.ta, un.tb,
+        |    coalesce(31.0 / uk.u_k, CAST(un.m_n AS DOUBLE)) AS est_u
+        |  FROM un LEFT JOIN uk ON un.ta = uk.ta AND un.tb = uk.tb)
+        |SELECT p.ta, p.tb,
+        |  CAST(floor(p.est_a * 100) AS BIGINT) AS est_a_c,
+        |  CAST(floor(p.est_b * 100) AS BIGINT) AS est_b_c,
+        |  CAST(floor(eu.est_u * 100) AS BIGINT) AS est_union_c,
+        |  CAST(floor(greatest(p.est_a + p.est_b - eu.est_u, 0.0) * 100)
+        |    AS BIGINT) AS est_inter_c
+        |FROM prs p JOIN eu ON p.ta = eu.ta AND p.tb = eu.tb
+        |ORDER BY p.ta, p.tb""".stripMargin
     }
   )
 }

@@ -131,6 +131,77 @@ class EvalOpsSuite extends AnyFunSuite {
     assert(rows == brute)
   }
 
+  test("chisq_independence: expected counts sum to N per row/col margin") {
+    val rows = EvalOps.queries("chisq_independence")(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2._1).sum
+    // Σ expected ≡ N (up to the floor canonicalization: each cell loses
+    // < 0.01, so the canon sum is within |cells| of 100·N)
+    val eSum = rows.map(_._2._2).sum
+    assert(math.abs(eSum - 100L * n) <= rows.length)
+    // brute-force one cell's expected count + contribution
+    val byStatus = rows.groupBy(_._1._1).view.mapValues(_.map(_._2._1).sum)
+    val byPrio = rows.groupBy(_._1._2).view.mapValues(_.map(_._2._1).sum)
+    rows.foreach { case ((st, pr), (obs, eC, contribC)) =>
+      val e = byStatus(st).toDouble * byPrio(pr).toDouble / n.toDouble
+      assert(eC == math.floor(e * 100).toLong)
+      assert(contribC == math.floor((obs - e) * (obs - e) / e * 100).toLong)
+    }
+  }
+
+  test("corr_measures ≡ brute-force Pearson on quantized measures") {
+    val rows = EvalOps.queries("corr_measures")(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows.size == 6)
+    val li = Tables.lineitem(spark, d)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .collect().map(r => Map(
+        "quantity" -> math.floor(r.getDouble(0)).toLong,
+        "extendedprice" -> math.floor(r.getDouble(1)).toLong,
+        "discount" -> math.floor(r.getDouble(2) * 100).toLong,
+        "tax" -> math.floor(r.getDouble(3) * 100).toLong))
+    def pearson(m1: String, m2: String): Option[Long] = {
+      val n = li.length.toDouble
+      val xs = li.map(_(m1)); val ys = li.map(_(m2))
+      val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+      val sxx = xs.map(x => x * x).sum.toDouble
+      val syy = ys.map(y => y * y).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+      val da = n * sxx - sx * sx; val db = n * syy - sy * sy
+      if (da > 0 && db > 0)
+        Some(math.floor((n * sxy - sx * sy) /
+          (math.sqrt(da) * math.sqrt(db)) * 100).toLong)
+      else None
+    }
+    for (((m1, m2), got) <- rows) assert(got == pearson(m1, m2), s"$m1/$m2")
+  }
+
+  test("sketch_kmv_intersect: estimates bracket the exact overlaps") {
+    val rows = EvalOps.queries("sketch_kmv_intersect")(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, d).select("event_type", "user_id")
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case ((ta, tb), (estA, estB, estU, estI)) =>
+      // inclusion-exclusion identity holds on the canon values up to
+      // the two floor() drops
+      assert(math.abs(estI - (estA + estB - estU)) <= 2 || estI == 0)
+      // union estimate at least as large as each side's (union sketch
+      // k-th minimum ≤ each side's k-th minimum)
+      assert(estU >= math.max(estA, estB) - 1)
+      // sketch error sanity: within 60% of the exact overlap magnitude
+      val exact = (users(ta) & users(tb)).size * 100L
+      val exactU = (users(ta) | users(tb)).size * 100L
+      assert(math.abs(estU - exactU) <= exactU * 6 / 10,
+        s"$ta/$tb union est $estU vs exact $exactU")
+    }
+  }
+
   test("sample_weighted_merge ≡ direct sample_weighted top-100") {
     val merged = EvalOps.queries("sample_weighted_merge")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -41,7 +41,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "vec_prefix_rerank_topk", // × |queries| ≤ 5 (matryoshka staged retrieval)
     "basket_pair_support",  // × single-row distinct-order count
     "bpe_merge_step",       // × LIMIT-1 winning-pair relation
-    "knn_classify_eval"     // × bounded probe panel (vec_id < 1000)
+    "knn_classify_eval",    // × bounded probe panel (vec_id < 1000)
+    "sketch_kmv_intersect"  // × |types|-row KMV estimate table (pair gen)
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
@@ -56,7 +57,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "quality_pipeline_e2e", // same histogram via its shuffleOrder stage
     "dedup_ngram_jaccard_prefix", // vocabulary-sized dictionary-encode rank
     "dedup_containment",    // vocabulary-sized dictionary-encode rank
-    "rank_fusion_rrf"       // rank windows over ≤50-row LIMITed top-k arms
+    "rank_fusion_rrf",      // rank windows over ≤50-row LIMITed top-k arms
+    "chisq_independence"    // |status|×|priority| contingency-cell relation
   )
 
   /** Queries whose heavy work happens eagerly at DataFrame-construction
