@@ -34,6 +34,7 @@ object SparkEntry {
       (MiningOps.queries, MiningOps.oracles),
       (AuditOps.queries, AuditOps.oracles),
       (EvalOps.queries, EvalOps.oracles),
+      (MetricsOps.queries, MetricsOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -42,7 +42,9 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "basket_pair_support",  // × single-row distinct-order count
     "bpe_merge_step",       // × LIMIT-1 winning-pair relation
     "knn_classify_eval",    // × bounded probe panel (vec_id < 1000)
-    "sketch_kmv_intersect"  // × |types|-row KMV estimate table (pair gen)
+    "sketch_kmv_intersect", // × |types|-row KMV estimate table (pair gen)
+    "eval_ndcg",            // × bounded probe panel (vec_id < 500)
+    "confusion_knn_eval"    // × bounded probe panel (vec_id < 1000)
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
@@ -58,7 +60,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "dedup_ngram_jaccard_prefix", // vocabulary-sized dictionary-encode rank
     "dedup_containment",    // vocabulary-sized dictionary-encode rank
     "rank_fusion_rrf",      // rank windows over ≤50-row LIMITed top-k arms
-    "chisq_independence"    // |status|×|priority| contingency-cell relation
+    "chisq_independence",   // |status|×|priority| contingency-cell relation
+    "auc_eval"              // score-bucket histogram + |labels|-row total
   )
 
   /** Queries whose heavy work happens eagerly at DataFrame-construction
