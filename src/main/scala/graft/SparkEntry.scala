@@ -35,6 +35,7 @@ object SparkEntry {
       (AuditOps.queries, AuditOps.oracles),
       (EvalOps.queries, EvalOps.oracles),
       (MetricsOps.queries, MetricsOps.oracles),
+      (QualityOps.queries, QualityOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** §2.26 table statistics & data-quality audit — the ANALYZE/constraint
+  * layer a lakehouse engine runs over its own tables: per-column optimizer
+  * statistics, a declarative violation report over the star schema's
+  * implicit constraints, the 2-D selectivity grid a join-cardinality
+  * estimator consumes, and the join-key skew report that decides when a
+  * salted join is worth it.
+  *
+  * Scale shapes (100 TB notes):
+  *  - table_column_stats: ONE pass over lineitem computing all per-column
+  *    aggregates together (count/ndv/min/max × 8 columns); the exact
+  *    multi-column distinct goes through Spark's Expand (×|distinct cols|
+  *    row amplification before partial aggregation) — the exact-NDV
+  *    contract is the point here; swap ndv to approx_count_distinct at
+  *    true 100 TB and the shape is unchanged. Reshape to long form is a
+  *    single-row explode.
+  *  - dq_violation_report: every rule is a key-shuffled join (or a pure
+  *    scan predicate) feeding ONE map-side-combinable aggregate; rules
+  *    sharing a join (lineitem⋈orders) are computed in the same pass.
+  *  - stats_histogram_grid: |qty bands|×|discount cents| cells — the
+  *    share window runs over the grid aggregate, never data.
+  *  - layout_skew_report: per-key counts shuffle once on the key; the
+  *    top-10 is a TakeOrdered, and the mean joins in as a single-row
+  *    broadcast (BNLJ by design).
+  */
+object QualityOps {
+
+  /** day index of a parquet timestamp column (NTZ or instant vintage —
+    * UTC session pinned by every entry point). */
+  private def dayIdx(c: Column): Column =
+    expr(s"unix_micros(cast(${c.toString} as timestamp)) div 86400000000")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANALYZE-style per-column statistics for lineitem: non-null count,
+    // exact NDV, canonical min/max — one pass, reshaped to one row per
+    // column. min/max are emitted as canonical STRINGS (longs and
+    // floor-canonicalized doubles rendered as integers) so the output
+    // schema is uniform across column types.
+    "table_column_stats" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("ship_day", dayIdx(col("l_shipdate")))
+      def cs(name: String, c: Column, canonical: Column => Column) = Seq(
+        count(c).as(s"${name}_n"),
+        count_distinct(c).as(s"${name}_ndv"),
+        canonical(min(c)).cast("string").as(s"${name}_min"),
+        canonical(max(c)).cast("string").as(s"${name}_max"))
+      val ident = (c: Column) => c
+      val money = (c: Column) => Tables.canon(c)
+      val aggs =
+        cs("l_orderkey", col("l_orderkey"), ident) ++
+          cs("l_partkey", col("l_partkey"), ident) ++
+          cs("l_quantity", col("l_quantity"), money) ++
+          cs("l_extendedprice", col("l_extendedprice"), money) ++
+          cs("l_discount", col("l_discount"), money) ++
+          cs("l_returnflag", col("l_returnflag"), ident) ++
+          cs("l_linestatus", col("l_linestatus"), ident) ++
+          cs("ship_day", col("ship_day"), ident)
+      val agg = li.agg(aggs.head, aggs.tail: _*)
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+        "ship_day")
+      agg.select(explode(array(cols.map(n => struct(
+          lit(n).as("column"), col(s"${n}_n").as("n_nonnull"),
+          col(s"${n}_ndv").as("ndv"), col(s"${n}_min").as("min_s"),
+          col(s"${n}_max").as("max_s"))): _*)).as("r"))
+        .select("r.column", "r.n_nonnull", "r.ndv", "r.min_s", "r.max_s")
+        .orderBy("column")
+    }),
+
+    // Declarative constraint audit over the star schema: referential
+    // integrity both directions on orders⋈lineitem, the orders→customer
+    // FK, domain ranges on quantity/discount, and the cross-table
+    // temporal rule "shipped before ordered". One row per rule with
+    // checked/violation counts and integer-ppm rate. Rules sharing the
+    // lineitem⋈orders join are computed in a single pass over it.
+    "dq_violation_report" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      def rule(name: String, checked: Column, viol: Column): Column =
+        struct(lit(name).as("rule"), checked.as("n_checked"),
+          viol.as("n_violations"))
+      // lineitem-side rules in one pass over lineitem ⟕ orders
+      val lj = li.select(col("l_orderkey"), col("l_quantity"),
+          col("l_discount"), dayIdx(col("l_shipdate")).as("ship_day"))
+        .join(ord.select(col("o_orderkey"),
+          dayIdx(col("o_orderdate")).as("order_day")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+      val liRules = lj.agg(array(
+        rule("lineitem_orphan", count(lit(1)),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))),
+        rule("lineitem_qty_range", count(lit(1)),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L))),
+        rule("lineitem_discount_range", count(lit(1)),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L))),
+        rule("ship_before_order", count(lit(1)),
+          sum(when(col("ship_day") < col("order_day"), 1L).otherwise(0L)))
+      ).as("rs"))
+      // orders-side rules in one pass over orders ⟕ lineitem-keys ⟕ customer
+      val lkeys = li.select(col("l_orderkey")).distinct()
+      val oj = ord.select(col("o_orderkey"), col("o_custkey"))
+        .join(lkeys, col("o_orderkey") === col("l_orderkey"), "left")
+        .join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+      val ordRules = oj.agg(array(
+        rule("order_no_lines", count(lit(1)),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))),
+        rule("order_customer_fk", count(lit(1)),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)))
+      ).as("rs"))
+      liRules.unionByName(ordRules)
+        .select(explode(col("rs")).as("r"))
+        .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+          col("r.n_violations").as("n_violations"))
+        .withColumn("viol_ppm", expr("(n_violations * 1000000) div n_checked"))
+        .orderBy("rule")
+    }),
+
+    // 2-D selectivity grid for the join-cardinality estimator: quantity
+    // bands (width 5) × discount cents, cell count + integer-ppm share.
+    // The share window runs over the ≤ |bands|×|cents| grid.
+    "stats_histogram_grid" -> ((s, d) => {
+      val grid = Tables.lineitem(s, d)
+        .select(expr("floor(l_quantity) div 5").as("qty_band"),
+          floor(col("l_discount") * 100).cast("long").as("disc_cents"))
+        .groupBy("qty_band", "disc_cents").agg(count(lit(1)).as("n"))
+      grid.withColumn("tot", sum("n").over(Window.partitionBy()))
+        .withColumn("share_ppm", expr("(n * 1000000) div tot"))
+        .select("qty_band", "disc_cents", "n", "share_ppm")
+        .orderBy("qty_band", "disc_cents")
+    }),
+
+    // Join-key skew report: the 10 heaviest l_partkey keys with their
+    // multiple of the mean per-key count (×100, integer) — the number
+    // that decides whether the salted join path is worth taking. The
+    // per-key counts shuffle once; the mean is a single-row broadcast.
+    "layout_skew_report" -> ((s, d) => {
+      val perKey = Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val tot = perKey.agg(sum("cnt").as("total"),
+        count(lit(1)).as("nkeys"))
+      perKey.orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+        .crossJoin(broadcast(tot))
+        .withColumn("mean_x100_ratio", expr("(cnt * 100 * nkeys) div total"))
+        .select("l_partkey", "cnt", "mean_x100_ratio")
+        .orderBy(col("cnt").desc, col("l_partkey"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "table_column_stats" -> {
+      def block(n: String, v: String, canon: Boolean) = {
+        val mn = if (canon) s"CAST(CAST(floor(min($v) * 10000) AS BIGINT) AS VARCHAR)"
+        else s"CAST(min($v) AS VARCHAR)"
+        val mx = if (canon) s"CAST(CAST(floor(max($v) * 10000) AS BIGINT) AS VARCHAR)"
+        else s"CAST(max($v) AS VARCHAR)"
+        s"""SELECT '$n' AS "column", count($v) AS n_nonnull,
+           |  CAST(count(DISTINCT $v) AS BIGINT) AS ndv,
+           |  $mn AS min_s, $mx AS max_s FROM t""".stripMargin
+      }
+      s"""WITH t AS (SELECT *, epoch_us(l_shipdate) // 86400000000 AS ship_day
+        |  FROM lineitem)
+        |${Seq(
+          block("l_orderkey", "l_orderkey", canon = false),
+          block("l_partkey", "l_partkey", canon = false),
+          block("l_quantity", "l_quantity", canon = true),
+          block("l_extendedprice", "l_extendedprice", canon = true),
+          block("l_discount", "l_discount", canon = true),
+          block("l_returnflag", "l_returnflag", canon = false),
+          block("l_linestatus", "l_linestatus", canon = false),
+          block("ship_day", "ship_day", canon = false)).mkString("\nUNION ALL\n")}
+        |ORDER BY "column"""".stripMargin
+    },
+
+    "dq_violation_report" ->
+      """WITH lj AS (SELECT l.l_orderkey, l.l_quantity, l.l_discount,
+        |    epoch_us(l.l_shipdate) // 86400000000 AS ship_day,
+        |    o.o_orderkey, epoch_us(o.o_orderdate) // 86400000000 AS order_day
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |lk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+        |oj AS (SELECT o.o_orderkey, o.o_custkey, lk.l_orderkey, c.c_custkey
+        |  FROM orders o LEFT JOIN lk ON o.o_orderkey = lk.l_orderkey
+        |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |rules AS (
+        |  SELECT 'lineitem_orphan' AS rule, count(*) AS n_checked,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations FROM lj
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range', count(*),
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1
+        |      ELSE 0 END) AS BIGINT) FROM lj
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range', count(*),
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1
+        |      ELSE 0 END) AS BIGINT) FROM lj
+        |  UNION ALL
+        |  SELECT 'ship_before_order', count(*),
+        |    CAST(sum(CASE WHEN ship_day < order_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM lj
+        |  UNION ALL
+        |  SELECT 'order_no_lines', count(*),
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM oj
+        |  UNION ALL
+        |  SELECT 'order_customer_fk', count(*),
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM oj)
+        |SELECT rule, n_checked, n_violations,
+        |  (n_violations * 1000000) // n_checked AS viol_ppm
+        |FROM rules ORDER BY rule""".stripMargin,
+
+    "stats_histogram_grid" ->
+      """WITH g AS (SELECT CAST(floor(l_quantity) AS BIGINT) // 5 AS qty_band,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS disc_cents,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tot FROM g)
+        |SELECT qty_band, disc_cents, n,
+        |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM t ORDER BY qty_band, disc_cents""".stripMargin,
+
+    "layout_skew_report" ->
+      """WITH pk AS (SELECT l_partkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    count(*) AS nkeys FROM pk),
+        |top AS (SELECT * FROM pk ORDER BY cnt DESC, l_partkey LIMIT 10)
+        |SELECT top.l_partkey, top.cnt,
+        |  (top.cnt * 100 * t.nkeys) // t.total AS mean_x100_ratio
+        |FROM top, t ORDER BY top.cnt DESC, top.l_partkey""".stripMargin
+  )
+}

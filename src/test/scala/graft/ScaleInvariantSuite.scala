@@ -43,6 +43,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "bpe_merge_step",       // × LIMIT-1 winning-pair relation
     "knn_classify_eval",    // × bounded probe panel (vec_id < 1000)
     "sketch_kmv_intersect", // × |types|-row KMV estimate table (pair gen)
+    "layout_skew_report",   // × single-row (total, nkeys) aggregate
     "eval_ndcg",            // × bounded probe panel (vec_id < 500)
     "confusion_knn_eval"    // × bounded probe panel (vec_id < 1000)
   )
@@ -61,7 +62,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "dedup_containment",    // vocabulary-sized dictionary-encode rank
     "rank_fusion_rrf",      // rank windows over ≤50-row LIMITed top-k arms
     "chisq_independence",   // |status|×|priority| contingency-cell relation
-    "auc_eval"              // score-bucket histogram + |labels|-row total
+    "auc_eval",             // score-bucket histogram + |labels|-row total
+    "stats_histogram_grid"  // |bands|×|cents| grid relation only
   )
 
   /** Queries whose heavy work happens eagerly at DataFrame-construction
