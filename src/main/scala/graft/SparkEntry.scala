@@ -36,6 +36,7 @@ object SparkEntry {
       (EvalOps.queries, EvalOps.oracles),
       (MetricsOps.queries, MetricsOps.oracles),
       (QualityOps.queries, QualityOps.oracles),
+      (SeqOps.queries, SeqOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

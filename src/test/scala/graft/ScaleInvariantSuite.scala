@@ -63,7 +63,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "rank_fusion_rrf",      // rank windows over ≤50-row LIMITed top-k arms
     "chisq_independence",   // |status|×|priority| contingency-cell relation
     "auc_eval",             // score-bucket histogram + |labels|-row total
-    "stats_histogram_grid"  // |bands|×|cents| grid relation only
+    "stats_histogram_grid", // |bands|×|cents| grid relation only
+    "lm_kneser_ney"         // vocabulary-sized continuation-count relation
   )
 
   /** Queries whose heavy work happens eagerly at DataFrame-construction
