@@ -205,6 +205,62 @@ object GraphOps {
           expr("(cn * 10000) div (deg_u + deg_v - cn)").as("jac_c"))
         .orderBy(col("jac_c").desc, col("u"), col("v")).limit(30)),
 
+    // k-core peeling (k = 100), four unrolled rounds: each round drops
+    // nodes whose degree in the CURRENT induced subgraph is < k, then
+    // reports (round, n_removed, n_alive). Four rounds span the
+    // interesting cascade on this graph and keep the oracle a readable
+    // chained-CTE unroll; the production form loops to fixpoint with an
+    // integer n_removed = 0 check (same per-round plan). Each round is
+    // one degree aggregation over the u-partitioned edge cache with the
+    // alive set semi-joined on BOTH endpoints — alive is |V|-sized and
+    // broadcasts here; at 100 TB it flips to two shuffled semi joins,
+    // same shape.
+    "graph_kcore" -> ((s, d) => {
+      val k = 100
+      val es = edges(s, d)
+      var alive = adjacency(s, d).select(col("u"))
+      var prevN = adjacency(s, d).select(col("u"))
+      val rounds = (1 to 4).map { r =>
+        val deg = es
+          .join(broadcast(alive), "u")
+          .join(broadcast(alive.select(col("u").as("v"))), "v")
+          .groupBy("u").agg(count(lit(1)).as("deg"))
+        prevN = alive
+        alive = deg.filter(col("deg") >= k).select("u")
+        prevN.agg(count(lit(1)).as("n_prev"))
+          .crossJoin(alive.agg(count(lit(1)).as("n_alive")))
+          .select(lit(r.toLong).as("round"),
+            (col("n_prev") - col("n_alive")).as("n_removed"),
+            col("n_alive"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
+    }),
+
+    // Friend-of-a-friend recommendations for a bounded source panel
+    // (part keys < 100): candidates are 2-hop neighbors that are NOT
+    // already co-purchased, scored by common-neighbor count, top-3 per
+    // source (ties to smallest candidate). The wedge volume is bounded
+    // by |panel|·deg² — the panel is the contract (an unbounded FoF
+    // sweep is the wedge blow-up the triangle rewrite avoids); both
+    // joins run off the u-partitioned edge cache.
+    "graph_cn_recommend" -> ((s, d) => {
+      val es = edges(s, d)
+      val wedges = es.filter(col("u") < 100)
+        .select(col("u").as("src"), col("v").as("w"))
+        .join(es.select(col("u").as("w"), col("v").as("c")), "w")
+        .filter(col("c") =!= col("src"))
+      val scored = wedges.groupBy("src", "c").agg(count(lit(1)).as("cn"))
+        .join(es.select(col("u").as("src"), col("v").as("c")),
+          Seq("src", "c"), "left_anti")
+      val wTop = Window.partitionBy("src")
+        .orderBy(col("cn").desc, col("c"))
+      scored.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("src"), col("rk").cast("long").as("rk"),
+          col("c").as("rec"), col("cn"))
+        .orderBy("src", "rk")
+    }),
+
     // Label-propagation communities, two deterministic iterations: every
     // node starts as its own label; each round adopts the MODE of its
     // neighbors' labels (tie → smallest label, via a per-node rank over
@@ -346,6 +402,43 @@ object GraphOps {
         |  CAST((cn.cn * 10000) // (a.deg + b.deg - cn.cn) AS BIGINT) AS jac_c
         |FROM cn JOIN dg a ON cn.u = a.u JOIN dg b ON cn.v = b.u
         |ORDER BY jac_c DESC, cn.u, cn.v LIMIT 30""".stripMargin,
+
+    "graph_kcore" -> {
+      // unrolled peel: dN = degrees of the subgraph induced by a(N-1)
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "a0" else s"a${r - 1}"
+        s"""d$r AS (SELECT e.u, count(*) AS deg FROM e
+           |  JOIN $prev x ON e.u = x.u JOIN $prev y ON e.v = y.u
+           |  GROUP BY e.u),
+           |a$r AS (SELECT u FROM d$r WHERE deg >= 100)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 4).map { r =>
+        val prev = if (r == 1) "a0" else s"a${r - 1}"
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT count(*) FROM $prev) - (SELECT count(*) FROM a$r)
+           |    AS n_removed,
+           |  (SELECT count(*) FROM a$r) AS n_alive""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $edgesSql,
+        |a0 AS (SELECT DISTINCT u FROM e),
+        |$rounds
+        |$rows
+        |ORDER BY round""".stripMargin
+    },
+
+    "graph_cn_recommend" ->
+      s"""WITH $edgesSql,
+        |wd AS (SELECT a.u AS src, b.v AS c FROM e a
+        |  JOIN e b ON b.u = a.v
+        |  WHERE a.u < 100 AND b.v <> a.u),
+        |sc AS (SELECT src, c, count(*) AS cn FROM wd GROUP BY 1, 2),
+        |nf AS (SELECT sc.* FROM sc LEFT JOIN e
+        |    ON e.u = sc.src AND e.v = sc.c
+        |  WHERE e.u IS NULL),
+        |rnk AS (SELECT *, row_number() OVER (PARTITION BY src
+        |    ORDER BY cn DESC, c) AS rk FROM nf)
+        |SELECT src, CAST(rk AS BIGINT) AS rk, c AS rec, cn
+        |FROM rnk WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
 
     "graph_label_prop" ->
       s"""WITH $edgesSql,

@@ -38,6 +38,13 @@ object StreamOps {
   /** Read-model state output row (envelope projection). */
   case class StateOut(subject: Long, id: String, event_type: String, method: String)
 
+  /** SCD2 opened-version emission (streaming dimension history). */
+  case class Scd2Open(user_id: Long, event_id: Long, state: String,
+                      valid_from_us: Long)
+
+  /** Per-user funnel progression state (-1 = stage not reached). */
+  case class FunnelSt(user_id: Long, t0: Long, t1: Long, t2: Long)
+
   /** The read-model state transition shared by EVERY stateful surface
     * (flatMapGroupsWithState, the transformWithState processor, and the
     * test suite's reference implementation — one definition, so the
@@ -881,6 +888,106 @@ object StreamOps {
           coalesce(Tables.canon(col("ch_value")),
             Tables.canon(col("c_acctbal"))).as("bal_c"))
         .orderBy("c_custkey")
+    }),
+
+    // Streaming SCD2: the cdc_scd2_intervals contract maintained as live
+    // keyed state. Per user the state is just the CURRENT dimension
+    // state (one string); each arriving change OPENS a version, emitted
+    // once in Update mode — closing timestamps are derived at read time
+    // by the standard lead() over the open-version table (emitting
+    // closes from state would mean rewriting history rows; SCD2 stores
+    // append opens and derives valid_to, exactly what the batch operator
+    // does). Events are fed time-ordered across two micro-batches, so
+    // versions genuinely span the batch boundary.
+    "stream_scd2_state" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+
+      def update(user: Long, it: Iterator[Ev],
+                 st: GroupState[String]): Iterator[Scd2Open] = {
+        val sorted = it.toArray.sortBy(r => (r.ts_us, r.event_id))
+        var cur = st.getOption
+        val out = Array.newBuilder[Scd2Open]
+        sorted.foreach { r =>
+          if (!cur.contains(r.event_type)) {
+            out += Scd2Open(user, r.event_id, r.event_type, r.ts_us)
+            cur = Some(r.event_type)
+          }
+        }
+        cur.foreach(st.update)
+        out.result().iterator
+      }
+
+      val opens = ms.toDS().groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(update)
+      val emitted = runToMemory(s, opens.toDF(), freshName("scd2_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: state carries
+        ms.addData(b2.toSeq)
+      }
+      val w2 = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us"), col("event_id"))
+      emitted
+        .select(col("user_id"), col("event_id"), col("state"),
+          col("valid_from_us"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2) - 1)
+        .withColumn("is_current",
+          when(col("valid_to_us").isNull, 1L).otherwise(0L))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+
+    // Streaming ordered-funnel state: per user, the first-completion
+    // timestamps of the signup → click → purchase chain maintained as
+    // keyed state across micro-batches (each stage only matches strictly
+    // AFTER the previous one — the funnel_conversion contract). Stage
+    // flags are monotone, so the final per-user state is the max-struct
+    // of the Update-mode emissions; the report is the same per-bucket
+    // conversion table as the batch operator.
+    "stream_funnel_state" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+
+      def update(user: Long, it: Iterator[Ev],
+                 st: GroupState[FunnelSt]): Iterator[FunnelSt] = {
+        val sorted = it.toArray.sortBy(r => (r.ts_us, r.event_id))
+        var cur = st.getOption.getOrElse(FunnelSt(user, -1L, -1L, -1L))
+        sorted.foreach { r =>
+          r.event_type match {
+            case "signup" if cur.t0 < 0 => cur = cur.copy(t0 = r.ts_us)
+            case "click" if cur.t1 < 0 && cur.t0 >= 0 && r.ts_us > cur.t0 =>
+              cur = cur.copy(t1 = r.ts_us)
+            case "purchase" if cur.t2 < 0 && cur.t1 >= 0 && r.ts_us > cur.t1 =>
+              cur = cur.copy(t2 = r.ts_us)
+            case _ => ()
+          }
+        }
+        st.update(cur)
+        Iterator.single(cur)
+      }
+
+      val flags = ms.toDS().groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(update)
+      val emitted = runToMemory(s, flags.toDF(), freshName("funnel_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: state carries
+        ms.addData(b2.toSeq)
+      }
+      emitted.groupBy("user_id")
+        .agg(max(struct(col("t0"), col("t1"), col("t2"))).as("m"))
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("m.t0") >= 0, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("m.t1") >= 0, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("m.t2") >= 0, 1L).otherwise(0L)).as("n_purchase"))
+        .orderBy("user_bucket")
     })
   )
 
@@ -1107,6 +1214,46 @@ object StreamOps {
         |    AS BIGINT) AS bal_c
         |FROM customer LEFT JOIN ch ON c_custkey = ch.user_id
         |WHERE ch.user_id IS NULL OR ch_type <> 'error'
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the cdc_scd2_intervals oracle restricted to the fixture's bounded
+    // replay window — the DIFFERENTIAL claim is that live keyed state
+    // lands the identical dimension history
+    "stream_scd2_state" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_id < 20000),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS prev_state FROM e),
+        |v AS (SELECT user_id, event_id, event_type AS state, us AS valid_from_us
+        |      FROM c WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, event_id, state, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us, event_id) - 1 AS valid_to_us,
+        |  CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us, event_id) IS NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_current
+        |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    // the funnel_conversion oracle restricted to the fixture's bounded
+    // replay window — streaming state ≡ the batch strict-chaining funnel
+    "stream_funnel_state" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_id < 20000),
+        |s0 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN us END) AS t0
+        |  FROM e GROUP BY user_id),
+        |s1 AS (SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'click' AND us > t0 THEN us END) AS t1
+        |  FROM e JOIN s0 ON e.user_id = s0.user_id GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'purchase' AND us > t1 THEN us END) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id)
+        |SELECT s0.user_id % 10 AS user_bucket, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM s0 JOIN s1 ON s0.user_id = s1.user_id
+        |  JOIN s2 ON s0.user_id = s2.user_id
+        |GROUP BY user_bucket ORDER BY user_bucket""".stripMargin
   )
 }

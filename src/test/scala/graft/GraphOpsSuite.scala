@@ -193,4 +193,38 @@ class GraphOpsSuite extends AnyFunSuite {
       .sortBy { case (l, n) => (-n, l) }.take(30)
     assert(got.toSeq == want)
   }
+
+  test("graph_kcore ≡ brute-force 4-round peel at k=100") {
+    val got = graft.ops.GraphOps.queries("graph_kcore")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 4)
+    var alive = edges.map(_._1).toSet
+    val want = (1 to 4).map { r =>
+      val deg = edges.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (u, es) => u -> es.size }
+      val next = deg.filter(_._2 >= 100).keySet.toSet
+      val row = (r.toLong, (alive.size - next.size).toLong, next.size.toLong)
+      alive = next
+      row
+    }
+    assert(got.toSeq == want)
+    // monotone: alive never grows
+    assert(got.map(_._3).sameElements(got.map(_._3).sorted.reverse))
+  }
+
+  test("graph_cn_recommend ≡ brute-force FoF scoring; recs never direct neighbors") {
+    val got = graft.ops.GraphOps.queries("graph_cn_recommend")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val want = adj.keys.filter(_ < 100).toSeq.sorted.flatMap { src =>
+      val cand = scala.collection.mutable.Map[Long, Long]()
+      for (w <- adj(src); c <- adj(w) if c != src && !adj(src)(c))
+        cand(c) = cand.getOrElse(c, 0L) + 1L
+      cand.toSeq.sortBy { case (c, n) => (-n, c) }.take(3).zipWithIndex
+        .map { case ((c, n), i) => (src, i + 1L, c, n) }
+    }
+    assert(got.toSeq == want)
+    got.foreach { case (src, _, rec, _) => assert(!adj(src)(rec)) }
+  }
 }
