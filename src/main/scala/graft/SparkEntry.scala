@@ -37,6 +37,7 @@ object SparkEntry {
       (MetricsOps.queries, MetricsOps.oracles),
       (QualityOps.queries, QualityOps.oracles),
       (SeqOps.queries, SeqOps.oracles),
+      (RobustOps.queries, RobustOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

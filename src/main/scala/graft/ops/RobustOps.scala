@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** §2.28 robust statistics & a spectral step — the order-statistics
+  * family beyond plain percentiles (weighted median, trimmed mean, Gini
+  * concentration), each computed by the 2-PASS HISTOGRAM pattern (a
+  * value-bucket aggregate, then windows over the bucket relation — never
+  * a rank window over data rows), plus one exact-integer power-iteration
+  * step (the distributed matvec pair behind every spectral method).
+  *
+  * Scale shapes (100 TB notes):
+  *  - the three order-statistics operators aggregate data ONCE into a
+  *    (group, value-bucket) histogram whose size is bounded by the value
+  *    range, not the row count; every window is group-partitioned over
+  *    that histogram. This is the same design win_ntile_dense proved:
+  *    global order statistics without a global sort.
+  *  - vec_power_iteration: s = Aᵀ(A·1) over canon(1e4)-quantized
+  *    coordinates — both matvecs are map-side integer sums (per-row
+  *    array fold, then a |dim|-cell aggregate), so the result is
+  *    bit-exact in any engine and merge-order independent. The int64
+  *    headroom bound is n·maxᵢ|qᵢ|·10⁴ — promote to DECIMAL(38,0)
+  *    past ~10⁹ rows, shape unchanged.
+  */
+object RobustOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Weighted median unit price per return flag, weighted by quantity
+    // units: smallest price bucket where twice the cumulative weight
+    // reaches the total (the lower weighted median — integer compare,
+    // no halves). Histogram = (flag, whole-dollar price) cells.
+    "agg_weighted_median" -> ((s, d) => {
+      val hist = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice")).cast("long").as("p"),
+          floor(col("l_quantity")).cast("long").as("w"))
+        .groupBy("l_returnflag", "p").agg(sum("w").as("wp"))
+      val wg = Window.partitionBy("l_returnflag")
+      val wc = Window.partitionBy("l_returnflag").orderBy("p")
+      hist
+        .withColumn("tw", sum("wp").over(wg))
+        .withColumn("cw", sum("wp").over(wc))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"), col("tw").as("total_w"))
+        .agg(min("p").as("wmedian_price"))
+        .select("l_returnflag", "total_w", "wmedian_price")
+        .orderBy("l_returnflag")
+    }),
+
+    // Two-sided 10% trimmed mean unit price per return flag, from the
+    // same histogram: keep ranks (n div 10, n − n div 10], each bucket
+    // contributes its overlap with the kept range — integer cents
+    // output, never a per-row rank.
+    "agg_trimmed_mean" -> ((s, d) => {
+      val hist = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice")).cast("long").as("p"))
+        .groupBy("l_returnflag", "p").agg(count(lit(1)).as("c"))
+      val wg = Window.partitionBy("l_returnflag")
+      val wc = Window.partitionBy("l_returnflag").orderBy("p")
+      hist
+        .withColumn("n", sum("c").over(wg))
+        .withColumn("cum", sum("c").over(wc))
+        .withColumn("lo", expr("n div 10"))
+        .withColumn("hi", col("n") - expr("n div 10"))
+        .withColumn("ov", greatest(lit(0L),
+          least(col("cum"), col("hi")) -
+            greatest(col("cum") - col("c"), col("lo"))))
+        .groupBy(col("l_returnflag"), (col("hi") - col("lo")).as("n_kept"))
+        .agg(sum(col("p") * col("ov")).as("sp"))
+        .withColumn("trimmed_mean_cents", expr("(sp * 100) div n_kept"))
+        .select("l_returnflag", "n_kept", "trimmed_mean_cents")
+        .orderBy("l_returnflag")
+    }),
+
+    // Gini concentration of whole-dollar order totals per priority,
+    // tie-aware via DOUBLED midranks over the value histogram:
+    // G_ppm = Σ_b c_b·(r2_b − n − 1)·v_b · 10⁶ div (n · Σ c·v).
+    "agg_gini_index" -> ((s, d) => {
+      val hist = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+        .groupBy("o_orderpriority", "v").agg(count(lit(1)).as("c"))
+      val wg = Window.partitionBy("o_orderpriority")
+      val wc = Window.partitionBy("o_orderpriority").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("n", sum("c").over(wg))
+        .withColumn("sv", sum(col("c") * col("v")).over(wg))
+        .withColumn("r2",
+          lit(2L) * coalesce(sum("c").over(wc), lit(0L)) + col("c") + lit(1L))
+        .groupBy(col("o_orderpriority"), col("n"), col("sv"))
+        .agg(sum(col("c") * (col("r2") - col("n") - lit(1L)) * col("v"))
+          .as("num"))
+        .withColumn("gini_ppm", expr("(num * 1000000) div (n * sv)"))
+        .select("o_orderpriority", "n", "gini_ppm")
+        .orderBy("o_orderpriority")
+    }),
+
+    // One exact-integer power-iteration step over the embedding matrix:
+    // s = Aᵀ(A·1) on canon(1e4) coordinates — q_i = Σ_j x_c(i,j) is a
+    // per-row array fold (map-side), s_j = Σ_i x_c(i,j)·q_i a |dim|-cell
+    // aggregate. The dominant direction of the Gram matrix after one
+    // step, bit-exact in both engines.
+    "vec_power_iteration" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding"),
+          expr("aggregate(embedding, 0L, " +
+            "(acc, x) -> acc + cast(floor(cast(x as double) * 10000) as bigint))")
+            .as("q"))
+      q.select(posexplode(col("embedding")).as(Seq("pos", "x")), col("q"))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(sum(expr("cast(floor(cast(x as double) * 10000) as bigint) * q"))
+          .as("s"))
+        .orderBy("pos")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "agg_weighted_median" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS wp
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(wp) OVER (PARTITION BY l_returnflag)
+        |      AS BIGINT) AS tw,
+        |    CAST(sum(wp) OVER (PARTITION BY l_returnflag ORDER BY p)
+        |      AS BIGINT) AS cw FROM h)
+        |SELECT l_returnflag, tw AS total_w, min(p) AS wmedian_price
+        |FROM w WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag, tw ORDER BY l_returnflag""".stripMargin,
+
+    "agg_trimmed_mean" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS p, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY l_returnflag)
+        |      AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY p)
+        |      AS BIGINT) AS cum FROM h),
+        |k AS (SELECT *, n // 10 AS lo, n - n // 10 AS hi,
+        |    greatest(0, least(cum, n - n // 10)
+        |      - greatest(cum - c, n // 10)) AS ov FROM w)
+        |SELECT l_returnflag, hi - lo AS n_kept,
+        |  CAST((sum(p * ov) * 100) // (hi - lo) AS BIGINT)
+        |    AS trimmed_mean_cents
+        |FROM k GROUP BY l_returnflag, hi - lo
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_gini_index" ->
+      """WITH h AS (SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS v, count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS n,
+        |    CAST(sum(c * v) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS sv,
+        |    2 * CAST(coalesce(sum(c) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) + c + 1 AS r2
+        |  FROM h)
+        |SELECT o_orderpriority, n,
+        |  CAST((sum(c * (r2 - n - 1) * v) * 1000000) // (n * sv) AS BIGINT)
+        |    AS gini_ppm
+        |FROM w GROUP BY o_orderpriority, n, sv
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "vec_power_iteration" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |    list_reduce(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+        |      (a, b) -> a + b) AS q
+        |  FROM embeddings),
+        |p AS (SELECT CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) * q
+        |      AS t
+        |  FROM q, unnest(generate_series(1, len(embedding))) u(i))
+        |SELECT pos, CAST(sum(t) AS BIGINT) AS s
+        |FROM p GROUP BY pos ORDER BY pos""".stripMargin
+  )
+}
