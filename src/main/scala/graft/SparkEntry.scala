@@ -38,6 +38,7 @@ object SparkEntry {
       (QualityOps.queries, QualityOps.oracles),
       (SeqOps.queries, SeqOps.oracles),
       (RobustOps.queries, RobustOps.oracles),
+      (ViewOps.queries, ViewOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
