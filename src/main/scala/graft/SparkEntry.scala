@@ -39,6 +39,7 @@ object SparkEntry {
       (SeqOps.queries, SeqOps.oracles),
       (RobustOps.queries, RobustOps.oracles),
       (ViewOps.queries, ViewOps.oracles),
+      (MonitorOps.queries, MonitorOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** §2.30 feed monitoring & temporal decomposition — the operational
+  * dashboard over a live feed: consumer lag, calendar-decomposition
+  * anomalies, naive-seasonal forecast error, and burst detection. All
+  * heavy lifting is one aggregation of the event stream into a
+  * calendar-sized (type, day/hour) relation; every window and ratio runs
+  * over that aggregate.
+  *
+  * Scale shapes (100 TB notes):
+  *  - feed_consumer_lag: committed offsets are a 4-row synthetic table
+  *    (quartiles of max id); lag counts come from ONE pass over events
+  *    with each row contributing to the consumers whose offset it
+  *    exceeds — a ≤4× conditional-sum fanout, no join against events.
+  *  - ts_calendar_residual: the independence decomposition (T_d·S_h /
+  *    total) reuses the chi-square expected-cell algebra over the
+  *    |days|×24 grid.
+  *  - ts_forecast_eval_naive / events_burst_detect: lag windows over the
+  *    per-type daily series (calendar-sized).
+  */
+object MonitorOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Consumer-group lag: four synthetic consumers committed at the
+    // 0/25/50/75% quantile offsets of the feed (deterministic integer
+    // fractions of max event_id); per consumer: committed offset, events
+    // behind head, and lag share of the feed in ppm. One pass over
+    // events — each row increments the lagging consumers' counters via
+    // conditional sums against the broadcast 4-row offset table.
+    "feed_consumer_lag" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"))
+      val mx = ev.agg(max("event_id").as("mx"), count(lit(1)).as("n"))
+      val consumers = mx.select(explode(array(
+          (0 to 3).map(i => struct(lit(s"consumer_$i").as("consumer"),
+            expr(s"(mx * $i) div 4").as("committed"))): _*)).as("c"),
+          col("n"))
+        .select(col("c.consumer").as("consumer"),
+          col("c.committed").as("committed"), col("n"))
+      ev.crossJoin(broadcast(consumers))
+        .filter(col("event_id") > col("committed"))
+        .groupBy("consumer", "committed", "n")
+        .agg(count(lit(1)).as("lag_events"))
+        .withColumn("lag_ppm", expr("(lag_events * 1000000) div n"))
+        .select("consumer", "committed", "lag_events", "lag_ppm")
+        .orderBy("consumer")
+    }),
+
+    // Calendar anomaly cells: decompose the (day × hour-of-day) count
+    // grid per event type under the independence model expected =
+    // T_d·S_h div total (the chi-square expected-cell algebra as a TIME
+    // decomposition); report the 20 largest |observed − expected|
+    // residual cells — "this hour broke its daily and weekly shape".
+    "ts_calendar_residual" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("day"),
+          expr("(ts_us div 3600000000) % 24").as("hour"))
+        .agg(count(lit(1)).as("x"))
+      val wT = Window.partitionBy("event_type")
+      val wD = Window.partitionBy("event_type", "day")
+      val wH = Window.partitionBy("event_type", "hour")
+      grid
+        .withColumn("td", sum("x").over(wD))
+        .withColumn("sh", sum("x").over(wH))
+        .withColumn("tot", sum("x").over(wT))
+        .withColumn("expected", expr("(td * sh) div tot"))
+        .withColumn("resid", abs(col("x") - col("expected")))
+        .orderBy(col("resid").desc, col("event_type"), col("day"),
+          col("hour"))
+        .limit(20)
+        .select("event_type", "day", "hour", "x", "expected", "resid")
+        .orderBy("event_type", "day", "hour")
+    }),
+
+    // Naive seasonal forecast evaluation: forecast(day) = count(day−7)
+    // per type; report days evaluated and the MAE in count units ×100
+    // (integer). The baseline every real forecaster must beat.
+    "ts_forecast_eval_naive" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("fc", lag(col("x"), 7).over(w))
+        .filter(col("fc").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("x") - col("fc"))).as("sae"))
+        .withColumn("mae_x100", expr("(sae * 100) div n_days"))
+        .select("event_type", "n_days", "mae_x100")
+        .orderBy("event_type")
+    }),
+
+    // Burst detection: 3-day centered window count vs the trailing
+    // 14-day daily mean — burst score = window·14·100 div (3·trail14)
+    // (≥ 100 = at or above baseline). Top-10 burst days per type.
+    "events_burst_detect" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val w3 = w.rowsBetween(-1, 1)
+      val w14 = w.rowsBetween(-14, -1)
+      val wRk = Window.partitionBy("event_type")
+        .orderBy(col("score_x100").desc, col("day"))
+      daily
+        .withColumn("win3", sum("x").over(w3))
+        .withColumn("n14", count(lit(1)).over(w14))
+        .withColumn("trail14", sum("x").over(w14))
+        .filter(col("n14") === 14)
+        .withColumn("score_x100",
+          expr("(win3 * 14 * 100) div (3 * trail14)"))
+        .withColumn("rk", row_number().over(wRk).cast("long"))
+        .filter(col("rk") <= 10)
+        .select("event_type", "rk", "day", "x", "score_x100")
+        .orderBy("event_type", "rk")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "feed_consumer_lag" ->
+      """WITH m AS (SELECT max(event_id) AS mx, count(*) AS n FROM events),
+        |c AS (SELECT 'consumer_' || i AS consumer, (mx * i) // 4 AS committed,
+        |    n
+        |  FROM m, unnest(generate_series(0, 3)) u(i)),
+        |l AS (SELECT c.consumer, c.committed, c.n, count(*) AS lag_events
+        |  FROM events e JOIN c ON e.event_id > c.committed
+        |  GROUP BY 1, 2, 3)
+        |SELECT consumer, CAST(committed AS BIGINT) AS committed,
+        |  lag_events, (lag_events * 1000000) // n AS lag_ppm
+        |FROM l ORDER BY consumer""".stripMargin,
+
+    "ts_calendar_residual" ->
+      """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour, count(*) AS x
+        |  FROM events GROUP BY 1, 2, 3),
+        |w AS (SELECT *, CAST(sum(x) OVER (PARTITION BY event_type, day)
+        |      AS BIGINT) AS td,
+        |    CAST(sum(x) OVER (PARTITION BY event_type, hour) AS BIGINT) AS sh,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM g),
+        |e AS (SELECT *, (td * sh) // tot AS expected,
+        |    abs(x - (td * sh) // tot) AS resid FROM w),
+        |top AS (SELECT * FROM e
+        |  ORDER BY resid DESC, event_type, day, hour LIMIT 20)
+        |SELECT event_type, day, hour, x, CAST(expected AS BIGINT) AS expected,
+        |  CAST(resid AS BIGINT) AS resid
+        |FROM top ORDER BY event_type, day, hour""".stripMargin,
+
+    "ts_forecast_eval_naive" ->
+      """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT *, lag(x, 7) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS fc FROM dly)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST((sum(abs(x - fc)) * 100) // count(*) AS BIGINT) AS mae_x100
+        |FROM f WHERE fc IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_burst_detect" ->
+      """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS win3,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS n14,
+        |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail14
+        |  FROM dly),
+        |sc AS (SELECT event_type, day, x,
+        |    (win3 * 14 * 100) // (3 * trail14) AS score_x100
+        |  FROM w WHERE n14 = 14),
+        |rnk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY score_x100 DESC, day) AS rk FROM sc)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, day, x,
+        |  CAST(score_x100 AS BIGINT) AS score_x100
+        |FROM rnk WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin
+  )
+}

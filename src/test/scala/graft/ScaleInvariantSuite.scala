@@ -45,6 +45,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "sketch_kmv_intersect", // × |types|-row KMV estimate table (pair gen)
     "layout_skew_report",   // × single-row (total, nkeys) aggregate
     "graph_kcore",          // × |V|-row alive set + 1-row count pairs
+    "feed_consumer_lag",    // × 4-row synthetic consumer-offset table
     "eval_ndcg",            // × bounded probe panel (vec_id < 500)
     "confusion_knn_eval"    // × bounded probe panel (vec_id < 1000)
   )
