@@ -40,6 +40,7 @@ object SparkEntry {
       (RobustOps.queries, RobustOps.oracles),
       (ViewOps.queries, ViewOps.oracles),
       (MonitorOps.queries, MonitorOps.oracles),
+      (RetrievalOps.queries, RetrievalOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -46,6 +46,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "layout_skew_report",   // × single-row (total, nkeys) aggregate
     "graph_kcore",          // × |V|-row alive set + 1-row count pairs
     "feed_consumer_lag",    // × 4-row synthetic consumer-offset table
+    "vec_maxsim_topk",      // × bounded query panel (vec_id < 5)
     "eval_ndcg",            // × bounded probe panel (vec_id < 500)
     "confusion_knn_eval"    // × bounded probe panel (vec_id < 1000)
   )
