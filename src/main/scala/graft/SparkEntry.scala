@@ -41,6 +41,7 @@ object SparkEntry {
       (ViewOps.queries, ViewOps.oracles),
       (MonitorOps.queries, MonitorOps.oracles),
       (RetrievalOps.queries, RetrievalOps.oracles),
+      (GovernOps.queries, GovernOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -66,6 +66,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "rank_fusion_rrf",      // rank windows over ≤50-row LIMITed top-k arms
     "chisq_independence",   // |status|×|priority| contingency-cell relation
     "auc_eval",             // score-bucket histogram + |labels|-row total
+    "k_anonymity_check",    // quasi-identifier combo relation only
+    "retention_sweep_plan", // calendar-sized daily relation only
     "stats_histogram_grid", // |bands|×|cents| grid relation only
     "lm_kneser_ney"         // vocabulary-sized continuation-count relation
   )
