@@ -42,6 +42,7 @@ object SparkEntry {
       (MonitorOps.queries, MonitorOps.oracles),
       (RetrievalOps.queries, RetrievalOps.oracles),
       (GovernOps.queries, GovernOps.oracles),
+      (DriftOps.queries, DriftOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

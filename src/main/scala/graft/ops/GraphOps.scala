@@ -337,7 +337,7 @@ object GraphOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
-  private val edgesSql =
+  private[graft] val edgesSql =
     """lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
       |       FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),

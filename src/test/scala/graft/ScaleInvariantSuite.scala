@@ -47,6 +47,9 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "graph_kcore",          // × |V|-row alive set + 1-row count pairs
     "feed_consumer_lag",    // × 4-row synthetic consumer-offset table
     "vec_maxsim_topk",      // × bounded query panel (vec_id < 5)
+    "rec_coverage_metrics", // × single-row source/node count aggregates
+    "price_index_period",   // × single-row era-midpoint bound
+    "vocab_growth_heaps",   // × broadcast 10-row decile table
     "eval_ndcg",            // × bounded probe panel (vec_id < 500)
     "confusion_knn_eval"    // × bounded probe panel (vec_id < 1000)
   )
@@ -68,6 +71,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "auc_eval",             // score-bucket histogram + |labels|-row total
     "k_anonymity_check",    // quasi-identifier combo relation only
     "retention_sweep_plan", // calendar-sized daily relation only
+    "drift_l1_buckets",     // value-bounded feature-band relation only
     "stats_histogram_grid", // |bands|×|cents| grid relation only
     "lm_kneser_ney"         // vocabulary-sized continuation-count relation
   )
