@@ -43,6 +43,7 @@ object SparkEntry {
       (RetrievalOps.queries, RetrievalOps.oracles),
       (GovernOps.queries, GovernOps.oracles),
       (DriftOps.queries, DriftOps.oracles),
+      (UdafOps.queries, UdafOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
