@@ -44,6 +44,7 @@ object SparkEntry {
       (GovernOps.queries, GovernOps.oracles),
       (DriftOps.queries, DriftOps.oracles),
       (UdafOps.queries, UdafOps.oracles),
+      (TravelOps.queries, TravelOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

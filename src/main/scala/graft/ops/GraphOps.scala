@@ -218,15 +218,18 @@ object GraphOps {
     "graph_kcore" -> ((s, d) => {
       val k = 100
       val es = edges(s, d)
-      var alive = adjacency(s, d).select(col("u"))
-      var prevN = adjacency(s, d).select(col("u"))
+      // each round's alive set is |V|-sized: localCheckpoint it so round
+      // r+1 (and both count aggregates) read the materialized set instead
+      // of re-deriving rounds 1..r — without this the unrolled lineage
+      // re-peels quadratically (measured 18 s vs ~2 s at sf0.1)
+      var alive = adjacency(s, d).select(col("u")).localCheckpoint()
       val rounds = (1 to 4).map { r =>
         val deg = es
           .join(broadcast(alive), "u")
           .join(broadcast(alive.select(col("u").as("v"))), "v")
           .groupBy("u").agg(count(lit(1)).as("deg"))
-        prevN = alive
-        alive = deg.filter(col("deg") >= k).select("u")
+        val prevN = alive
+        alive = deg.filter(col("deg") >= k).select("u").localCheckpoint()
         prevN.agg(count(lit(1)).as("n_prev"))
           .crossJoin(alive.agg(count(lit(1)).as("n_alive")))
           .select(lit(r.toLong).as("round"),

@@ -50,6 +50,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "rec_coverage_metrics", // × single-row source/node count aggregates
     "price_index_period",   // × single-row era-midpoint bound
     "vocab_growth_heaps",   // × broadcast 10-row decile table
+    "read_model_time_travel", // × single-row cursor bound
     "eval_ndcg",            // × bounded probe panel (vec_id < 500)
     "confusion_knn_eval"    // × bounded probe panel (vec_id < 1000)
   )
