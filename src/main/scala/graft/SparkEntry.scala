@@ -45,6 +45,7 @@ object SparkEntry {
       (DriftOps.queries, DriftOps.oracles),
       (UdafOps.queries, UdafOps.oracles),
       (TravelOps.queries, TravelOps.oracles),
+      (ReportOps.queries, ReportOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
