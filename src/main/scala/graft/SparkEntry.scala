@@ -46,6 +46,7 @@ object SparkEntry {
       (UdafOps.queries, UdafOps.oracles),
       (TravelOps.queries, TravelOps.oracles),
       (ReportOps.queries, ReportOps.oracles),
+      (MlOps.queries, MlOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -73,6 +73,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "k_anonymity_check",    // quasi-identifier combo relation only
     "retention_sweep_plan", // calendar-sized daily relation only
     "drift_l1_buckets",     // value-bounded feature-band relation only
+    "stump_split_gain",     // n_chars-band histogram only
     "stats_histogram_grid", // |bands|×|cents| grid relation only
     "lm_kneser_ney"         // vocabulary-sized continuation-count relation
   )
