@@ -42,7 +42,7 @@ object UdafOps {
   }
 
   /** Per-group 4-seed min-hash signature over extracted row ids. */
-  private def minHashAgg[I](f: I => Long): Aggregator[I, Array[Long], Array[Long]] =
+  private[graft] def minHashAgg[I](f: I => Long): Aggregator[I, Array[Long], Array[Long]] =
     new Aggregator[I, Array[Long], Array[Long]] {
       def zero: Array[Long] = Array.fill(4)(Long.MaxValue)
       def reduce(b: Array[Long], row: I): Array[Long] = {

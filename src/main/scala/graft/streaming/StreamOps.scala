@@ -988,6 +988,75 @@ object StreamOps {
           sum(when(col("m.t1") >= 0, 1L).otherwise(0L)).as("n_click"),
           sum(when(col("m.t2") >= 0, 1L).otherwise(0L)).as("n_purchase"))
         .orderBy("user_bucket")
+    }),
+
+    // Streaming drift monitor: per-(length band, vintage) counts as
+    // Update-mode aggregation state across two micro-batches (counts are
+    // monotone → final = per-key MAX emission), then the batch drift
+    // tail (integer-ppm shares, |Δ|, total L1) over the band relation —
+    // the shadow-deployment drift dashboard as a live query.
+    "stream_drift_monitor" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[Doc].collect().sortBy(_.doc_id)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val ms = MemoryStream[Doc](s)
+      val counts = ms.toDF()
+        .select(expr("length(text) div 50").as("band"),
+          expr("doc_id % 2").as("vintage"))
+        .groupBy("band", "vintage").agg(count(lit(1)).as("c"))
+      val emitted = runToMemory(s, counts, freshName("drift_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: counts carry
+        ms.addData(b2.toSeq)
+      }
+      val fin = emitted.groupBy("band", "vintage").agg(max("c").as("c"))
+      val bands = fin.groupBy("band")
+        .agg(sum(when(col("vintage") === 0, col("c")).otherwise(0L)).as("c0"),
+          sum(when(col("vintage") === 1, col("c")).otherwise(0L)).as("c1"))
+      val w = Window.partitionBy()
+      bands
+        .withColumn("n0", sum("c0").over(w))
+        .withColumn("n1", sum("c1").over(w))
+        .withColumn("p0_ppm", expr("(c0 * 1000000) div n0"))
+        .withColumn("p1_ppm", expr("(c1 * 1000000) div n1"))
+        .withColumn("d_ppm", abs(col("p1_ppm") - col("p0_ppm")))
+        .withColumn("l1_total_ppm", sum("d_ppm").over(w))
+        .select("band", "c0", "c1", "p0_ppm", "p1_ppm", "d_ppm",
+          "l1_total_ppm")
+        .orderBy("band")
+    }),
+
+    // Custom typed Aggregator AS STREAMING STATE: the 4-seed min-hash
+    // signature per language maintained by the same mergeable Aggregator
+    // the batch udaf_minhash_group uses — Update-mode emissions are
+    // elementwise-monotone (min), so the final signature is the per-key
+    // MIN over emissions. Proves user-defined aggregation state flows
+    // through Structured Streaming unchanged.
+    "stream_minhash_state" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[Doc].collect().sortBy(_.doc_id)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val ms = MemoryStream[Doc](s)
+      val sig = ms.toDS().groupByKey(_.lang)
+        .agg(graft.ops.UdafOps.minHashAgg[Doc](_.doc_id)
+          .toColumn.name("sig"))
+        .toDF("lang", "sig")
+      val emitted = runToMemory(s, sig, freshName("minhash_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: state carries
+        ms.addData(b2.toSeq)
+      }
+      emitted.select(col("lang"), posexplode(col("sig"))
+          .as(Seq("seed", "sig")))
+        .groupBy(col("lang"), col("seed").cast("long").as("seed"))
+        .agg(min("sig").as("sig"))
+        .orderBy("lang", "seed")
     })
   )
 
@@ -1254,6 +1323,38 @@ object StreamOps {
         |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
         |FROM s0 JOIN s1 ON s0.user_id = s1.user_id
         |  JOIN s2 ON s0.user_id = s2.user_id
-        |GROUP BY user_bucket ORDER BY user_bucket""".stripMargin
+        |GROUP BY user_bucket ORDER BY user_bucket""".stripMargin,
+
+    // the drift_l1_buckets algebra with the band derived from len(text)
+    // (the streaming fixture has no n_chars column) — live aggregation
+    // state ≡ the batch drift report
+    "stream_drift_monitor" ->
+      """WITH b AS (SELECT len(text) // 50 AS band,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c0,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(c0) OVER () AS BIGINT) AS n0,
+        |    CAST(sum(c1) OVER () AS BIGINT) AS n1 FROM b),
+        |p AS (SELECT *, (c0 * 1000000) // n0 AS p0_ppm,
+        |    (c1 * 1000000) // n1 AS p1_ppm FROM t),
+        |q AS (SELECT *, abs(p1_ppm - p0_ppm) AS d_ppm FROM p)
+        |SELECT band, c0, c1, p0_ppm, p1_ppm, d_ppm,
+        |  CAST(sum(d_ppm) OVER () AS BIGINT) AS l1_total_ppm
+        |FROM q ORDER BY band""".stripMargin,
+
+    // per-(lang, seed) minimum of the 24-bit md5 decode — the custom
+    // Aggregator's streaming state must land the batch signature
+    "stream_minhash_state" -> {
+      val seeds = (0 to 3).map { i =>
+        val hv = graft.api.Sampling.hexDecodeSql(
+          s"md5(CAST($i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))")
+        s"SELECT lang, CAST($i AS BIGINT) AS seed, " +
+          s"CAST(min($hv) AS BIGINT) AS sig FROM documents GROUP BY lang"
+      }.mkString("\nUNION ALL\n")
+      s"""$seeds
+        |ORDER BY lang, seed""".stripMargin
+    }
   )
 }
