@@ -47,6 +47,7 @@ object SparkEntry {
       (TravelOps.queries, TravelOps.oracles),
       (ReportOps.queries, ReportOps.oracles),
       (MlOps.queries, MlOps.oracles),
+      (SegmentOps.queries, SegmentOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

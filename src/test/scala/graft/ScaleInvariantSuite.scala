@@ -74,6 +74,9 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "retention_sweep_plan", // calendar-sized daily relation only
     "drift_l1_buckets",     // value-bounded feature-band relation only
     "stump_split_gain",     // n_chars-band histogram only
+    "rfm_segments",         // |users|-keyed aggregate; global max over it
+    "score_percentile_norm" // score-bucket histogram only
+  ) ++ Set(
     "stats_histogram_grid", // |bands|×|cents| grid relation only
     "lm_kneser_ney"         // vocabulary-sized continuation-count relation
   )
