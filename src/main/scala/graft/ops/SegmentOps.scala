@@ -75,16 +75,17 @@ object SegmentOps {
         .agg(count(lit(1)).as("c"))
       val wg = Window.partitionBy("o_orderpriority")
       val wc = Window.partitionBy("o_orderpriority").orderBy("lat")
-      val cum = hist
+      // BOTH quantiles from ONE pass over the cumulative histogram —
+      // conditional mins, so the fact join and histogram build are never
+      // duplicated per quantile
+      hist
         .withColumn("n", sum("c").over(wg))
         .withColumn("cum", sum("c").over(wc))
-      def q(p: Int) = cum
-        .filter(col("cum") * 100 >= col("n") * p)
-        .groupBy(col("o_orderpriority").as(s"pri_$p"))
-        .agg(min("lat").as(s"p${p}_days"))
-      q(50).join(q(90), col("pri_50") === col("pri_90"))
-        .select(col("pri_50").as("o_orderpriority"), col("p50_days"),
-          col("p90_days"))
+        .groupBy("o_orderpriority")
+        .agg(min(when(col("cum") * 100 >= col("n") * 50, col("lat")))
+            .as("p50_days"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("lat")))
+            .as("p90_days"))
         .orderBy("o_orderpriority")
     }),
 
@@ -150,14 +151,11 @@ object SegmentOps {
         |cm AS (SELECT *, CAST(sum(c) OVER (PARTITION BY o_orderpriority)
         |      AS BIGINT) AS n,
         |    CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY lat)
-        |      AS BIGINT) AS cum FROM h),
-        |p50 AS (SELECT o_orderpriority, min(lat) AS p50_days FROM cm
-        |  WHERE cum * 100 >= n * 50 GROUP BY 1),
-        |p90 AS (SELECT o_orderpriority, min(lat) AS p90_days FROM cm
-        |  WHERE cum * 100 >= n * 90 GROUP BY 1)
-        |SELECT o_orderpriority, p50_days, p90_days
-        |FROM p50 JOIN p90 USING (o_orderpriority)
-        |ORDER BY o_orderpriority""".stripMargin,
+        |      AS BIGINT) AS cum FROM h)
+        |SELECT o_orderpriority,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN lat END) AS p50_days,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN lat END) AS p90_days
+        |FROM cm GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "score_percentile_norm" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS tks FROM documents
