@@ -391,4 +391,51 @@ class StreamingSuite extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))
     assert(got.sortBy(t => (t._1, t._2)).sameElements(want.sortBy(t => (t._1, t._2))))
   }
+
+  test("stateful aggregation RESUMES from its checkpoint across a query restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val rows = graft.io.Tables.events(spark, TestSpark.sfDir)
+      .filter(col("event_id") < StreamOps.ReplayBound)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[StreamOps.Ev].collect().sortBy(_.event_id)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    val counts = ms.toDF().groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    // foreachBatch is the RECOVERABLE sink (the memory sink refuses
+    // checkpoint recovery by design)
+    def start(buf: java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]) =
+      counts.writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => buf.add((r.getString(0), r.getLong(1))))
+        ()
+      }.option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow()).start()
+    // run 1: first half, then STOP the query entirely
+    val buf1 = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q1 = start(buf1)
+    ms.addData(b1.toSeq)
+    q1.awaitTermination()
+    // run 2: a NEW query restarted from the SAME checkpoint — the
+    // aggregation state must be restored, so batch-2 emissions carry
+    // the batch-1 counts
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q2 = start(buf2)
+    ms.addData(b2.toSeq)
+    q2.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val resumed = buf2.asScala.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    val full = rows.groupBy(_.event_type).view.mapValues(_.length.toLong).toMap
+    // every type updated in run 2 must show the FULL cumulative count
+    assert(resumed.nonEmpty)
+    resumed.foreach { case (tpe, n) =>
+      assert(n == full(tpe), s"$tpe resumed count lost checkpointed state")
+    }
+    // scratch cleanup (memory sink holds the rows; the checkpoint is done)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 }
