@@ -179,10 +179,55 @@ object MaintOps {
         .withColumn("is_current",
           when(col("valid_to_us").isNull, 1L).otherwise(0L))
         .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+
+    // Temporal dimension resolution: for a bounded probe panel of events
+    // (event_id % 997 = 0), the SCD2 version VALID AT each probe's
+    // timestamp — the dimension-at-event-time lookup every fact join
+    // against a type-2 dimension performs. The interval join runs
+    // key-first (user_id) so each probe only scans its own user's
+    // few versions; the range predicate never goes global.
+    "scd2_temporal_lookup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val versions = Tables.events(s, d)
+        .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts_us").as("valid_from_us"))
+        .withColumn("valid_to_us", coalesce(
+          lead(col("valid_from_us"), 1).over(
+            Window.partitionBy("user_id").orderBy("valid_from_us")) - 1,
+          lit(Long.MaxValue)))
+      val probes = Tables.events(s, d)
+        .filter(expr("event_id % 997 = 0"))
+        .select(col("event_id"), col("user_id").as("pu"), col("ts_us"))
+      probes.join(versions, col("pu") === col("user_id") &&
+          col("ts_us") >= col("valid_from_us") &&
+          col("ts_us") <= col("valid_to_us"))
+        .select(col("event_id"), col("user_id"), col("state"),
+          col("valid_from_us"))
+        .orderBy("event_id")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "scd2_temporal_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS prev_state FROM e),
+        |v AS (SELECT user_id, event_type AS state, us AS valid_from_us
+        |      FROM c WHERE prev_state IS NULL OR prev_state <> event_type),
+        |iv AS (SELECT *, coalesce(lead(valid_from_us) OVER (
+        |    PARTITION BY user_id ORDER BY valid_from_us) - 1,
+        |    9223372036854775807) AS valid_to_us FROM v),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_id % 997 = 0)
+        |SELECT p.event_id, p.user_id, iv.state, iv.valid_from_us
+        |FROM p JOIN iv ON p.user_id = iv.user_id
+        |  AND p.us >= iv.valid_from_us AND p.us <= iv.valid_to_us
+        |ORDER BY p.event_id""".stripMargin,
+
     "cdc_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         |  FROM events),

@@ -146,4 +146,21 @@ class MaintOpsSuite extends AnyFunSuite {
     }
     assert(rows.nonEmpty)
   }
+
+  test("scd2_temporal_lookup: exactly one version per probe; state = probe's own type") {
+    val rows = graft.ops.MaintOps.queries("scd2_temporal_lookup")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.nonEmpty)
+    // one interval contains each probe's timestamp
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // a probe event's own arrival either opened or extended the version
+    // valid at its timestamp — so the resolved state IS its event type
+    val types = graft.io.Tables.events(spark, TestSpark.sfDir)
+      .filter(org.apache.spark.sql.functions.expr("event_id % 997 = 0"))
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.length == types.size)
+    rows.foreach { case (id, state) => assert(state == types(id), s"event $id") }
+  }
 }
