@@ -205,6 +205,41 @@ object StatsOps {
         .orderBy("chunk")
     }),
 
+    // Z-order pruning gain, measured DIFFERENTIALLY: the same 2-D
+    // predicate (an x,y square in the scaled key space) evaluated
+    // against per-chunk zonemaps under TWO layouts — natural insertion
+    // order (l_orderkey ranges) vs Morton order (zval ranges). The
+    // natural layout's chunks each span the full key space (every chunk
+    // hit); Z-order clusters the square into few chunks — the number
+    // that justifies a CLUSTER BY at 100 TB, produced by the engine
+    // itself.
+    "zorder_prune_gain" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val mx = li.agg(max("l_partkey").as("mp"), max("l_suppkey").as("ms"),
+        max("l_orderkey").as("mo"))
+      val scaled = li.crossJoin(broadcast(mx))
+        .withColumn("x",
+          floor(col("l_partkey") * lit(256.0) / (col("mp") + 1)).cast("long"))
+        .withColumn("y",
+          floor(col("l_suppkey") * lit(256.0) / (col("ms") + 1)).cast("long"))
+        .withColumn("zval", Layout.zValue(col("x"), col("y")))
+        .withColumn("zchunk", expr("zval div 256"))
+        .withColumn("nchunk", expr("l_orderkey div ((mo div 256) + 1)"))
+      def layoutStats(chunkCol: String, name: String) = scaled
+        .groupBy(col(chunkCol).as("chunk"))
+        .agg(min("x").as("mnx"), max("x").as("mxx"),
+          min("y").as("mny"), max("y").as("mxy"))
+        .agg(lit(name).as("layout"), count(lit(1)).as("n_chunks"),
+          sum(when(col("mxx") >= 64 && col("mnx") <= 95 &&
+            col("mxy") >= 64 && col("mny") <= 95, 1L).otherwise(0L))
+            .as("n_hit"))
+        .withColumn("scan_ppm", expr("(n_hit * 1000000) div n_chunks"))
+      layoutStats("nchunk", "natural")
+        .unionByName(layoutStats("zchunk", "zorder"))
+        .orderBy("layout")
+    }),
+
     // Skew-salted enrichment join: events ⋈ customer on user_id with an
     // 8-way fact-side salt and a replicated dimension — byte-identical to
     // the plain join (the oracle is the unsalted SQL), but no hot user
@@ -487,6 +522,33 @@ object StatsOps {
         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
         |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
         |FROM z GROUP BY chunk ORDER BY chunk""".stripMargin
+    },
+
+    "zorder_prune_gain" -> {
+      val z = zTermsSql("x", "y")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem),
+        |m AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms,
+        |    max(l_orderkey) AS mo FROM li),
+        |sc AS (SELECT l_orderkey,
+        |    CAST(floor(l_partkey * 256.0 / (m.mp + 1)) AS BIGINT) AS x,
+        |    CAST(floor(l_suppkey * 256.0 / (m.ms + 1)) AS BIGINT) AS y,
+        |    m.mo FROM li, m),
+        |zz AS (SELECT *, ($z) // 256 AS zchunk,
+        |    l_orderkey // ((mo // 256) + 1) AS nchunk FROM sc),
+        |na AS (SELECT nchunk AS chunk, min(x) AS mnx, max(x) AS mxx,
+        |    min(y) AS mny, max(y) AS mxy FROM zz GROUP BY 1),
+        |za AS (SELECT zchunk AS chunk, min(x) AS mnx, max(x) AS mxx,
+        |    min(y) AS mny, max(y) AS mxy FROM zz GROUP BY 1),
+        |ns AS (SELECT 'natural' AS layout, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN mxx >= 64 AND mnx <= 95 AND mxy >= 64
+        |      AND mny <= 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit FROM na),
+        |zs AS (SELECT 'zorder', count(*),
+        |    CAST(sum(CASE WHEN mxx >= 64 AND mnx <= 95 AND mxy >= 64
+        |      AND mny <= 95 THEN 1 ELSE 0 END) AS BIGINT) FROM za),
+        |u AS (SELECT * FROM ns UNION ALL SELECT * FROM zs)
+        |SELECT layout, n_chunks, n_hit,
+        |  (n_hit * 1000000) // n_chunks AS scan_ppm
+        |FROM u ORDER BY layout""".stripMargin
     },
 
     "join_skew_salted" ->

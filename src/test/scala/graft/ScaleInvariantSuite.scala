@@ -32,6 +32,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "rank_fusion_rrf",  // × single-row corpus stats + 1-row query vector
     "kmeans_assign_step", // × k=8 centroid table
     "zorder_layout",    // × single-row max(l_partkey), max(l_suppkey) row
+    "zorder_prune_gain", // × single-row key-space bounds row
     "tfidf_vectorize",  // × single-row corpus doc-count aggregate
     "dedup_semantic_block", // × k=8 centroid table (kmeans blocking assign)
     "ann_recall_eval",  // composes vec_knn_brute × ann_ivf_topk (both above)

@@ -212,4 +212,19 @@ class StatsOpsSuite extends AnyFunSuite {
         .orderBy("c_mktsegment").collect().toSeq
     assert(run(1) === run(8))
   }
+
+  test("zorder_prune_gain: Morton layout prunes strictly better than natural") {
+    val rows = graft.ops.StatsOps.queries("zorder_prune_gain")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (natChunks, natHit, natPpm) = rows("natural")
+    val (zChunks, zHit, zPpm) = rows("zorder")
+    assert(natHit <= natChunks && zHit <= zChunks)
+    // insertion order spreads the key square over every chunk; Morton
+    // order clusters it — the differential claim of the operator
+    assert(zPpm < natPpm,
+      s"zorder must scan a smaller chunk fraction ($zPpm vs $natPpm)")
+    assert(zHit >= 1, "the predicate square is non-empty")
+  }
 }
