@@ -48,6 +48,7 @@ object SparkEntry {
       (ReportOps.queries, ReportOps.oracles),
       (MlOps.queries, MlOps.oracles),
       (SegmentOps.queries, SegmentOps.oracles),
+      (AgingOps.queries, AgingOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
