@@ -209,10 +209,60 @@ object FeatureOps {
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_off"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_wk", "wk_off")
+    }),
+
+    // EXACT bitmap-index audience overlap — the precise twin of
+    // sketch_kmv_intersect: per event type, a 1024-bit presence bitmap
+    // over user buckets (native bitset kernel, array<bigint> of 16
+    // words); every type pair's overlap/sizes by codegen'd popcounts of
+    // word-wise ANDs. A bitmap index is O(|universe|/64) words per key
+    // no matter the row count — the roaring-style structure an engine
+    // keeps for low-cardinality columns.
+    "bitmap_index_overlap" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val bm = Tables.events(s, d)
+        .select(col("event_type"),
+          (expr("user_id % 1024") + 1).cast("int").as("bucket"))
+        .groupBy("event_type")
+        .agg(collect_set(col("bucket")).as("buckets"))
+        .select(col("event_type"),
+          call_function("bitset_from_ids", col("buckets"), lit(16)).as("bs"))
+      val a = bm.select(col("event_type").as("ta"), col("bs").as("ba"))
+      val b = bm.select(col("event_type").as("tb"), col("bs").as("bb"))
+      a.join(broadcast(b), col("ta") < col("tb"))
+        .select(col("ta"), col("tb"),
+          call_function("bitset_intersect_count", col("ba"), col("ba"))
+            .as("n_a"),
+          call_function("bitset_intersect_count", col("bb"), col("bb"))
+            .as("n_b"),
+          call_function("bitset_intersect_count", col("ba"), col("bb"))
+            .as("n_overlap"))
+        .withColumn("jaccard_ppm",
+          expr("(n_overlap * 1000000) div (n_a + n_b - n_overlap)"))
+        .orderBy("ta", "tb")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "bitmap_index_overlap" ->
+      """WITH b AS (SELECT DISTINCT event_type, user_id % 1024 AS bucket
+        |  FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+        |ov AS (SELECT x.event_type AS ta, y.event_type AS tb,
+        |    count(*) AS n_overlap
+        |  FROM b x JOIN b y ON x.bucket = y.bucket
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT sa.event_type AS ta, sb.event_type AS tb,
+        |    sa.n AS n_a, sb.n AS n_b
+        |  FROM sz sa JOIN sz sb ON sa.event_type < sb.event_type)
+        |SELECT pr.ta, pr.tb, pr.n_a, pr.n_b,
+        |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  (CAST(coalesce(ov.n_overlap, 0) AS BIGINT) * 1000000)
+        |    // (pr.n_a + pr.n_b - coalesce(ov.n_overlap, 0)) AS jaccard_ppm
+        |FROM pr LEFT JOIN ov ON pr.ta = ov.ta AND pr.tb = ov.tb
+        |ORDER BY pr.ta, pr.tb""".stripMargin,
+
     "cooccur_pmi" ->
       """WITH toks AS (SELECT lang, str_split(text, ' ') AS ts FROM documents),
         |uni AS (SELECT lang, unnest(ts) AS w FROM toks),

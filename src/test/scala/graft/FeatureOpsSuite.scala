@@ -150,4 +150,25 @@ class FeatureOpsSuite extends AnyFunSuite {
       assert(cAB == top.getLong(2))
     }
   }
+
+  test("bitmap_index_overlap ≡ brute-force distinct-bucket set algebra") {
+    val rows = graft.ops.FeatureOps.queries("bitmap_index_overlap")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val sets = graft.io.Tables.events(spark, TestSpark.sfDir)
+      .selectExpr("event_type", "user_id % 1024 as b").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+      a = sets(types(i)); b = sets(types(j))
+      ov = (a intersect b).size.toLong
+    } yield (types(i), types(j)) ->
+      ((a.size.toLong, b.size.toLong, ov,
+        ov * 1000000L / (a.size + b.size - ov)))).toMap
+    assert(rows == want)
+  }
 }

@@ -34,6 +34,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "zorder_layout",    // × single-row max(l_partkey), max(l_suppkey) row
     "zorder_prune_gain", // × single-row key-space bounds row
     "orders_aging_report", // × single-row max-day bound
+    "bitmap_index_overlap", // × |types|-row bitmap relation (pair gen)
     "tfidf_vectorize",  // × single-row corpus doc-count aggregate
     "dedup_semantic_block", // × k=8 centroid table (kmeans blocking assign)
     "ann_recall_eval",  // composes vec_knn_brute × ann_ivf_topk (both above)
