@@ -49,6 +49,7 @@ object SparkEntry {
       (MlOps.queries, MlOps.oracles),
       (SegmentOps.queries, SegmentOps.oracles),
       (AgingOps.queries, AgingOps.oracles),
+      (JourneyOps.queries, JourneyOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
