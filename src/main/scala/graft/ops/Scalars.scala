@@ -104,6 +104,26 @@ object Scalars {
         .orderBy("vec_id")
     }),
 
+    // Higher-order-function surface: filter / exists / forall /
+    // transform / zip_with lambdas over the embedding arrays — counts
+    // and flags all integer (coordinates canon'd BEFORE arithmetic), and
+    // the zip_with product pairs each vector with its own reverse so
+    // the lambda genuinely consumes two arrays.
+    "fn_higher_order" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("zc", expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))"))
+        .select(col("vec_id"),
+          expr("size(filter(zc, x -> x > 0))").cast("long").as("n_pos"),
+          expr("case when forall(zc, x -> abs(x) < 10000) then 1 else 0 end")
+            .cast("long").as("all_small"),
+          expr("case when exists(zc, x -> x > 3000) then 1 else 0 end")
+            .cast("long").as("any_big"),
+          expr("aggregate(zip_with(zc, reverse(zc), (a, b) -> a * b), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("revdot"))
+        .orderBy("vec_id")
+    }),
+
     // content fingerprint (md5)
     "fn_hash" -> ((s, d) => {
       Tables.documents(s, d)
@@ -169,6 +189,21 @@ object Scalars {
         |  CAST(floor(list_reduce(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) * 10000) AS BIGINT) AS ssq_c
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_higher_order" ->
+      """WITH z AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS zc
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(zc, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(CASE WHEN len(list_filter(zc, x -> abs(x) >= 10000)) = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS all_small,
+        |  CAST(CASE WHEN len(list_filter(zc, x -> x > 3000)) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS any_big,
+        |  CAST(list_reduce(list_transform(generate_series(1, len(zc)),
+        |    i -> zc[i] * zc[len(zc) - i + 1]), (a, b) -> a + b) AS BIGINT)
+        |    AS revdot
+        |FROM z ORDER BY vec_id""".stripMargin,
 
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 4) AS bucket
