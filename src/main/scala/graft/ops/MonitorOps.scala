@@ -95,6 +95,27 @@ object MonitorOps {
         .orderBy("event_type")
     }),
 
+    // Longest consecutive-day activity streak per event type: the
+    // classic gaps-and-islands (day − row_number is constant within a
+    // run) over the calendar-sized daily relation; reports the longest
+    // streak's length and start day plus the streak count.
+    "ts_longest_streak" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val runs = daily
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("event_type", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      runs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_streaks"),
+          max(struct(col("len"), (-col("start_day")).as("nd"))).as("m"))
+        .select(col("event_type"), col("n_streaks"),
+          col("m.len").as("longest"), (-col("m.nd")).as("start_day"))
+        .orderBy("event_type")
+    }),
+
     // Burst detection: 3-day centered window count vs the trailing
     // 14-day daily mean — burst score = window·14·100 div (3·trail14)
     // (≥ 100 = at or above baseline). Top-10 burst days per type.
@@ -161,6 +182,22 @@ object MonitorOps {
         |  CAST((sum(abs(x - fc)) * 100) // count(*) AS BIGINT) AS mae_x100
         |FROM f WHERE fc IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_longest_streak" ->
+      """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, day - row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS grp FROM dly),
+        |runs AS (SELECT event_type, grp, count(*) AS len,
+        |    CAST(min(day) AS BIGINT) AS start_day FROM r GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n_streaks FROM runs GROUP BY 1),
+        |best AS (SELECT event_type, len, start_day FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY len DESC, start_day) AS rn FROM runs) WHERE rn = 1)
+        |SELECT n.event_type, n.n_streaks, CAST(best.len AS BIGINT) AS longest,
+        |  best.start_day
+        |FROM n JOIN best ON n.event_type = best.event_type
+        |ORDER BY n.event_type""".stripMargin,
 
     "events_burst_detect" ->
       """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
