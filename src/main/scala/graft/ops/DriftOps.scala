@@ -50,6 +50,39 @@ object DriftOps {
         .orderBy("band")
     }),
 
+    // Embedding centroid shift between corpus vintages (even/odd
+    // vec_id): per label, the squared distance between the two
+    // vintages' centroids — per-dim means are floor-quantized integers
+    // (canon coords, integer div by the vintage count), so the shift is
+    // exact BIGINT end-to-end. The embedding-drift alarm of a retrieval
+    // deployment.
+    "emb_centroid_shift" -> ((s, d) => {
+      val coords = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          expr("vec_id % 2").as("vintage"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("vc",
+          floor(col("v").cast("double") * 10000).cast("long"))
+      // floor of the exact double ratio, NOT integer `div`: sums are
+      // negative for negative coordinates and Spark's div truncates
+      // toward zero where DuckDB's // floors — floor() agrees everywhere
+      // (the products stay ≤ 5e10, exactly representable)
+      val means = coords.groupBy("label", "pos", "vintage")
+        .agg(sum("vc").as("sv"), count(lit(1)).as("n"))
+        .withColumn("m", floor(col("sv").cast("double") * 10000.0 /
+          col("n").cast("double")).cast("long"))
+      val wide = means.groupBy("label", "pos")
+        .agg(sum(when(col("vintage") === 0, col("m"))).as("me"),
+          sum(when(col("vintage") === 1, col("m"))).as("mo"),
+          max(when(col("vintage") === 0, col("n"))).as("ne"),
+          max(when(col("vintage") === 1, col("n"))).as("no"))
+      wide.groupBy("label")
+        .agg(max("ne").as("n_even"), max("no").as("n_odd"),
+          sum((col("me") - col("mo")) * (col("me") - col("mo")))
+            .as("shift_sq"))
+        .orderBy("label")
+    }),
+
     // Recommender-output quality: catalog coverage (distinct recommended
     // parts / graph nodes, ppm) and personalization overlap (how many
     // source PAIRS share each recommended item: Σ_item C(k,2), scaled by
@@ -151,6 +184,26 @@ object DriftOps {
         |SELECT band, c0, c1, p0_ppm, p1_ppm, d_ppm,
         |  CAST(sum(d_ppm) OVER () AS BIGINT) AS l1_total_ppm
         |FROM q ORDER BY band""".stripMargin,
+
+    "emb_centroid_shift" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+        |    vec_id % 2 AS vintage, CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS vc
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
+        |m AS (SELECT label, pos, vintage,
+        |    CAST(floor(CAST(sum(vc) AS DOUBLE) * 10000.0 /
+        |      CAST(count(*) AS DOUBLE)) AS BIGINT) AS m,
+        |    count(*) AS n
+        |  FROM c GROUP BY 1, 2, 3),
+        |w AS (SELECT label, pos,
+        |    CAST(sum(CASE WHEN vintage = 0 THEN m END) AS BIGINT) AS me,
+        |    CAST(sum(CASE WHEN vintage = 1 THEN m END) AS BIGINT) AS mo,
+        |    CAST(max(CASE WHEN vintage = 0 THEN n END) AS BIGINT) AS ne,
+        |    CAST(max(CASE WHEN vintage = 1 THEN n END) AS BIGINT) AS no
+        |  FROM m GROUP BY 1, 2)
+        |SELECT label, max(ne) AS n_even, max(no) AS n_odd,
+        |  CAST(sum((me - mo) * (me - mo)) AS BIGINT) AS shift_sq
+        |FROM w GROUP BY label ORDER BY label""".stripMargin,
 
     "rec_coverage_metrics" ->
       s"""WITH ${GraphOps.edgesSql},
