@@ -63,6 +63,33 @@ class DriftOpsSuite extends AnyFunSuite {
     assert(ppm > 500000L && ppm < 2000000L)
   }
 
+  test("emb_centroid_shift ≡ brute-force quantized centroid algebra") {
+    val rows = DriftOps.queries("emb_centroid_shift")(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val emb = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 10000).toLong).toArray,
+        r.getInt(2).toLong))
+    emb.groupBy(_._3).foreach { case (label, g) =>
+      val even = g.filter(_._1 % 2 == 0)
+      val odd = g.filter(_._1 % 2 == 1)
+      val dim = g.head._2.length
+      var shift = 0L
+      (0 until dim).foreach { p =>
+        val me = math.floor(
+          even.map(_._2(p)).sum.toDouble * 10000.0 / even.length).toLong
+        val mo = math.floor(
+          odd.map(_._2(p)).sum.toDouble * 10000.0 / odd.length).toLong
+        shift += (me - mo) * (me - mo)
+      }
+      val (ne, no, gotShift) = rows(label)
+      assert(ne == even.length && no == odd.length)
+      assert(gotShift == shift, s"label $label")
+    }
+  }
+
   test("vocab_growth_heaps: monotone, final decile = full corpus") {
     val rows = DriftOps.queries("vocab_growth_heaps")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
