@@ -50,6 +50,7 @@ object SparkEntry {
       (SegmentOps.queries, SegmentOps.oracles),
       (AgingOps.queries, AgingOps.oracles),
       (JourneyOps.queries, JourneyOps.oracles),
+      (SqlOps.queries, SqlOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
