@@ -95,7 +95,13 @@ object RobustOps {
         .groupBy(col("o_orderpriority"), col("n"), col("sv"))
         .agg(sum(col("c") * (col("r2") - col("n") - lit(1L)) * col("v"))
           .as("num"))
-        .withColumn("gini_ppm", expr("(num * 1000000) div (n * sv)"))
+        // num·1e6 overflows int64 once n·maxrank·value passes ~9e12
+        // (it does at sf0.1) — the ratio is evaluated in doubles with an
+        // IDENTICAL expression tree in both engines, then floored; num
+        // and n·sv stay below 2^53 here (promote to DECIMAL beyond)
+        .withColumn("gini_ppm", floor(col("num").cast("double") *
+          lit(1000000.0) / (col("n").cast("double") *
+            col("sv").cast("double"))).cast("long"))
         .select("o_orderpriority", "n", "gini_ppm")
         .orderBy("o_orderpriority")
     }),
@@ -163,7 +169,8 @@ object RobustOps {
         |      0) AS BIGINT) + c + 1 AS r2
         |  FROM h)
         |SELECT o_orderpriority, n,
-        |  CAST((sum(c * (r2 - n - 1) * v) * 1000000) // (n * sv) AS BIGINT)
+        |  CAST(floor(CAST(sum(c * (r2 - n - 1) * v) AS DOUBLE) * 1000000.0
+        |    / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))) AS BIGINT)
         |    AS gini_ppm
         |FROM w GROUP BY o_orderpriority, n, sv
         |ORDER BY o_orderpriority""".stripMargin,
