@@ -51,6 +51,7 @@ object SparkEntry {
       (AgingOps.queries, AgingOps.oracles),
       (JourneyOps.queries, JourneyOps.oracles),
       (SqlOps.queries, SqlOps.oracles),
+      (ExportOps.queries, ExportOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** §2.42 producer-side export & dimension generation — the spec's
+  * PRODUCER half in batch form (serialize the feed back to CloudEvents
+  * JSON; reference README.md:27-76 envelope fields) and the calendar
+  * dimension generator every warehouse bootstraps with.
+  *
+  * Scale shapes (100 TB notes):
+  *  - feed_export_cloudevents: pure per-row JSON projection (codegen'd
+  *    to_json over a struct — identical compact field-ordered output in
+  *    any engine); bounded panel here, the full export is the same map.
+  *  - dim_date_generate: one sequence explode spanning the feed's day
+  *    range; the day-of-week is ARITHMETIC ((day+4) mod 7 — 1970-01-01
+  *    was a Thursday) because dow numbering conventions differ across
+  *    engines while epoch arithmetic cannot.
+  */
+object ExportOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CloudEvents envelope serialization for a bounded page of the feed
+    // (event_id < 200): the spec's JSON fields in canonical order as ONE
+    // compact JSON string per event — the batch form of the producer's
+    // serializer.
+    "feed_export_cloudevents" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          to_json(struct(
+            lit("1.0").as("specversion"),
+            col("event_id").cast("string").as("id"),
+            col("event_type").as("type"),
+            col("user_id").cast("string").as("subject"),
+            col("ts_us").cast("string").as("time_us"))).as("envelope"))
+        .orderBy("event_id")),
+
+    // Date-dimension generation over the feed's day span: epoch day,
+    // arithmetic day-of-week (0 = Sunday), ISO-ish week index, month,
+    // quarter, weekend flag — the conformed calendar every star schema
+    // joins against.
+    "dim_date_generate" -> ((s, d) => {
+      val bounds = Tables.events(s, d)
+        .agg(min(expr("ts_us div 86400000000")).as("mn"),
+          max(expr("ts_us div 86400000000")).as("mx"))
+      bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+        .withColumn("week", expr("(day + 4) div 7"))
+        .withColumn("month",
+          expr("month(date_add(to_date('1970-01-01'), cast(day as int)))")
+            .cast("long"))
+        .withColumn("quarter",
+          expr("quarter(date_add(to_date('1970-01-01'), cast(day as int)))")
+            .cast("long"))
+        .withColumn("is_weekend",
+          when(col("dow") === 0 || col("dow") === 6, 1L).otherwise(0L))
+        .orderBy("day")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "feed_export_cloudevents" ->
+      """SELECT event_id, to_json(struct_pack(
+        |    specversion := '1.0',
+        |    id := CAST(event_id AS VARCHAR),
+        |    type := event_type,
+        |    subject := CAST(user_id AS VARCHAR),
+        |    time_us := CAST(epoch_us(ts) AS VARCHAR))) AS envelope
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    "dim_date_generate" ->
+      """WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS mn,
+        |    max(epoch_us(ts) // 86400000000) AS mx FROM events),
+        |dd AS (SELECT CAST(u.day AS BIGINT) AS day
+        |  FROM b, unnest(generate_series(b.mn, b.mx)) u(day))
+        |SELECT day, (day + 4) % 7 AS dow, (day + 4) // 7 AS week,
+        |  CAST(month(DATE '1970-01-01' + CAST(day AS INTEGER)) AS BIGINT)
+        |    AS month,
+        |  CAST(quarter(DATE '1970-01-01' + CAST(day AS INTEGER)) AS BIGINT)
+        |    AS quarter,
+        |  CAST(CASE WHEN (day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_weekend
+        |FROM dd ORDER BY day""".stripMargin
+  )
+}
