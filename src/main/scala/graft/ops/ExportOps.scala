@@ -37,6 +37,50 @@ object ExportOps {
             col("ts_us").cast("string").as("time_us"))).as("envelope"))
         .orderBy("event_id")),
 
+    // Serialization ROUND-TRIP proof: export each bounded-page event to
+    // its CloudEvents JSON envelope, parse it back with from_json
+    // (consumer side), and emit the parsed fields — the oracle states
+    // the original projection, so export∘parse ≡ identity is the check.
+    "feed_roundtrip_json" -> ((s, d) => {
+      val schema = "specversion string, id string, type string, " +
+        "subject string, time_us string"
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          to_json(struct(
+            lit("1.0").as("specversion"),
+            col("event_id").cast("string").as("id"),
+            col("event_type").as("type"),
+            col("user_id").cast("string").as("subject"),
+            col("ts_us").cast("string").as("time_us"))).as("j"))
+        .select(col("event_id"), from_json(col("j"), lit(schema)).as("p"))
+        .select(col("event_id"),
+          col("p.id").cast("long").as("parsed_id"),
+          col("p.type").as("event_type"),
+          col("p.subject").cast("long").as("user_id"),
+          col("p.time_us").cast("long").as("ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // Cohort value (LTV) curve: per signup-week cohort, the CUMULATIVE
+    // canon value through each week offset — windows over the
+    // |cohorts|×|offsets| aggregate only.
+    "cohort_value_curve" -> ((s, d) => {
+      val weekUs = 604800000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div ${weekUs}L").as("wk"),
+          floor(col("value") * 10000).cast("long").as("vc"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val cell = ev.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_off"))
+        .agg(sum("vc").as("v"), count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort_wk").orderBy("wk_off")
+      cell.withColumn("cum_value_c", sum("v").over(w))
+        .select("cohort_wk", "wk_off", "n_events", "cum_value_c")
+        .orderBy("cohort_wk", "wk_off")
+    }),
+
     // Date-dimension generation over the feed's day span: epoch day,
     // arithmetic day-of-week (0 = Sunday), ISO-ish week index, month,
     // quarter, weekend flag — the conformed calendar every star schema
@@ -69,6 +113,24 @@ object ExportOps {
         |    subject := CAST(user_id AS VARCHAR),
         |    time_us := CAST(epoch_us(ts) AS VARCHAR))) AS envelope
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    // export∘parse ≡ identity: the oracle is the plain projection
+    "feed_roundtrip_json" ->
+      """SELECT event_id, event_id AS parsed_id, event_type, user_id,
+        |  epoch_us(ts) AS ts_us
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    "cohort_value_curve" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vc FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |cell AS (SELECT c.cohort_wk, e.wk - c.cohort_wk AS wk_off,
+        |    CAST(sum(e.vc) AS BIGINT) AS v, count(*) AS n_events
+        |  FROM e JOIN c ON e.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT cohort_wk, wk_off, n_events,
+        |  CAST(sum(v) OVER (PARTITION BY cohort_wk ORDER BY wk_off)
+        |    AS BIGINT) AS cum_value_c
+        |FROM cell ORDER BY cohort_wk, wk_off""".stripMargin,
 
     "dim_date_generate" ->
       """WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS mn,
