@@ -124,6 +124,44 @@ object QualityOps {
         .orderBy("rule")
     }),
 
+    // Benford first-significant-digit forensics over order totals: the
+    // classic fraud/data-quality screen. Observed share per digit vs the
+    // Benford expectation (log10(1+1/d) pre-tabulated as integer ppm —
+    // no cross-engine log10), and the absolute gap.
+    "dq_benford_digits" -> ((s, d) => {
+      val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val bArr = array(benford.map(lit): _*)
+      val digits = Tables.orders(s, d)
+        .select(floor(col("o_totalprice")).cast("long").as("v"))
+        .filter(col("v") > 0)
+        .withColumn("digit",
+          substring(col("v").cast("string"), 1, 1).cast("long"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      digits
+        .withColumn("tot", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("obs_ppm", expr("(n * 1000000) div tot"))
+        .withColumn("benford_ppm", element_at(bArr, col("digit").cast("int")))
+        .withColumn("gap_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+        .select("digit", "n", "obs_ppm", "benford_ppm", "gap_ppm")
+        .orderBy("digit")
+    }),
+
+    // Rollup with explicit grouping flags: subtotal levels of the
+    // (status, priority) hierarchy, each row tagged with its grouping
+    // bits — the resultset shape BI tools key subtotal rendering on.
+    "agg_grouping_id" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("o_orderstatus")) * 2 +
+            grouping(col("o_orderpriority"))).cast("long").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"))
+        .orderBy("gid", "status", "priority")),
+
     // 2-D selectivity grid for the join-cardinality estimator: quantity
     // bands (width 5) × discount cents, cell count + integer-ppm share.
     // The share window runs over the ≤ |bands|×|cents| grid.
@@ -216,6 +254,29 @@ object QualityOps {
         |SELECT rule, n_checked, n_violations,
         |  (n_violations * 1000000) // n_checked AS viol_ppm
         |FROM rules ORDER BY rule""".stripMargin,
+
+    "dq_benford_digits" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders WHERE floor(o_totalprice) > 0),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit, count(*) AS n FROM v GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tot FROM d),
+        |b AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) AS bb(digit, benford_ppm))
+        |SELECT t.digit, t.n, (t.n * 1000000) // t.tot AS obs_ppm,
+        |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |  abs((t.n * 1000000) // t.tot - b.benford_ppm) AS gap_ppm
+        |FROM t JOIN b ON t.digit = b.digit ORDER BY t.digit""".stripMargin,
+
+    "agg_grouping_id" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+        |    AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
 
     "stats_histogram_grid" ->
       """WITH g AS (SELECT CAST(floor(l_quantity) AS BIGINT) // 5 AS qty_band,

@@ -81,6 +81,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "score_percentile_norm" // score-bucket histogram only
   ) ++ Set(
     "stats_histogram_grid", // |bands|×|cents| grid relation only
+    "dq_benford_digits",    // 9-digit histogram only
     "lm_kneser_ney"         // vocabulary-sized continuation-count relation
   )
 
