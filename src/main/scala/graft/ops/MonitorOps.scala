@@ -77,6 +77,39 @@ object MonitorOps {
         .orderBy("event_type", "day", "hour")
     }),
 
+    // Seasonality strength per type: 1 − SSR/SST over the (day × hour)
+    // grid, with the expected cell from the same independence model as
+    // ts_calendar_residual. SST is cross-multiplied by n² to stay
+    // integral; the final ratio is evaluated in identically-shaped
+    // doubles (the exact-int inputs stay below 2^53 here).
+    "ts_seasonality_strength" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("day"),
+          expr("(ts_us div 3600000000) % 24").as("hour"))
+        .agg(count(lit(1)).as("x"))
+      val wT = Window.partitionBy("event_type")
+      val wD = Window.partitionBy("event_type", "day")
+      val wH = Window.partitionBy("event_type", "hour")
+      grid
+        .withColumn("td", sum("x").over(wD))
+        .withColumn("sh", sum("x").over(wH))
+        .withColumn("tot", sum("x").over(wT))
+        .withColumn("nc", count(lit(1)).over(wT))
+        .withColumn("resid", col("x") - expr("(td * sh) div tot"))
+        .groupBy(col("event_type"), col("nc"))
+        .agg(sum(expr("(x * nc - tot) * (x * nc - tot)")).as("sst_s"),
+          sum(col("resid") * col("resid")).as("ssr"))
+        .withColumn("strength_ppm", when(col("sst_s") > 0, floor(
+          (col("sst_s").cast("double") -
+            col("ssr").cast("double") * col("nc").cast("double") *
+              col("nc").cast("double")) /
+            col("sst_s").cast("double") * lit(1000000.0)).cast("long")))
+        .select(col("event_type"), col("nc").as("n_cells"),
+          col("strength_ppm"))
+        .orderBy("event_type")
+    }),
+
     // Naive seasonal forecast evaluation: forecast(day) = count(day−7)
     // per type; report days evaluated and the MAE in count units ×100
     // (integer). The baseline every real forecaster must beat.
@@ -171,6 +204,29 @@ object MonitorOps {
         |SELECT event_type, day, hour, x, CAST(expected AS BIGINT) AS expected,
         |  CAST(resid AS BIGINT) AS resid
         |FROM top ORDER BY event_type, day, hour""".stripMargin,
+
+    "ts_seasonality_strength" ->
+      """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour, count(*) AS x
+        |  FROM events GROUP BY 1, 2, 3),
+        |w AS (SELECT *, CAST(sum(x) OVER (PARTITION BY event_type, day)
+        |      AS BIGINT) AS td,
+        |    CAST(sum(x) OVER (PARTITION BY event_type, hour) AS BIGINT) AS sh,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nc
+        |  FROM g),
+        |r AS (SELECT *, x - (td * sh) // tot AS resid FROM w),
+        |a AS (SELECT event_type, nc,
+        |    CAST(sum((x * nc - tot) * (x * nc - tot)) AS BIGINT) AS sst_s,
+        |    CAST(sum(resid * resid) AS BIGINT) AS ssr
+        |  FROM r GROUP BY 1, 2)
+        |SELECT event_type, nc AS n_cells,
+        |  CASE WHEN sst_s > 0 THEN CAST(floor(
+        |    (CAST(sst_s AS DOUBLE) - CAST(ssr AS DOUBLE) *
+        |      CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE))
+        |    / CAST(sst_s AS DOUBLE) * 1000000.0) AS BIGINT)
+        |  ELSE NULL END AS strength_ppm
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "ts_forecast_eval_naive" ->
       """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

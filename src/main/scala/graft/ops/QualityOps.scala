@@ -124,6 +124,33 @@ object QualityOps {
         .orderBy("rule")
     }),
 
+    // Order-independent table fingerprints: per table, the row count and
+    // the SUM of each row's 24-bit md5 key-decode — a commutative
+    // checksum any engine recomputes identically, the cross-engine
+    // integrity check a migration runs before cutover.
+    "table_fingerprint" -> ((s, d) => {
+      def hex24(c: Column): Column = {
+        val m = md5(c)
+        (1 to 6).map { i =>
+          val a = ascii(substring(m, i, 1))
+          when(a >= 97, a - 87).otherwise(a - 48).cast("long") *
+            lit(1L << (4 * (6 - i)))
+        }.reduce(_ + _)
+      }
+      def fp(df: DataFrame, name: String, key: Column) = df
+        .select(hex24(key).as("h"))
+        .agg(lit(name).as("table_name"), count(lit(1)).as("n"),
+          sum("h").as("checksum"))
+      fp(Tables.lineitem(s, d), "lineitem",
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_quantity")).cast("long")))
+        .unionByName(fp(Tables.orders(s, d), "orders",
+          concat_ws("|", col("o_orderkey"), col("o_custkey"))))
+        .unionByName(fp(Tables.customer(s, d), "customer",
+          concat_ws("|", col("c_custkey"), col("c_nationkey"))))
+        .orderBy("table_name")
+    }),
+
     // Benford first-significant-digit forensics over order totals: the
     // classic fraud/data-quality screen. Observed share per digit vs the
     // Benford expectation (log10(1+1/d) pre-tabulated as integer ppm —
@@ -254,6 +281,25 @@ object QualityOps {
         |SELECT rule, n_checked, n_violations,
         |  (n_violations * 1000000) // n_checked AS viol_ppm
         |FROM rules ORDER BY rule""".stripMargin,
+
+    "table_fingerprint" -> {
+      def hSql(keyExpr: String) =
+        graft.api.Sampling.hexDecodeSql(s"md5($keyExpr)")
+      val li = hSql("CAST(l_orderkey AS VARCHAR) || '|' || " +
+        "CAST(l_linenumber AS VARCHAR) || '|' || " +
+        "CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)")
+      val or = hSql("CAST(o_orderkey AS VARCHAR) || '|' || " +
+        "CAST(o_custkey AS VARCHAR)")
+      val cu = hSql("CAST(c_custkey AS VARCHAR) || '|' || " +
+        "CAST(c_nationkey AS VARCHAR)")
+      s"""SELECT 'customer' AS table_name, count(*) AS n,
+        |  CAST(sum($cu) AS BIGINT) AS checksum FROM customer
+        |UNION ALL
+        |SELECT 'lineitem', count(*), CAST(sum($li) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders', count(*), CAST(sum($or) AS BIGINT) FROM orders
+        |ORDER BY table_name""".stripMargin
+    },
 
     "dq_benford_digits" ->
       """WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
