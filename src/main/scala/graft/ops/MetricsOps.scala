@@ -118,6 +118,46 @@ object MetricsOps {
         .orderBy("bin")
     }),
 
+    // A/B experiment readout: users deterministically split into two
+    // arms by md5 parity (the stateless assignment every experiment
+    // platform uses), conversion = any purchase event; per arm the
+    // conversion rate in ppm, with the treatment−control lift carried
+    // alongside (window over the 2-row arm relation).
+    "ab_test_lift" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm", graft.api.Sampling.hashBucket(col("user_id"), 2))
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+        .withColumn("rate_ppm", expr("(n_conv * 1000000) div n_users"))
+      val w = Window.partitionBy()
+      arms
+        .withColumn("lift_ppm",
+          col("rate_ppm") - first("rate_ppm").over(w.orderBy("arm")))
+        .select("arm", "n_users", "n_conv", "rate_ppm", "lift_ppm")
+        .orderBy("arm")
+    }),
+
+    // Empty-input semantics: aggregates over a provably empty relation
+    // (global aggregate → ONE row with count 0 and null sums; grouped
+    // aggregate → zero rows) — the edge an engine must get right before
+    // anything else composes. Both shapes in one output.
+    "empty_input_semantics" -> ((s, d) => {
+      val empty = Tables.orders(s, d).filter(lit(1) === lit(0))
+      val global = empty.agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice")).cast("long")).as("s"))
+        .select(lit("global_agg").as("shape"), col("n"),
+          coalesce(col("s"), lit(-1L)).as("s_disp"))
+      val grouped = empty.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"))
+        .select(lit("grouped_agg").as("shape"),
+          col("n_groups").as("n"), lit(-1L).as("s_disp"))
+      global.unionByName(grouped).orderBy("shape")
+    }),
+
     // Full confusion matrix of the LOO 5-NN majority-vote classifier
     // (the knn_classify_eval contract: bounded probe panel vec_id <
     // 1000, vote ties to the smallest label): per (true, predicted)
@@ -163,6 +203,34 @@ object MetricsOps {
       |    ORDER BY dist, id) AS rk FROM sc)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "ab_test_lift" -> {
+      val hv = graft.api.Sampling.hexDecodeSql(
+        "md5(CAST(user_id AS VARCHAR))")
+      s"""WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT ($hv) % 2 AS arm, count(*) AS n_users,
+        |    CAST(sum(converted) AS BIGINT) AS n_conv
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT *, (n_conv * 1000000) // n_users AS rate_ppm FROM a)
+        |SELECT CAST(arm AS BIGINT) AS arm, n_users, n_conv,
+        |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(rate_ppm - first_value(rate_ppm) OVER (ORDER BY arm)
+        |    AS BIGINT) AS lift_ppm
+        |FROM r ORDER BY arm""".stripMargin
+    },
+
+    "empty_input_semantics" ->
+      """SELECT 'global_agg' AS shape, count(*) AS n,
+        |  coalesce(CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT),
+        |    -1) AS s_disp
+        |FROM orders WHERE 1 = 0
+        |UNION ALL
+        |SELECT 'grouped_agg', count(*), CAST(-1 AS BIGINT) FROM (
+        |  SELECT o_orderstatus FROM orders WHERE 1 = 0 GROUP BY 1)
+        |ORDER BY shape""".stripMargin,
+
     "auc_eval" ->
       """WITH s AS (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000)
         |      AS BIGINT) AS score_c, CAST(label AS BIGINT) AS label
