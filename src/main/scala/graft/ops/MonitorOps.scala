@@ -149,6 +149,51 @@ object MonitorOps {
         .orderBy("event_type")
     }),
 
+    // Sliding 7-day median of the daily series, EXACT and window-sort
+    // free: the 7 trailing values become a per-row array (7 lags),
+    // array_sort picks element 4 — integer arithmetic only, emitted for
+    // full windows. (A median() window function would sort per frame;
+    // the lag-array form is pure projection over the calendar relation.)
+    "ts_sliding_median" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = (0 to 6).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"x$k", lag(col("x"), k).over(w))
+      }
+      lagged.filter(col("x6").isNotNull)
+        .withColumn("med7", expr(
+          "array_sort(array(x0, x1, x2, x3, x4, x5, x6))[3]"))
+        .select("event_type", "day", "x", "med7")
+        .orderBy("event_type", "day")
+    }),
+
+    // Pareto revenue concentration: the minimum number of customers
+    // covering 50/80/90% of total revenue, from the customer-revenue
+    // value histogram consumed from the TOP — the 80/20 curve in three
+    // integer rows.
+    "orders_value_pareto" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("r"))
+      val hist = rev.groupBy("r").agg(count(lit(1)).as("c"))
+      val wDesc = Window.orderBy(col("r").desc)
+      val wAll = Window.partitionBy()
+      val cum = hist
+        .withColumn("cum_rev", sum(col("r") * col("c")).over(wDesc))
+        .withColumn("cum_cust", sum("c").over(wDesc))
+        .withColumn("tot_rev", sum(col("r") * col("c")).over(wAll))
+        .withColumn("tot_cust", sum("c").over(wAll))
+      def need(p: Int) = cum
+        .filter(col("cum_rev") * 100 >= col("tot_rev") * p)
+        .agg(lit(p.toLong).as("threshold_pct"),
+          min("cum_cust").as("n_customers"),
+          min(expr("(cum_cust * 1000000) div tot_cust")).as("cust_ppm"))
+      need(50).unionByName(need(80)).unionByName(need(90))
+        .orderBy("threshold_pct")
+    }),
+
     // Burst detection: 3-day centered window count vs the trailing
     // 14-day daily mean — burst score = window·14·100 div (3·trail14)
     // (≥ 100 = at or above baseline). Top-10 burst days per type.
@@ -204,6 +249,47 @@ object MonitorOps {
         |SELECT event_type, day, hour, x, CAST(expected AS BIGINT) AS expected,
         |  CAST(resid AS BIGINT) AS resid
         |FROM top ORDER BY event_type, day, hour""".stripMargin,
+
+    "ts_sliding_median" -> {
+      val lags = (0 to 6).map(k =>
+        s"lag(x, $k) OVER (PARTITION BY event_type ORDER BY day) AS x$k")
+        .mkString(", ")
+      s"""WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, day, x, $lags FROM dly)
+        |SELECT event_type, day, x,
+        |  CAST(list_sort([x0, x1, x2, x3, x4, x5, x6])[4] AS BIGINT) AS med7
+        |FROM lg WHERE x6 IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin
+    },
+
+    "orders_value_pareto" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT r, count(*) AS c FROM rev GROUP BY 1),
+        |cm AS (SELECT *,
+        |    CAST(sum(r * c) OVER (ORDER BY r DESC) AS BIGINT) AS cum_rev,
+        |    CAST(sum(c) OVER (ORDER BY r DESC) AS BIGINT) AS cum_cust,
+        |    CAST(sum(r * c) OVER () AS BIGINT) AS tot_rev,
+        |    CAST(sum(c) OVER () AS BIGINT) AS tot_cust
+        |  FROM h),
+        |q AS (SELECT 50 AS threshold_pct, min(cum_cust) AS n_customers,
+        |    CAST(min((cum_cust * 1000000) // tot_cust) AS BIGINT)
+        |      AS cust_ppm
+        |  FROM cm WHERE cum_rev * 100 >= tot_rev * 50
+        |  UNION ALL
+        |  SELECT 80, min(cum_cust),
+        |    CAST(min((cum_cust * 1000000) // tot_cust) AS BIGINT)
+        |  FROM cm WHERE cum_rev * 100 >= tot_rev * 80
+        |  UNION ALL
+        |  SELECT 90, min(cum_cust),
+        |    CAST(min((cum_cust * 1000000) // tot_cust) AS BIGINT)
+        |  FROM cm WHERE cum_rev * 100 >= tot_rev * 90)
+        |SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
+        |  CAST(n_customers AS BIGINT) AS n_customers, cust_ppm
+        |FROM q ORDER BY threshold_pct""".stripMargin,
 
     "ts_seasonality_strength" ->
       """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -83,6 +83,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "stats_histogram_grid", // |bands|×|cents| grid relation only
     "dq_benford_digits",    // 9-digit histogram only
     "ab_test_lift",         // 2-row arm relation only
+    "orders_value_pareto",  // customer-revenue value histogram only
     "lm_kneser_ney"         // vocabulary-sized continuation-count relation
   )
 
