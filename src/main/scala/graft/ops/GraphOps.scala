@@ -264,6 +264,34 @@ object GraphOps {
         .orderBy("src", "rk")
     }),
 
+    // Degree assortativity of the co-purchase graph: Pearson correlation
+    // of endpoint degrees over all directed edges — do high-degree parts
+    // co-sell with high-degree parts? All moment sums exact BIGINT off
+    // the shared adjacency cache (degrees ≤ a few hundred); only the
+    // final ratio is floating, canon100'd like every correlation here.
+    "graph_assortativity" -> ((s, d) => {
+      val deg = adjacency(s, d).select(col("u"), col("deg"))
+      val pairs = edges(s, d)
+        .join(deg.hint("shuffle_hash"), "u")
+        .select(col("v"), col("deg").as("d1"))
+        .join(deg.select(col("u").as("v"), col("deg").as("d2"))
+          .hint("shuffle_hash"), "v")
+      pairs.agg(count(lit(1)).as("n_edges"),
+          sum("d1").as("s1"), sum("d2").as("s2"),
+          sum(col("d1") * col("d1")).as("s11"),
+          sum(col("d2") * col("d2")).as("s22"),
+          sum(col("d1") * col("d2")).as("s12"))
+        .withColumn("num", col("n_edges") * col("s12") - col("s1") * col("s2"))
+        .withColumn("da", col("n_edges") * col("s11") - col("s1") * col("s1"))
+        .withColumn("db", col("n_edges") * col("s22") - col("s2") * col("s2"))
+        .select(col("n_edges"),
+          when(col("da") > 0 && col("db") > 0,
+            floor(col("num").cast("double") /
+              (sqrt(col("da").cast("double")) *
+                sqrt(col("db").cast("double"))) * lit(100.0)).cast("long"))
+            .as("assort_c"))
+    }),
+
     // Label-propagation communities, two deterministic iterations: every
     // node starts as its own label; each round adopts the MODE of its
     // neighbors' labels (tie → smallest label, via a per-node rank over
@@ -442,6 +470,25 @@ object GraphOps {
         |    ORDER BY cn DESC, c) AS rk FROM nf)
         |SELECT src, CAST(rk AS BIGINT) AS rk, c AS rec, cn
         |FROM rnk WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH $edgesSql,
+        |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+        |p AS (SELECT a.deg AS d1, b.deg AS d2
+        |  FROM e JOIN dg a ON e.u = a.u JOIN dg b ON e.v = b.u),
+        |m AS (SELECT count(*) AS n_edges,
+        |    CAST(sum(d1) AS BIGINT) AS s1, CAST(sum(d2) AS BIGINT) AS s2,
+        |    CAST(sum(d1*d1) AS BIGINT) AS s11,
+        |    CAST(sum(d2*d2) AS BIGINT) AS s22,
+        |    CAST(sum(d1*d2) AS BIGINT) AS s12
+        |  FROM p)
+        |SELECT n_edges,
+        |  CASE WHEN n_edges*s11 - s1*s1 > 0 AND n_edges*s22 - s2*s2 > 0
+        |    THEN CAST(floor(CAST(n_edges*s12 - s1*s2 AS DOUBLE) /
+        |      (sqrt(CAST(n_edges*s11 - s1*s1 AS DOUBLE)) *
+        |       sqrt(CAST(n_edges*s22 - s2*s2 AS DOUBLE))) * 100.0) AS BIGINT)
+        |    ELSE NULL END AS assort_c
+        |FROM m""".stripMargin,
 
     "graph_label_prop" ->
       s"""WITH $edgesSql,
