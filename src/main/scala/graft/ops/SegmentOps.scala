@@ -89,6 +89,83 @@ object SegmentOps {
         .orderBy("o_orderpriority")
     }),
 
+    // Weekly growth accounting — the canonical product-analytics
+    // decomposition: per week, users who are NEW (first-ever activity),
+    // RETAINED (active this week and last), RESURRECTED (active this
+    // week, inactive last, not new) and CHURNED (active last week, not
+    // this). All flags derive from the per-(user, week) activity
+    // relation with user-partitioned lags; churn attributes to the week
+    // AFTER the last active one.
+    "growth_accounting_weekly" -> ((s, d) => {
+      val weekUs = 604800000000L
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div ${weekUs}L").as("wk"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val flagged = uw
+        .withColumn("first_wk", min("wk").over(
+          Window.partitionBy("user_id")))
+        .withColumn("prev_wk", lag("wk", 1).over(w))
+        .withColumn("next_wk", lead("wk", 1).over(w))
+      val active = flagged.select(col("wk"),
+        when(col("wk") === col("first_wk"), 1L).otherwise(0L).as("is_new"),
+        when(col("prev_wk") === col("wk") - 1, 1L).otherwise(0L)
+          .as("is_retained"),
+        when(col("wk") =!= col("first_wk") &&
+          (col("prev_wk").isNull || col("prev_wk") < col("wk") - 1), 1L)
+          .otherwise(0L).as("is_resurrected"))
+      val churn = flagged
+        .filter(col("next_wk").isNull || col("next_wk") > col("wk") + 1)
+        .groupBy((col("wk") + 1).as("wk"))
+        .agg(count(lit(1)).as("n_churned"))
+      active.groupBy("wk")
+        .agg(count(lit(1)).as("n_active"), sum("is_new").as("n_new"),
+          sum("is_retained").as("n_retained"),
+          sum("is_resurrected").as("n_resurrected"))
+        .join(churn, Seq("wk"), "left")
+        .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+        .orderBy("wk")
+    }),
+
+    // ABC × XYZ inventory matrix: ABC = revenue class (top-20% of parts
+    // by revenue = A, next 30% = B, rest = C, via the 2-pass revenue
+    // histogram rank), XYZ = demand variability class from the integer
+    // squared coefficient of variation of weekly quantities
+    // (cv²·1e6 = (n·Σx² − (Σx)²)·1e6 div (Σx)² — no sqrt). Counts per
+    // cell — the stocking-policy planning grid.
+    "abc_xyz_matrix" -> ((s, d) => {
+      val weekUs = 604800000000L
+      val wk = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div " +
+            s"${weekUs}L").as("wk"),
+          floor(col("l_quantity")).cast("long").as("q"))
+        .groupBy("l_partkey", "wk").agg(sum("q").as("x"))
+      val parts = wk.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      // ABC rank via the 2-pass VALUE-histogram (cume over distinct
+      // revenue values, value-bounded) — never a data-sized global window
+      val hist = parts.groupBy("sx").agg(count(lit(1)).as("c"))
+      val wDesc = Window.orderBy(col("sx").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val ranked = hist
+        .withColumn("cum_ge", sum("c").over(wDesc))
+        .withColumn("np", sum("c").over(wAll))
+        .select(col("sx"), expr("(cum_ge * 1000000) div np").as("rank_ppm"))
+      val perPart = parts.join(ranked, "sx")
+        .withColumn("abc", when(col("rank_ppm") <= 200000, "A")
+          .when(col("rank_ppm") <= 500000, "B").otherwise("C"))
+        .withColumn("cv2_ppm", expr(
+          "((n * sxx - sx * sx) * 1000000) div (sx * sx)"))
+        .withColumn("xyz", when(col("cv2_ppm") <= 100000, "X")
+          .when(col("cv2_ppm") <= 400000, "Y").otherwise("Z"))
+      perPart.groupBy("abc", "xyz")
+        .agg(count(lit(1)).as("n_parts"), sum("sx").as("total_qty"))
+        .orderBy("abc", "xyz")
+    }),
+
     // Percentile-rank normalization of a per-doc quality score
     // (type-token ratio in ppm): pctl_ppm = rows with a strictly
     // smaller bucket ·1e6 div (n−1), assigned by joining each doc's
@@ -140,6 +217,56 @@ object SegmentOps {
         |  CAST(m AS BIGINT) AS m, count(*) AS n_users,
         |  CAST(sum(mon) // count(*) AS BIGINT) AS mean_mon_c
         |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+
+    "growth_accounting_weekly" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT *, min(wk) OVER (PARTITION BY user_id) AS first_wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        |  FROM uw),
+        |act AS (SELECT wk, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN wk <> first_wk AND (prev_wk IS NULL
+        |      OR prev_wk < wk - 1) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_resurrected
+        |  FROM f GROUP BY 1),
+        |ch AS (SELECT wk + 1 AS wk, count(*) AS n_churned FROM f
+        |  WHERE next_wk IS NULL OR next_wk > wk + 1 GROUP BY 1)
+        |SELECT act.wk, act.n_active, act.n_new, act.n_retained,
+        |  act.n_resurrected,
+        |  CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM act LEFT JOIN ch ON act.wk = ch.wk
+        |ORDER BY act.wk""".stripMargin,
+
+    "abc_xyz_matrix" ->
+      """WITH wq AS (SELECT l_partkey,
+        |    epoch_us(l_shipdate) // 604800000000 AS wk,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT l_partkey, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM wq GROUP BY 1),
+        |h AS (SELECT sx, count(*) AS c FROM p GROUP BY 1),
+        |r AS (SELECT sx, CAST(sum(c) OVER (ORDER BY sx DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_ge,
+        |    CAST(sum(c) OVER () AS BIGINT) AS np FROM h),
+        |j AS (SELECT p.*, (r.cum_ge * 1000000) // r.np AS rank_ppm,
+        |    ((p.n * p.sxx - p.sx * p.sx) * 1000000) // (p.sx * p.sx)
+        |      AS cv2_ppm
+        |  FROM p JOIN r ON p.sx = r.sx),
+        |cls AS (SELECT sx,
+        |    CASE WHEN rank_ppm <= 200000 THEN 'A'
+        |      WHEN rank_ppm <= 500000 THEN 'B' ELSE 'C' END AS abc,
+        |    CASE WHEN cv2_ppm <= 100000 THEN 'X'
+        |      WHEN cv2_ppm <= 400000 THEN 'Y' ELSE 'Z' END AS xyz
+        |  FROM j)
+        |SELECT abc, xyz, count(*) AS n_parts,
+        |  CAST(sum(sx) AS BIGINT) AS total_qty
+        |FROM cls GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin,
 
     "ship_latency_quantiles" ->
       """WITH lat AS (SELECT o.o_orderpriority,

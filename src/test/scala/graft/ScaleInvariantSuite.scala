@@ -84,6 +84,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "dq_benford_digits",    // 9-digit histogram only
     "ab_test_lift",         // 2-row arm relation only
     "orders_value_pareto",  // customer-revenue value histogram only
+    "abc_xyz_matrix",       // part-revenue value histogram only
     "lm_kneser_ney"         // vocabulary-sized continuation-count relation
   )
 
