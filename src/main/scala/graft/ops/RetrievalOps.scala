@@ -61,6 +61,42 @@ object RetrievalOps {
         .orderBy("qid", "rk")
     }),
 
+    // FILTERED vector search — the composition modern vector stores
+    // struggle with: exact top-5 by squared L2 among ONLY the corpus
+    // rows matching a metadata predicate (label ∈ {1, 2}), for the
+    // bounded query panel. The filter prunes BEFORE the distance kernel
+    // (predicate-then-search, not post-filtering a top-k, which can
+    // return < k); the oracle proves the semantics.
+    "vec_filtered_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val filtered = emb.filter(col("label").isin(1, 2))
+      val probes = emb.filter(col("vec_id") < 5)
+      val nn = graft.api.Vectors.knn(filtered, col("vec_id"),
+        col("embedding"), probes, col("vec_id"), col("embedding"), k = 5)
+      nn.select(col("qid"), col("rank").cast("long").as("rank"),
+          col("id"), floor(col("dist") * 10000).cast("long").as("dist_c"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Dwell-time statistics on journey EDGES: per (prev type → type)
+    // transition, the count and mean gap in seconds (integer) — the
+    // timing layer on top of the transition-count Markov matrix.
+    "transition_dwell_stats" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ts_us") - col("prev_ts")).as("gap_sum_us"))
+        .withColumn("mean_gap_s", expr("(gap_sum_us div n) div 1000000"))
+        .select("prev_type", "event_type", "n", "mean_gap_s")
+        .orderBy("prev_type", "event_type")
+    }),
+
     // LTTB-flavored downsampling of the per-type daily series: rows
     // bucketed 5 per bucket (by row index); each interior bucket keeps
     // the point with the LARGEST triangle area against the neighbor
@@ -156,6 +192,35 @@ object RetrievalOps {
         |    ORDER BY maxsim DESC, id) AS rk FROM s)
         |SELECT qid, CAST(rk AS BIGINT) AS rk, id, maxsim
         |FROM rnk WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "vec_filtered_knn" ->
+      """WITH d AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE label IN (1, 2)),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 5),
+        |s AS (SELECT q.qid, d.vec_id AS id,
+        |    list_reduce(list_transform(generate_series(1, len(d.embedding)),
+        |      i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)) *
+        |           (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM q JOIN d ON d.vec_id <> q.qid),
+        |rnk AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dist, id) AS rk FROM s)
+        |SELECT qid, CAST(rk AS BIGINT) AS rank, id,
+        |  CAST(floor(dist * 10000) AS BIGINT) AS dist_c
+        |FROM rnk WHERE rk <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "transition_dwell_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |l AS (SELECT *, lag(event_type) OVER w AS prev_type,
+        |    lag(ts_us) OVER w AS prev_ts
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT prev_type, event_type, count(*) AS n,
+        |  CAST((CAST(sum(ts_us - prev_ts) AS BIGINT) // count(*)) // 1000000
+        |    AS BIGINT) AS mean_gap_s
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
 
     "ts_downsample_lttb" ->
       """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

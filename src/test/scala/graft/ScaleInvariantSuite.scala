@@ -50,6 +50,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "graph_kcore",          // × |V|-row alive set + 1-row count pairs
     "feed_consumer_lag",    // × 4-row synthetic consumer-offset table
     "vec_maxsim_topk",      // × bounded query panel (vec_id < 5)
+    "vec_filtered_knn",     // × bounded query panel (vec_id < 5)
     "rec_coverage_metrics", // × single-row source/node count aggregates
     "price_index_period",   // × single-row era-midpoint bound
     "vocab_growth_heaps",   // × broadcast 10-row decile table
