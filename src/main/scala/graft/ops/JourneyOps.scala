@@ -65,6 +65,34 @@ object JourneyOps {
         .orderBy("l_partkey")
     }),
 
+    // LINEAR multi-touch attribution — the equal-credit counterpart of
+    // the last-touch operator: every purchase splits 1e6 credit units
+    // equally across its user's touch events in the preceding hour
+    // (integer div; the remainder stays unassigned, reported alongside).
+    // The purchase⋈touch join is the bounded interval-join shape: keyed
+    // on user, time-banded to one hour.
+    "attribution_linear" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("pid"),
+          col("ts_us").as("pts"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("tu"), col("event_type").as("touch"),
+          col("ts_us").as("tts"))
+      val joined = purchases.join(touches,
+        col("pu") === col("tu") && col("tts") < col("pts") &&
+          col("tts") >= col("pts") - 3600000000L)
+      val perPurchase = joined.groupBy("pid")
+        .agg(count(lit(1)).as("n_touch"))
+      joined.join(perPurchase, "pid")
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_credits"),
+          sum(expr("1000000 div n_touch")).as("credit_ppm_sum"))
+        .orderBy("touch")
+    }),
+
     // Supplier concentration per brand (Herfindahl-Hirschman): HHI·1e6 =
     // Σ cnt² · 1e6 div total² over each brand's supplier line shares —
     // pure integer; 1e6 = monopoly.
@@ -112,6 +140,21 @@ object JourneyOps {
         |  ORDER BY repeat_ppm DESC, l_partkey LIMIT 20)
         |SELECT l_partkey, n_buyers, n_repeat, repeat_ppm
         |FROM top ORDER BY l_partkey""".stripMargin,
+
+    "attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type FROM events),
+        |p AS (SELECT user_id AS pu, event_id AS pid, ts_us AS pts FROM e
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS tu, event_type AS touch, ts_us AS tts
+        |  FROM e WHERE event_type <> 'purchase'),
+        |j AS (SELECT p.pid, t.touch FROM p JOIN t ON p.pu = t.tu
+        |  AND t.tts < p.pts AND t.tts >= p.pts - 3600000000),
+        |n AS (SELECT pid, count(*) AS n_touch FROM j GROUP BY 1)
+        |SELECT j.touch, count(*) AS n_credits,
+        |  CAST(sum(1000000 // n.n_touch) AS BIGINT) AS credit_ppm_sum
+        |FROM j JOIN n ON j.pid = n.pid
+        |GROUP BY 1 ORDER BY j.touch""".stripMargin,
 
     "supplier_hhi" ->
       """WITH bs AS (SELECT p_brand, l_suppkey, count(*) AS c
