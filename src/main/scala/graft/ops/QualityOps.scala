@@ -124,6 +124,20 @@ object QualityOps {
         .orderBy("rule")
     }),
 
+    // Order-size distribution: lineitems-per-order histogram with
+    // integer-ppm shares — the basket-shape statistic an order pipeline
+    // monitors (and a join-cardinality input).
+    "order_size_histogram" -> ((s, d) => {
+      val sizes = Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+        .groupBy("n_lines").agg(count(lit(1)).as("n_orders"))
+      sizes
+        .withColumn("tot", sum("n_orders").over(Window.partitionBy()))
+        .withColumn("share_ppm", expr("(n_orders * 1000000) div tot"))
+        .select("n_lines", "n_orders", "share_ppm")
+        .orderBy("n_lines")
+    }),
+
     // Order-independent table fingerprints: per table, the row count and
     // the SUM of each row's 24-bit md5 key-decode — a commutative
     // checksum any engine recomputes identically, the cross-engine
@@ -281,6 +295,15 @@ object QualityOps {
         |SELECT rule, n_checked, n_violations,
         |  (n_violations * 1000000) // n_checked AS viol_ppm
         |FROM rules ORDER BY rule""".stripMargin,
+
+    "order_size_histogram" ->
+      """WITH s AS (SELECT l_orderkey, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT n_lines, count(*) AS n_orders FROM s GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n_orders) OVER () AS BIGINT) AS tot FROM h)
+        |SELECT n_lines, n_orders,
+        |  (n_orders * 1000000) // tot AS share_ppm
+        |FROM t ORDER BY n_lines""".stripMargin,
 
     "table_fingerprint" -> {
       def hSql(keyExpr: String) =

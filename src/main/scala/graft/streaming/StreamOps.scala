@@ -1057,6 +1057,40 @@ object StreamOps {
         .groupBy(col("lang"), col("seed").cast("long").as("seed"))
         .agg(min("sig").as("sig"))
         .orderBy("lang", "seed")
+    }),
+
+    // Commutative table checksum maintained as STREAMING aggregation
+    // state: per user bucket, the running count and SUM of 24-bit md5
+    // row-hashes (the table_fingerprint algebra live) — monotone, so the
+    // final fingerprint is the per-bucket MAX emission. An engine that
+    // keeps this stream running can verify any replica at any moment.
+    "stream_fingerprint_state" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(_.event_id)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      def hex24(c: org.apache.spark.sql.Column) = {
+        val m = md5(c)
+        (1 to 6).map { i =>
+          val a = ascii(substring(m, i, 1))
+          when(a >= 97, a - 87).otherwise(a - 48).cast("long") *
+            lit(1L << (4 * (6 - i)))
+        }.reduce(_ + _)
+      }
+      val sums = ms.toDF()
+        .select(expr("user_id % 16").as("bucket"),
+          hex24(concat_ws("|", col("event_id"), col("event_type"))).as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("h").as("checksum"))
+      val emitted = runToMemory(s, sums, freshName("fp_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: sums carry
+        ms.addData(b2.toSeq)
+      }
+      emitted.groupBy("bucket")
+        .agg(max("n").as("n"), max("checksum").as("checksum"))
+        .orderBy("bucket")
     })
   )
 
@@ -1355,6 +1389,17 @@ object StreamOps {
       }.mkString("\nUNION ALL\n")
       s"""$seeds
         |ORDER BY lang, seed""".stripMargin
+    },
+
+    // the table_fingerprint algebra over the bounded replay window —
+    // live aggregation state must land the batch checksum
+    "stream_fingerprint_state" -> {
+      val hv = graft.api.Sampling.hexDecodeSql(
+        "md5(CAST(event_id AS VARCHAR) || '|' || event_type)")
+      s"""SELECT user_id % 16 AS bucket, count(*) AS n,
+        |  CAST(sum($hv) AS BIGINT) AS checksum
+        |FROM events WHERE event_id < 20000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin
     }
   )
 }

@@ -86,6 +86,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "ab_test_lift",         // 2-row arm relation only
     "orders_value_pareto",  // customer-revenue value histogram only
     "abc_xyz_matrix",       // part-revenue value histogram only
+    "order_size_histogram", // ≤|max lines|-row histogram only
     "lm_kneser_ney"         // vocabulary-sized continuation-count relation
   )
 
