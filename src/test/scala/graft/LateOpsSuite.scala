@@ -118,6 +118,66 @@ class LateOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("growth_accounting_weekly: active = new + retained + resurrected") {
+    val rows = q("growth_accounting_weekly").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (active, nw, ret, res) =>
+      assert(active == nw + ret + res)
+    }
+  }
+
+  test("abc_xyz_matrix: cells partition the parts") {
+    val rows = q("abc_xyz_matrix").collect()
+    val nParts = Tables.lineitem(spark, d)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nParts)
+    rows.foreach { r =>
+      assert(Set("A", "B", "C")(r.getString(0)))
+      assert(Set("X", "Y", "Z")(r.getString(1)))
+    }
+  }
+
+  test("vec_filtered_knn: every neighbor satisfies the predicate") {
+    val allowed = Tables.embeddings(spark, d)
+      .filter(col("label").isin(1, 2)).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val rows = q("vec_filtered_knn").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(allowed(r.getLong(2))))
+  }
+
+  test("attribution_linear: per-purchase credits bounded by 1e6") {
+    val rows = q("attribution_linear").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // total credit ≤ purchases × 1e6 (integer div loses the remainder)
+    val totalCredit = rows.map(_._3).sum
+    val nPurchases = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count()
+    assert(totalCredit <= nPurchases * 1000000L)
+    rows.foreach { case (touch, _, _) => assert(touch != "purchase") }
+  }
+
+  test("stream_fingerprint_state ≡ batch fingerprint algebra") {
+    val streamed = q("stream_fingerprint_state").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val n = streamed.values.map(_._1).sum
+    val bound = Tables.events(spark, d)
+      .filter(col("event_id") < graft.streaming.StreamOps.ReplayBound)
+      .count()
+    assert(n == bound)
+  }
+
+  test("order_size_histogram: orders partitioned; shares ≈ 1e6") {
+    val rows = q("order_size_histogram").collect()
+    val nOrders = Tables.lineitem(spark, d)
+      .select("l_orderkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    val s = rows.map(_.getLong(2)).sum
+    assert(s > 1000000L - rows.length && s <= 1000000L)
+  }
+
   test("graph_assortativity: coefficient within [-100, 100]") {
     val r = q("graph_assortativity").collect()
     assert(r.length == 1)
