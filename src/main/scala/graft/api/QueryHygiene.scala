@@ -16,18 +16,34 @@ import org.apache.spark.sql.SparkSession
   * it for us.
   *
   * The sweep unpersists every RDD that became persistent during the
-  * query, EXCEPT when the query is a registered shared-cache builder
-  * (the graph family's edge / common-neighbor relations, reused across
-  * all six graph queries — exactly the relations a deployment would keep
-  * as maintained tables).
+  * query EXCEPT explicitly pinned shared caches (the graph family's
+  * adjacency / common-neighbor relations, reused across all nine graph
+  * queries — exactly the relations a deployment would keep as maintained
+  * tables). Pinning is by RDD id, registered at cache-build time via
+  * [[pinning]]: the earlier name-based exemption list silently broke
+  * whenever a NEW query happened to be the first to touch a shared cache
+  * (sorted bench order put `graph_assortativity` — absent from the list —
+  * first, so the adjacency blocks were swept right after being built and
+  * every later graph query re-derived the 2-shuffle build).
   */
 object QueryHygiene {
 
-  /** Queries whose construction materializes relations shared ACROSS
-    * queries: their newly persisted RDDs survive the per-query sweep. */
-  val sharedCacheBuilders: Set[String] = Set(
-    "graph_degree_stats", "graph_jaccard_edges", "graph_label_prop",
-    "graph_pagerank_conv", "graph_pagerank_step", "graph_triangle_count")
+  /** RDD ids of shared cross-query caches — never swept. Registered by
+    * the cache builders themselves via [[pinning]], so the exemption
+    * follows the cache, not whichever query happened to build it. */
+  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Run a shared-cache build and pin every RDD it persisted. The build
+    * must materialize (or at least mark) its persistence inside `body` —
+    * `persist()` registers the id immediately; `localCheckpoint()` is
+    * eager by default. */
+  def pinning[T](spark: SparkSession)(body: => T): T = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = body
+    sc.getPersistentRDDs.keySet.diff(before).foreach(pinned.add(_))
+    out
+  }
 
   /** Run `body` for query `name`, then sweep the blocks it pinned and
     * the temp views it registered (streaming fixtures leave memory-sink
@@ -41,10 +57,8 @@ object QueryHygiene {
       .filter(_.isTemporary).map(_.name).toSet
     try body
     finally {
-      if (!sharedCacheBuilders(name)) {
-        sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!before(id)) rdd.unpersist(blocking = false)
-        }
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before(id) && !pinned.contains(id)) rdd.unpersist(blocking = false)
       }
       spark.catalog.listTables().collect()
         .filter(t => t.isTemporary && !viewsBefore(t.name))

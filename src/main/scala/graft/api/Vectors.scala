@@ -46,6 +46,38 @@ object Vectors {
       .select(col("qid"), col("rank"), col("id"), col("dist"))
   }
 
+  /** Per-component integer quantization of a vector column:
+    * floor(x · scale) as BIGINT. ONE rounding per stored value —
+    * every engine computes the identical integer — after which squared
+    * distances are exact BIGINTs whose sums are merge-order independent.
+    * This is the vector form of the engine's floor-canon discipline, and
+    * what makes large-scale kNN evaluation oracle-checkable through a
+    * vectorized relational recomputation (see [[knnQuantized]]). */
+  def quantize(v: Column, scale: Long): Column =
+    transform(v, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact k-NN by QUANTIZED squared L2 (scale-quantized components,
+    * integer distances — bit-identical in any engine, so rank order has
+    * no float tie ambiguity). Same contract as [[knn]] otherwise:
+    * bounded query side broadcasts, data side streams partition-local
+    * through the codegen'd `vec_sqdist_long` kernel, ties by id.
+    * Returns `(qid, rank, id, dist)` with integer `dist`. */
+  def knnQuantized(data: DataFrame, id: Column, vec: Column,
+                   queries: DataFrame, qid: Column, qvec: Column,
+                   k: Int, scale: Long = 100000L): DataFrame = {
+    graft.catalyst.GraftExtensions.install(data.sparkSession)
+    val d = data.select(id.cast("long").as("id"), quantize(vec, scale).as("v"))
+    val q = queries.select(qid.cast("long").as("qid"),
+      quantize(qvec, scale).as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc_nulls_last, col("id"))
+    d.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("dist", call_function("vec_sqdist_long", col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("dist"))
+  }
+
   /** Top-k most cosine-similar data rows to a single query vector column
     * (one-row `queries` DataFrame). Returns `(id, cos)`, best first. */
   def cosineTopK(data: DataFrame, id: Column, vec: Column,

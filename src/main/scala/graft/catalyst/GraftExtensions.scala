@@ -58,6 +58,9 @@ object GraftExtensions {
     },
     descriptor("vec_sqdist", classOf[VecSqDistExpr]) {
       children => VecSqDistExpr(children(0), children(1))
+    },
+    descriptor("vec_sqdist_long", classOf[VecSqDistLongExpr]) {
+      children => VecSqDistLongExpr(children(0), children(1))
     }
   )
 

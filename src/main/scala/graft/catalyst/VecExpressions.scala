@@ -99,6 +99,73 @@ case class VecDotExpr(left: Expression, right: Expression) extends VecFoldExpr {
   override def prettyName: String = "vec_dot"
 }
 
+/** `vec_sqdist_long(a, b)`: exact squared L2 distance of two
+  * `array<bigint>` quantized vectors, as BIGINT. Quantize first
+  * (`floor(x·scale)` per component — one rounding per VALUE, identical
+  * in every engine), then every distance is an exact integer whose sum
+  * is merge-order independent: the property that lets a DuckDB oracle
+  * recompute the same distances through a vectorized unnest-join-groupby
+  * instead of a per-pair interpreted list lambda (the lambda form is
+  * ~1000× slower and made large-scale oracle sweeps infeasible). Null
+  * contract matches the double kernels: length mismatch or a null
+  * element yields NULL. Overflow note: |q|≤2^20-scaled unit vectors of
+  * dim ≤ 4096 stay far inside int64 (diff² ≤ 2^42 · dim). */
+case class VecSqDistLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = aa.numElements()
+    if (n != bb.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+      val d = aa.getLong(i) - bb.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, acc, d) = (ctx.freshName("i"), ctx.freshName("n"),
+        ctx.freshName("acc"), ctx.freshName("d"))
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSqDistLongExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_sqdist_long"
+}
+
 /** `vec_sqdist(a, b)`: in-order squared L2 distance of two numeric arrays. */
 case class VecSqDistExpr(left: Expression, right: Expression) extends VecFoldExpr {
   override protected def combine(x: String, y: String): String =

@@ -141,7 +141,7 @@ object EvalOps {
     "knn_classify_eval" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") < 1000)
-      val nn = Vectors.knn(emb, col("vec_id"), col("embedding"),
+      val nn = Vectors.knnQuantized(emb, col("vec_id"), col("embedding"),
         probes, col("vec_id"), col("embedding"), k = 5)
       val lbl = emb.select(col("vec_id").as("id"),
         col("label").cast("long").as("nlabel"))
@@ -363,19 +363,13 @@ object EvalOps {
         |    ELSE NULL END AS r_c
         |FROM g ORDER BY event_type, k""".stripMargin,
 
+    // quantized-integer distances via the shared vectorized kNN fragment
+    // (MetricsOps.knnSql) — sf0.1-sweepable, unlike the old per-pair
+    // list-lambda formulation
     "knn_classify_eval" ->
-      """WITH d AS (SELECT vec_id, embedding, label FROM embeddings),
-        |q0 AS (SELECT * FROM d WHERE vec_id < 1000),
-        |s AS (SELECT q.vec_id AS qid, x.vec_id AS id, x.label AS nlabel,
-        |    list_reduce(list_transform(generate_series(1, len(x.embedding)),
-        |      i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) *
-        |           (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))),
-        |      (a, b) -> a + b) AS dist
-        |  FROM q0 q JOIN d x ON x.vec_id <> q.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-        |    ORDER BY dist, id) AS rk FROM s),
-        |v AS (SELECT qid, CAST(nlabel AS BIGINT) AS nlabel, count(*) AS c
-        |      FROM r WHERE rk <= 5 GROUP BY 1, 2),
+      s"""WITH ${MetricsOps.knnSql(1000, 5)},
+        |v AS (SELECT qid, nlabel, count(*) AS c
+        |      FROM rnk WHERE rk <= 5 GROUP BY 1, 2),
         |p AS (SELECT qid, nlabel AS pred, row_number() OVER (PARTITION BY qid
         |    ORDER BY c DESC, nlabel) AS pr FROM v),
         |j AS (SELECT CAST(t.label AS BIGINT) AS label, p.pred

@@ -5,7 +5,6 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.storage.StorageLevel
 import graft.io.Tables
 
 /** §2.18 graph analytics over the co-purchase graph: parts are nodes, an
@@ -54,18 +53,31 @@ object GraphOps {
     * combine), leaves the relation hash-partitioned on u for every
     * consumer, and stores the graph in adjacency form. The former
     * edge-list pipeline paid two more full |E|-row shuffles (global
-    * `distinct` + a pinning `repartition`). */
+    * `distinct` + a pinning `repartition`).
+    *
+    * `localCheckpoint()` (eager, MEMORY_AND_DISK) rather than plain
+    * `persist`: it TRUNCATES the 2-shuffle lineage, so when the unrolled
+    * 4-deep PageRank chain (or any graph query under memory pressure)
+    * loses a block it re-reads the spilled partition from disk instead
+    * of re-deriving the whole edge build inside a deep iteration plan —
+    * the eviction→recompute amplification that made the graph family
+    * 10× slower on a loaded box. `QueryHygiene.pinning` registers the
+    * checkpoint blocks as a shared cross-query cache so the per-query
+    * sweep never frees them (mandatory for checkpointed RDDs: their
+    * blocks are the ONLY copy — no lineage remains to recompute from). */
   private[graft] def adjacency(s: SparkSession, d: String): DataFrame =
     adjCache.computeIfAbsent((s, d), _ =>
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
-        .select(explode(col("pks")).as("u"), col("pks"))
-        .select(col("u"), explode(col("pks")).as("v"))
-        .where(col("u") =!= col("v"))
-        .groupBy("u").agg(sort_array(collect_set(col("v"))).as("vs"))
-        .select(col("u"), col("vs"), size(col("vs")).cast("long").as("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      graft.api.QueryHygiene.pinning(s) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+          .select(explode(col("pks")).as("u"), col("pks"))
+          .select(col("u"), explode(col("pks")).as("v"))
+          .where(col("u") =!= col("v"))
+          .groupBy("u").agg(sort_array(collect_set(col("v"))).as("vs"))
+          .select(col("u"), col("vs"), size(col("vs")).cast("long").as("deg"))
+          .localCheckpoint()
+      })
 
   /** Directed edge relation (each undirected edge in both directions),
     * derived from the adjacency cache by a partition-preserving explode:
@@ -343,7 +355,7 @@ object GraphOps {
   private val cnCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private[graft] def commonNeighbors(s: SparkSession, d: String): DataFrame =
-    cnCache.computeIfAbsent((s, d), _ => {
+    cnCache.computeIfAbsent((s, d), _ => graft.api.QueryHygiene.pinning(s) {
       graft.catalyst.GraftExtensions.install(s) // sorted_intersect_count
       // the adjacency cache already stores each node's SORTED neighbor
       // array, so every edge's cn is a single-pass two-pointer merge
@@ -365,7 +377,10 @@ object GraphOps {
         .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
           call_function("sorted_intersect_count",
             col("nu"), col("nv")).as("cn"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint (eager, disk-backed) like the adjacency cache:
+        // truncates the broadcast-join lineage so eviction re-reads the
+        // spilled block rather than re-broadcasting and re-intersecting
+        .localCheckpoint()
     })
 
   private[graft] val edgesSql =

@@ -79,7 +79,7 @@ object MetricsOps {
     "eval_ndcg" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") < 500)
-      val nn = Vectors.knn(emb, col("vec_id"), col("embedding"),
+      val nn = Vectors.knnQuantized(emb, col("vec_id"), col("embedding"),
         probes, col("vec_id"), col("embedding"), k = 10)
       val wArr = array(ndcgW.map(lit): _*)
       val lbl = emb.select(col("vec_id").as("id"),
@@ -165,7 +165,7 @@ object MetricsOps {
     "confusion_knn_eval" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") < 1000)
-      val nn = Vectors.knn(emb, col("vec_id"), col("embedding"),
+      val nn = Vectors.knnQuantized(emb, col("vec_id"), col("embedding"),
         probes, col("vec_id"), col("embedding"), k = 5)
       val lbl = emb.select(col("vec_id").as("id"),
         col("label").cast("long").as("nlabel"))
@@ -187,18 +187,29 @@ object MetricsOps {
     })
   )
 
-  /** Shared oracle fragment: LOO kNN candidate ranking (same accumulation
-    * order as the vec_sqdist kernel: left-to-right double). */
-  private def knnSql(panelBound: Int, k: Int): String =
+  /** Shared oracle fragment: LOO kNN candidate ranking over QUANTIZED
+    * integer distances. Each embedding component is floor(x·1e5) as
+    * BIGINT (one rounding per value — identical in every engine), after
+    * which pair distances are exact integer sums, merge-order
+    * independent — so the oracle recomputes them as a fully VECTORIZED
+    * unnest → dimension-join → group-by instead of a per-pair
+    * interpreted list lambda (the lambda form was ~1000× slower and
+    * kept these three queries out of the sf0.1 oracle sweep). */
+  private[ops] def knnSql(panelBound: Int, k: Int): String =
     s"""d AS (SELECT vec_id, embedding, label FROM embeddings),
       |q0 AS (SELECT * FROM d WHERE vec_id < $panelBound),
-      |sc AS (SELECT q.vec_id AS qid, x.vec_id AS id,
-      |    CAST(x.label AS BIGINT) AS nlabel,
-      |    list_reduce(list_transform(generate_series(1, len(x.embedding)),
-      |      i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) *
-      |           (CAST(x.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))),
-      |      (a, b) -> a + b) AS dist
-      |  FROM q0 q JOIN d x ON x.vec_id <> q.vec_id),
+      |dqe AS (SELECT vec_id,
+      |    unnest(generate_series(1, len(embedding))) AS i, embedding FROM d),
+      |dq AS (SELECT vec_id, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 100000) AS BIGINT) AS qv
+      |  FROM dqe),
+      |qq AS (SELECT * FROM dq WHERE vec_id < $panelBound),
+      |sc0 AS (SELECT q.vec_id AS qid, x.vec_id AS id,
+      |    CAST(sum((x.qv - q.qv) * (x.qv - q.qv)) AS BIGINT) AS dist
+      |  FROM dq x JOIN qq q ON x.i = q.i AND x.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT sc0.qid, sc0.id, CAST(d.label AS BIGINT) AS nlabel,
+      |    sc0.dist FROM sc0 JOIN d ON sc0.id = d.vec_id),
       |rnk AS (SELECT *, row_number() OVER (PARTITION BY qid
       |    ORDER BY dist, id) AS rk FROM sc)""".stripMargin
 

@@ -107,15 +107,18 @@ class EvalOpsSuite extends AnyFunSuite {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val emb = Tables.embeddings(spark, d)
       .select("vec_id", "embedding", "label").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100000).toLong)
+          .toArray,
         r.getInt(2).toLong))
     // exact leave-one-out 5-NN majority vote (ties: lowest label) over
-    // the bounded probe panel (vec_id < 1000 — the operator's contract)
+    // the bounded probe panel (vec_id < 1000 — the operator's contract),
+    // with the operator's quantized-integer distance (floor(x·1e5))
     val probes = emb.filter(_._1 < 1000)
     val preds = probes.map { case (qid, qv, _) =>
       val nn = emb.filter(_._1 != qid)
         .map { case (id, v, l) =>
-          var s = 0.0; var i = 0
+          var s = 0L; var i = 0
           while (i < v.length) { val t = v(i) - qv(i); s += t * t; i += 1 }
           (s, id, l)
         }.sortBy(t => (t._1, t._2)).take(5)

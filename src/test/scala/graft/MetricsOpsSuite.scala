@@ -19,6 +19,12 @@ class MetricsOpsSuite extends AnyFunSuite {
         r.getSeq[Float](1).map(_.toDouble).toArray,
         r.getInt(2).toLong))
 
+  /** Quantized-integer components (floor(x·1e5)) — the kNN operators'
+    * distance contract. */
+  private lazy val qemb: Array[(Long, Array[Long], Long)] =
+    emb.map { case (id, v, l) =>
+      (id, v.map(x => math.floor(x * 100000).toLong), l) }
+
   test("auc_eval ≡ brute-force tie-aware pair counting") {
     val rows = MetricsOps.queries("auc_eval")(spark, d).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
@@ -45,10 +51,10 @@ class MetricsOpsSuite extends AnyFunSuite {
     val w = Array(1000000L, 630929L, 500000L, 430676L, 386852L,
       356207L, 333333L, 315464L, 301029L, 289064L)
     val ideal = w.sum
-    val probes = emb.filter(_._1 < 500)
+    val probes = qemb.filter(_._1 < 500)
     val perProbe = probes.map { case (qid, qv, ql) =>
-      val nn = emb.filter(_._1 != qid).map { case (id, v, l) =>
-        var s = 0.0; var i = 0
+      val nn = qemb.filter(_._1 != qid).map { case (id, v, l) =>
+        var s = 0L; var i = 0
         while (i < v.length) { val dd = v(i) - qv(i); s += dd * dd; i += 1 }
         (s, id, l)
       }.sortBy(t => (t._1, t._2)).take(10)
