@@ -73,7 +73,8 @@ object SparkEntry {
   val verifyOnly: Set[String] = Set(
     "dedup_ngram_jaccard_prefix",  // forced All-Pairs prefix + PPJoin path
     "dedup_ngram_jaccard_shuffle", // forced non-broadcast (shuffled) bitset join
-    "dedup_cluster_cc_dist"        // forced distributed hook+compress CC
+    "dedup_cluster_cc_dist",       // forced distributed hook+compress CC
+    "graph_kcore_shuffle"          // forced non-broadcast (shuffled) k-core peel
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -227,29 +227,15 @@ object GraphOps {
     // alive set semi-joined on BOTH endpoints — alive is |V|-sized and
     // broadcasts here; at 100 TB it flips to two shuffled semi joins,
     // same shape.
-    "graph_kcore" -> ((s, d) => {
-      val k = 100
-      val es = edges(s, d)
-      // each round's alive set is |V|-sized: localCheckpoint it so round
-      // r+1 (and both count aggregates) read the materialized set instead
-      // of re-deriving rounds 1..r — without this the unrolled lineage
-      // re-peels quadratically (measured 18 s vs ~2 s at sf0.1)
-      var alive = adjacency(s, d).select(col("u")).localCheckpoint()
-      val rounds = (1 to 4).map { r =>
-        val deg = es
-          .join(broadcast(alive), "u")
-          .join(broadcast(alive.select(col("u").as("v"))), "v")
-          .groupBy("u").agg(count(lit(1)).as("deg"))
-        val prevN = alive
-        alive = deg.filter(col("deg") >= k).select("u").localCheckpoint()
-        prevN.agg(count(lit(1)).as("n_prev"))
-          .crossJoin(alive.agg(count(lit(1)).as("n_alive")))
-          .select(lit(r.toLong).as("round"),
-            (col("n_prev") - col("n_alive")).as("n_removed"),
-            col("n_alive"))
-      }
-      rounds.reduce(_ unionByName _).orderBy("round")
-    }),
+    "graph_kcore" -> ((s, d) => kcorePeel(s, d, broadcastAlive = true)),
+
+    // The SAME peel with the alive-set joins FORCED to shuffled hash
+    // joins — the physical shape a 100M-node catalog takes once |V|
+    // outgrows the broadcast budget. Verification-only under the
+    // identical oracle (SparkEntry.verifyOnly): proves the at-scale
+    // strategy is semantics-identical, the dedup_ngram_jaccard_shuffle
+    // pattern.
+    "graph_kcore_shuffle" -> ((s, d) => kcorePeel(s, d, broadcastAlive = false)),
 
     // Friend-of-a-friend recommendations for a bounded source panel
     // (part keys < 100): candidates are 2-hop neighbors that are NOT
@@ -335,6 +321,40 @@ object GraphOps {
         .orderBy(col("n_nodes").desc, col("lab")).limit(30)
     })
   )
+
+  /** The k-core peel (k = 100), four unrolled rounds, shared by the
+    * broadcast and forced-shuffle variants. Each round drops nodes whose
+    * degree in the CURRENT induced subgraph is < k. The alive set is
+    * |V|-sized: `broadcastAlive = true` ships it to both endpoint joins
+    * (right at ~20k nodes); `false` forces two shuffled hash joins — the
+    * same plan minus the broadcasts, which is what the peel becomes when
+    * |V| outgrows the broadcast budget. Each round's alive set is
+    * localCheckpointed so round r+1 (and both count aggregates) read the
+    * materialized set instead of re-deriving rounds 1..r — without this
+    * the unrolled lineage re-peels quadratically (measured 18 s vs ~2 s
+    * at sf0.1). */
+  private def kcorePeel(s: SparkSession, d: String,
+                        broadcastAlive: Boolean): DataFrame = {
+    val k = 100
+    val es = edges(s, d)
+    def side(df: DataFrame): DataFrame =
+      if (broadcastAlive) broadcast(df) else df.hint("shuffle_hash")
+    var alive = adjacency(s, d).select(col("u")).localCheckpoint()
+    val rounds = (1 to 4).map { r =>
+      val deg = es
+        .join(side(alive), "u")
+        .join(side(alive.select(col("u").as("v"))), "v")
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+      val prevN = alive
+      alive = deg.filter(col("deg") >= k).select("u").localCheckpoint()
+      prevN.agg(count(lit(1)).as("n_prev"))
+        .crossJoin(alive.agg(count(lit(1)).as("n_alive")))
+        .select(lit(r.toLong).as("round"),
+          (col("n_prev") - col("n_alive")).as("n_removed"),
+          col("n_alive"))
+    }
+    rounds.reduce(_ unionByName _).orderBy("round")
+  }
 
   /** Per-edge common-neighbor relation (u < v, one row per undirected
     * edge, with cn = |N(u) ∩ N(v)| and both degrees) — the node-iterator
@@ -449,7 +469,27 @@ object GraphOps {
         |FROM cn JOIN dg a ON cn.u = a.u JOIN dg b ON cn.v = b.u
         |ORDER BY jac_c DESC, cn.u, cn.v LIMIT 30""".stripMargin,
 
-    "graph_kcore" -> {
+    "graph_kcore" -> kcoreSql,
+    // forced-shuffle twin: identical semantics, identical oracle — the
+    // DIFFERENTIAL claim is that the non-broadcast physical plan matches
+    "graph_kcore_shuffle" -> kcoreSql,
+
+    "graph_cn_recommend" ->
+      s"""WITH $edgesSql,
+        |wd AS (SELECT a.u AS src, b.v AS c FROM e a
+        |  JOIN e b ON b.u = a.v
+        |  WHERE a.u < 100 AND b.v <> a.u),
+        |sc AS (SELECT src, c, count(*) AS cn FROM wd GROUP BY 1, 2),
+        |nf AS (SELECT sc.* FROM sc LEFT JOIN e
+        |    ON e.u = sc.src AND e.v = sc.c
+        |  WHERE e.u IS NULL),
+        |rnk AS (SELECT *, row_number() OVER (PARTITION BY src
+        |    ORDER BY cn DESC, c) AS rk FROM nf)
+        |SELECT src, CAST(rk AS BIGINT) AS rk, c AS rec, cn
+        |FROM rnk WHERE rk <= 3 ORDER BY src, rk""".stripMargin)
+    .++(oraclesTail)
+
+  private lazy val kcoreSql: String = {
       // unrolled peel: dN = degrees of the subgraph induced by a(N-1)
       val rounds = (1 to 4).map { r =>
         val prev = if (r == 1) "a0" else s"a${r - 1}"
@@ -470,22 +510,9 @@ object GraphOps {
         |$rounds
         |$rows
         |ORDER BY round""".stripMargin
-    },
+  }
 
-    "graph_cn_recommend" ->
-      s"""WITH $edgesSql,
-        |wd AS (SELECT a.u AS src, b.v AS c FROM e a
-        |  JOIN e b ON b.u = a.v
-        |  WHERE a.u < 100 AND b.v <> a.u),
-        |sc AS (SELECT src, c, count(*) AS cn FROM wd GROUP BY 1, 2),
-        |nf AS (SELECT sc.* FROM sc LEFT JOIN e
-        |    ON e.u = sc.src AND e.v = sc.c
-        |  WHERE e.u IS NULL),
-        |rnk AS (SELECT *, row_number() OVER (PARTITION BY src
-        |    ORDER BY cn DESC, c) AS rk FROM nf)
-        |SELECT src, CAST(rk AS BIGINT) AS rk, c AS rec, cn
-        |FROM rnk WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
-
+  private lazy val oraclesTail: Map[String, String] = Map(
     "graph_assortativity" ->
       s"""WITH $edgesSql,
         |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),

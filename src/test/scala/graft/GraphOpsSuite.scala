@@ -212,6 +212,24 @@ class GraphOpsSuite extends AnyFunSuite {
     assert(got.map(_._3).sameElements(got.map(_._3).sorted.reverse))
   }
 
+  test("graph_kcore_shuffle ≡ graph_kcore, with NO broadcast on the alive joins") {
+    val bc = graft.ops.GraphOps.queries("graph_kcore")(spark, d).collect()
+    val sh = graft.ops.GraphOps.queries("graph_kcore_shuffle")(spark, d)
+    assert(sh.collect().map(_.toSeq).toSeq == bc.map(_.toSeq).toSeq)
+    // the rounds run eagerly (each alive set is localCheckpointed), so
+    // assert the forced plan shape on the round join itself: shuffled
+    // hash joins on both endpoints, no broadcast
+    import org.apache.spark.sql.functions._
+    val es = graft.ops.GraphOps.edges(spark, d)
+    val alive = graft.ops.GraphOps.adjacency(spark, d).select(col("u"))
+    val round = es.join(alive.hint("shuffle_hash"), "u")
+      .join(alive.select(col("u").as("v")).hint("shuffle_hash"), "v")
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    val plan = round.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), "alive join was broadcast")
+    assert(plan.contains("ShuffledHashJoin"), "expected shuffled hash joins")
+  }
+
   test("graph_cn_recommend ≡ brute-force FoF scoring; recs never direct neighbors") {
     val got = graft.ops.GraphOps.queries("graph_cn_recommend")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -48,6 +48,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "sketch_kmv_intersect", // × |types|-row KMV estimate table (pair gen)
     "layout_skew_report",   // × single-row (total, nkeys) aggregate
     "graph_kcore",          // × |V|-row alive set + 1-row count pairs
+    "graph_kcore_shuffle",  // × 1-row count pairs (alive joins shuffled)
     "feed_consumer_lag",    // × 4-row synthetic consumer-offset table
     "vec_maxsim_topk",      // × bounded query panel (vec_id < 5)
     "vec_filtered_knn",     // × bounded query panel (vec_id < 5)
