@@ -31,6 +31,31 @@ object Curation {
     else None
   }
 
+  /** Dense rarity-rank dictionary over a `(tk, df)` document-frequency
+    * relation: `tid` = row_number in global (df, tk) order, 1-based —
+    * WITHOUT a vocabulary-sized single-partition sort. Two passes:
+    * the (df, token-prefix-bucket) HISTOGRAM (bounded: |df values| ×
+    * |2-char prefixes| cells) gets cumulative offsets through the one
+    * global window, and ranks within each (df, bucket) cell come from a
+    * PARTITIONED window. The prefix bucket is order-compatible with tk
+    * (prefix1 < prefix2 ⇒ tk1 < tk2), so offset + within-cell rank
+    * reproduces the global dense rank exactly — same tids, same
+    * downstream results, but the only global sort left is over the
+    * histogram. This is the engine's standard 2-pass global-rank
+    * discipline applied to dictionary encoding. */
+  private[graft] def rarityRank(dfreq: DataFrame): DataFrame = {
+    val b = dfreq.withColumn("tkb", substring(col("tk"), 1, 2))
+    val hist = b.groupBy("df", "tkb").agg(count(lit(1)).as("nb"))
+    val wH = Window.orderBy("df", "tkb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist.withColumn("off", coalesce(sum("nb").over(wH), lit(0L)))
+    val wIn = Window.partitionBy("df", "tkb").orderBy("tk")
+    b.join(off.select("df", "tkb", "off"), Seq("df", "tkb"))
+      .withColumn("tid",
+        (col("off") + row_number().over(wIn).cast("long")))
+      .select(col("tk"), col("df"), col("tid"))
+  }
+
   /** Exact near-duplicate pairs by set Jaccard ≥ `tau` within groups.
     *
     * `tokens` must be an array column with DISTINCT elements (the doc's
@@ -91,10 +116,9 @@ object Curation {
       val tok = docsT.select(col("doc_id"), col("grp"), col("len"),
         explode(col("tks")).as("tk"))
       val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
-      // dictionary-encode tokens to dense ints in global rarity order
-      // (vocabulary-sized window, never corpus-sized)
-      val dict = dfreq.withColumn("tid",
-        row_number().over(Window.orderBy(col("df"), col("tk"))))
+      // dictionary-encode tokens to dense ints in global rarity order —
+      // 2-pass histogram rank, no vocabulary-sized single-partition sort
+      val dict = rarityRank(dfreq)
       val sorted = tok.join(dict, "tk")
         .groupBy("doc_id", "grp", "len")
         .agg(array_sort(collect_list(col("tid"))).as("tids"))

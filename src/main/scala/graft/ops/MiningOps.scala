@@ -255,10 +255,11 @@ object MiningOps {
   private def containmentPrefixPath(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(col("gs")).as("tk"))
-    // rarity-ordered dictionary encode (vocabulary-sized window)
-    val dict = tok.groupBy("tk").agg(count(lit(1)).as("df"))
-      .withColumn("tid",
-        row_number().over(Window.orderBy(col("df"), col("tk"))).cast("long"))
+    // rarity-ordered dictionary encode — 2-pass histogram rank
+    // (graft.api.Curation.rarityRank): the only global window is over
+    // the (df, prefix-bucket) histogram, never the vocabulary
+    val dict = graft.api.Curation.rarityRank(
+      tok.groupBy("tk").agg(count(lit(1)).as("df")))
     val sorted = tok.join(dict, "tk")
       .groupBy("doc_id", "lang")
       .agg(array_sort(collect_list(col("tid"))).as("tids"))

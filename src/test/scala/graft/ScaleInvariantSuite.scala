@@ -70,8 +70,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "train_shard_manifest", // same histogram via its shuffleOrder stage
     "feed_gap_detect",      // bucket min/max summary relation only
     "quality_pipeline_e2e", // same histogram via its shuffleOrder stage
-    "dedup_ngram_jaccard_prefix", // vocabulary-sized dictionary-encode rank
-    "dedup_containment",    // vocabulary-sized dictionary-encode rank
+    "dedup_ngram_jaccard_prefix", // (df, prefix-bucket) histogram offsets only
+    "dedup_containment",    // (df, prefix-bucket) histogram offsets only
     "rank_fusion_rrf",      // rank windows over ≤50-row LIMITed top-k arms
     "chisq_independence",   // |status|×|priority| contingency-cell relation
     "auc_eval",             // score-bucket histogram + |labels|-row total
