@@ -19,12 +19,53 @@ object HttpFeedClient {
 
   private val mapper = new ObjectMapper()
 
-  /** One envelope as parsed JSON (kept as JsonNode; the reader projects). */
-  final case class Page(events: IndexedSeq[JsonNode]) {
+  /** One envelope as parsed JSON (kept as JsonNode; the reader projects).
+    * `cacheControl` records the server's caching verdict
+    * (reference `README.md:330-332`): full immutable batches arrive as
+    * `public, max-age=…` and may be served from any HTTP cache; growing
+    * or principal-filtered pages are `no-store`. */
+  final case class Page(events: IndexedSeq[JsonNode],
+                        cacheControl: Option[String] = None) {
     def isEmpty: Boolean = events.isEmpty
     def lastId: Option[String] =
       events.lastOption.map(_.get("id").asText())
+    /** True iff the server marked this page publicly cacheable. */
+    def cacheable: Boolean = cacheControl.exists(cc =>
+      cc.contains("max-age") && !cc.contains("no-store") &&
+        !cc.contains("private"))
   }
+
+  /** In-memory HTTP cache for feed pages (what a CDN or forward proxy
+    * does for this protocol): pages the SERVER marked cacheable are
+    * stored by (url, cursor) and served without a network round-trip.
+    * Safe by construction — only full immutable batches carry
+    * `max-age`, and a full batch for a given cursor can never change
+    * (ids are append-only and totally ordered, `README.md:148-159`).
+    * Opt-in via [[fetchPage]]'s `cache` parameter: the streaming source
+    * wires one per executor for replay/backfill reads. */
+  final class PageCache(maxEntries: Int = 1024) {
+    private val m = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), Page](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), Page]): Boolean =
+          size() > maxEntries // LRU bound: replay working sets are windows
+      })
+    private val hitCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    private[connector] def get(url: String, cursor: String): Option[Page] = {
+      val p = Option(m.get((url, cursor)))
+      if (p.isDefined) hitCount.incrementAndGet()
+      p
+    }
+    private[connector] def put(url: String, cursor: String, page: Page): Unit =
+      if (page.cacheable) m.put((url, cursor), page)
+    def size: Int = m.size()
+    def hits: Int = hitCount.get()
+  }
+
+  /** JVM-wide cache used by the DSv2 partition readers: on a replayed
+    * range (task retry, restart backfill) the immutable full pages come
+    * from memory instead of the wire. */
+  val sharedCache: PageCache = new PageCache()
 
   /** GET one page after `lastEventId` (empty string = feed start,
     * `README.md:300`); `timeoutMs > 0` requests a long poll. `auth` is
@@ -37,13 +78,19 @@ object HttpFeedClient {
     * other 4xx fail fast (retrying them can't succeed). */
   def fetchPage(url: String, lastEventId: String, timeoutMs: Long,
                 auth: Option[String] = None, maxAttempts: Int = 3,
-                retryBackoffMs: Long = 200L): Page = {
+                retryBackoffMs: Long = 200L,
+                cache: Option[PageCache] = None): Page = {
+    val cached = cache.flatMap(_.get(url, lastEventId))
+    if (cached.isDefined) return cached.get
     var lastErr: Throwable = null
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      try return fetchOnce(url, lastEventId, timeoutMs, auth)
-      catch {
+      try {
+        val page = fetchOnce(url, lastEventId, timeoutMs, auth)
+        cache.foreach(_.put(url, lastEventId, page))
+        return page
+      } catch {
         case e: java.io.IOException => // transient: connect/read/5xx/429
           lastErr = e
           if (attempt < maxAttempts)
@@ -85,7 +132,7 @@ object HttpFeedClient {
       val root = mapper.readTree(body)
       val buf = new ArrayBuffer[JsonNode](root.size())
       root.forEach(n => buf += n)
-      Page(buf.toIndexedSeq)
+      Page(buf.toIndexedSeq, Option(conn.getHeaderField("Cache-Control")))
     } finally conn.disconnect()
   }
 

@@ -222,7 +222,12 @@ class HttpFeedPartitionReader(p: HttpFeedInputPartition)
   override def next(): Boolean = {
     if (p.limit.exists(emitted >= _)) return false // pushed-limit row budget
     while (idx >= page.length && !exhausted) {
-      val fetched = HttpFeedClient.fetchPage(p.url, cursor, 0, p.auth)
+      // the JVM-wide page cache serves replayed immutable full pages
+      // (task retries, restart backfills) without a network round-trip —
+      // only pages the server marked `Cache-Control: public, max-age=…`
+      // are ever stored (reference README.md:330-332)
+      val fetched = HttpFeedClient.fetchPage(p.url, cursor, 0, p.auth,
+        cache = Some(HttpFeedClient.sharedCache))
       if (fetched.isEmpty) { exhausted = true }
       else {
         page = fetched.events

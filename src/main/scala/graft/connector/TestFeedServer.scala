@@ -108,6 +108,18 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
     }
     val body = page.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/cloudevents-batch+json")
+    // Caching (reference README.md:330-332): a FULL batch is immutable —
+    // events are append-only in id order, so the page for this cursor can
+    // never change — and gets `Cache-Control: public, max-age=…` so CDNs
+    // and shared caches absorb cold-history replays (a 1000-executor
+    // backfill re-reads the same immutable pages). Partial/empty pages
+    // grow as events arrive, and principal-filtered feeds
+    // (README.md:328) vary per credential: both are `no-store`.
+    val cacheControl =
+      if (requiredAuth.isEmpty && page.length == pageSize)
+        "public, max-age=31536000"
+      else "no-store"
+    ex.getResponseHeaders.set("Cache-Control", cacheControl)
     ex.sendResponseHeaders(200, body.length)
     val os = ex.getResponseBody
     os.write(body); os.close()

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, TimeMode, Trigger}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.connector.TestFeedServer
+import graft.connector.{HttpFeedClient, TestFeedServer}
 import graft.io.Tables
 import graft.model.CloudEvent
 
@@ -769,6 +769,49 @@ object StreamOps {
       } finally server.stop()
     }),
 
+    // HTTP caching end-to-end (README.md:330-332): the server marks full
+    // immutable batches `Cache-Control: public, max-age=…` and the DSv2
+    // readers store them in the JVM-wide page cache, so a REPLAY of the
+    // same range (task retry, restart backfill, a second consumer on the
+    // executor) is served from memory instead of the wire. The query
+    // reads the served range twice — cold then warm — REQUIRES ≥ 10
+    // cache hits on the warm pass (all 10 full pages), and returns the
+    // warm result, which must still equal the direct scan (same oracle
+    // as stream_http_source: a cache hit must change nothing).
+    "feed_cache_replay" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_id") < 1000)
+      val envelope = struct(
+        lpad(col("event_id").cast("string"), 13, "0").as("id"),
+        lit("1.0").as("specversion"),
+        col("event_type").as("type"),
+        lit("https://feeds.example/events").as("source"),
+        col("ts_us").as("time_us"),
+        col("user_id").cast("string").as("subject"),
+        when(col("event_type") === "error", "DELETE").otherwise("PUT").as("method"),
+        lit("application/json").as("datacontenttype"),
+        col("props").as("data"))
+      val rows = ev.select(envelope.as("envelope"))
+        .select(col("envelope.id"), to_json(col("envelope")).as("json"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val server = new TestFeedServer(rows, pageSize = 100)
+      try {
+        def readAll(): DataFrame = s.read.format("http-feed")
+          .option("url", server.url).option("timeoutMs", "0").load()
+          .select(col("id"), col("type"), col("time_us"),
+            col("subject").cast("long").as("subject"), col("method"),
+            col("data"))
+        readAll().count() // cold pass populates the page cache
+        val hitsBefore = HttpFeedClient.sharedCache.hits
+        val warm = readAll().orderBy("id").collect()
+        val hits = HttpFeedClient.sharedCache.hits - hitsBefore
+        require(hits >= 10,
+          s"warm replay served only $hits pages from cache (expected all 10 full pages)")
+        s.createDataFrame(
+          s.sparkContext.parallelize(warm.toIndexedSeq, 1),
+          readAll().schema)
+      } finally server.stop()
+    }),
+
     // Streaming admission dedup (the daily-ingest loop as a stream):
     // micro-batch 1 ingests the standing corpus; micro-batch 2 delivers
     // the new batch, which foreachBatch near-dup-checks against
@@ -1214,6 +1257,14 @@ object StreamOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id < 20000) t
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY subject""".stripMargin,
+
+    // warm cache-served replay ≡ direct scan — a cache hit changes nothing
+    "feed_cache_replay" ->
+      """SELECT lpad(CAST(event_id AS VARCHAR), 13, '0') AS id,
+        |  event_type AS type, epoch_us(ts) AS time_us, user_id AS subject,
+        |  CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'PUT' END AS method,
+        |  props AS data
+        |FROM events WHERE event_id < 1000 ORDER BY id""".stripMargin,
 
     // connector replay ≡ direct scan of the served range
     "stream_http_source" ->

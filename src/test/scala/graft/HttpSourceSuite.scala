@@ -227,6 +227,58 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("caching headers: full immutable batch is public/max-age, growing page no-store (README.md:330-332)") {
+    val events = (1L to 15L).map(i => envelopeJson(i, "s"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val full = HttpFeedClient.fetchPage(server.url, "", 0L)
+      assert(full.events.size === 10)
+      assert(full.cacheControl.exists(_.contains("public")))
+      assert(full.cacheControl.exists(_.contains("max-age")))
+      assert(full.cacheable, "full batch must be cacheable")
+      val partial = HttpFeedClient.fetchPage(server.url, full.lastId.get, 0L)
+      assert(partial.events.size === 5)
+      assert(partial.cacheControl.contains("no-store"))
+      assert(!partial.cacheable, "growing tail page must not be cacheable")
+    } finally server.stop()
+  }
+
+  test("principal-filtered feed is never cacheable (README.md:328)") {
+    val events = (1L to 10L).map(i => envelopeJson(i, "s"))
+    val server = new TestFeedServer(events, pageSize = 10,
+      requiredAuth = Some("Bearer tok"))
+    try {
+      val page = HttpFeedClient.fetchPage(server.url, "", 0L,
+        auth = Some("Bearer tok"))
+      assert(page.events.size === 10, "full batch under auth")
+      assert(page.cacheControl.contains("no-store"))
+      assert(!page.cacheable)
+    } finally server.stop()
+  }
+
+  test("simulated cache hit serves the identical full page with zero round-trips") {
+    val events = (1L to 10L).map(i => envelopeJson(i, "s"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val cache = new HttpFeedClient.PageCache()
+      val first = HttpFeedClient.fetchPage(server.url, "", 0L,
+        cache = Some(cache))
+      assert(first.cacheable && cache.size === 1)
+      val n = server.requestCount
+      val second = HttpFeedClient.fetchPage(server.url, "", 0L,
+        cache = Some(cache))
+      assert(server.requestCount === n, "cache hit must not touch the server")
+      assert(cache.hits === 1)
+      assert(second.events.map(_.toString) === first.events.map(_.toString),
+        "cached page identical to the origin page")
+      // a different cursor misses the cache and goes to the wire
+      val empty = HttpFeedClient.fetchPage(server.url, first.lastId.get, 0L,
+        cache = Some(cache))
+      assert(server.requestCount === n + 1)
+      assert(empty.isEmpty && cache.size === 1, "empty tail never cached")
+    } finally server.stop()
+  }
+
   test("client fails fast on non-retryable 4xx (no wasted retries)") {
     val server = new TestFeedServer(Seq.empty, pageSize = 10)
     try {
