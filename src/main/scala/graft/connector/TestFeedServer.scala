@@ -17,7 +17,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * the empty-then-data subscription sequence.
   */
 class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
-                     requiredAuth: Option[String] = None) {
+                     requiredAuth: Option[String] = None, port: Int = 0) {
 
   // (id, envelopeJson), kept sorted by id (ids are the total order key)
   private var events: Vector[(String, String)] = initial.sortBy(_._1).toVector
@@ -32,7 +32,19 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
   })
 
   private val server: HttpServer = {
-    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // pinning a port (restart-between-batches chaos tests rebind the
+    // SAME address) can race the old socket's close — retry the bind
+    var s: HttpServer = null
+    var attempt = 0
+    while (s == null) {
+      attempt += 1
+      try s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+      catch {
+        case e: java.net.BindException if port != 0 && attempt < 50 =>
+          Thread.sleep(20)
+        case e: Throwable => throw e
+      }
+    }
     s.createContext("/feed", (exchange: HttpExchange) => handle(exchange))
     s.setExecutor(pool)
     s.start()
@@ -40,6 +52,7 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
   }
 
   def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
+  def boundPort: Int = server.getAddress.getPort
   def requestCount: Int = requests.get()
 
   /** Append new events (notifies long-poll waiters). */
@@ -57,6 +70,14 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
     failCode = code
     failCount.set(n)
   }
+
+  private val abortCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Chaos injection: the next `n` requests declare the full page length
+    * but drop the connection after HALF the body — the client sees a
+    * mid-page truncated read (premature EOF), the transient failure mode
+    * of a flaky proxy or a killed pod. */
+  def abortNext(n: Int): Unit = abortCount.set(n)
 
   def stop(): Unit = {
     server.stop(0)
@@ -120,6 +141,16 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
         "public, max-age=31536000"
       else "no-store"
     ex.getResponseHeaders.set("Cache-Control", cacheControl)
+    if (abortCount.getAndUpdate(c => math.max(0, c - 1)) > 0) {
+      // declared-length response cut short mid-body: premature EOF at
+      // the client (an IOException the retry loop must absorb)
+      ex.sendResponseHeaders(200, math.max(body.length, 2))
+      val os = ex.getResponseBody
+      try { os.write(body, 0, math.max(body.length / 2, 1)); os.flush() }
+      catch { case _: Throwable => () }
+      try ex.close() catch { case _: Throwable => () }
+      return
+    }
     ex.sendResponseHeaders(200, body.length)
     val os = ex.getResponseBody
     os.write(body); os.close()

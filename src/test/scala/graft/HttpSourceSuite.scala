@@ -153,6 +153,64 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("abortNext really truncates: a single fetch with no retries sees the IOException") {
+    val events = (1L to 10L).map(i => envelopeJson(i, "s"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      server.abortNext(1)
+      intercept[java.io.IOException] {
+        HttpFeedClient.fetchPage(server.url, "", 0L, maxAttempts = 1)
+      }
+      // and with retries the very same injection is absorbed
+      server.abortNext(1)
+      val page = HttpFeedClient.fetchPage(server.url, "", 0L,
+        maxAttempts = 3, retryBackoffMs = 1)
+      assert(page.events.size === 10)
+    } finally server.stop()
+  }
+
+  test("chaos: 5xx bursts, mid-page drops, server restart — no loss, no duplication (README.md:111-114)") {
+    val all = (1L to 80L).map(i => envelopeJson(i, s"s${i % 7}"))
+    var server = new TestFeedServer(all.take(50), pageSize = 10)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_http_chaos").toString
+    val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    def runQuery(): Unit = {
+      val collect: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (df, _) => df.collect().foreach(r => seen.add(r.getAs[String]("id")))
+      val q = spark.readStream.format("http-feed")
+        .option("url", server.url).option("timeoutMs", "100").load()
+        .writeStream.option("checkpointLocation", ckpt).foreachBatch(collect).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      // (1) a 503 burst right at subscription start: the reader's retry
+      // loop must absorb it and the drain must still be exactly 1..50
+      server.failNext(2, code = 503)
+      runQuery()
+      assert(seen.size === 50, "burst must not lose or duplicate events")
+
+      // (2) connections dropped MID-PAGE (declared length, half the
+      // body): premature EOF is transient; the re-fetched page replaces
+      // the truncated read and the cursor advances exactly once
+      server.append(all.slice(50, 65))
+      server.abortNext(2)
+      runQuery()
+      assert(seen.size === 65, "mid-page drops must not lose or duplicate")
+
+      // (3) server killed and restarted between micro-batches (same
+      // address, full history + new tail): the persisted lastEventId
+      // cursor resumes strictly after 65 — nothing re-served from the
+      // restarted server's full history, nothing skipped
+      val port = server.boundPort
+      server.stop()
+      server = new TestFeedServer(all, pageSize = 10, port = port)
+      runQuery()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSeq === all.map(_._1),
+        "after restart: every event exactly once, in id order")
+    } finally server.stop()
+  }
+
   test("responses are chronological and ids strongly ordered (README.md:9,150-151)") {
     val events = (1L to 60L).map(i => envelopeJson(i, s"s$i"))
     val server = new TestFeedServer(events, pageSize = 7)
