@@ -53,6 +53,9 @@ object SparkEntry {
       (SqlOps.queries, SqlOps.oracles),
       (ExportOps.queries, ExportOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
+      (TpchTailOps.queries, TpchTailOps.oracles),
+      (FlowOps.queries, FlowOps.oracles),
+      (BitGraphOps.queries, BitGraphOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
 

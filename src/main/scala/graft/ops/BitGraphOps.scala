@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.api.Vectors
+import graft.io.Tables
+
+/** §2.44 (cont.) bit-packed vectors & graph structure (added round 6):
+  * binary-quantized Hamming retrieval (the 1-bit/dim end of the
+  * quantization spectrum next to int8 and PQ), multi-source BFS layers,
+  * and the modularity score of the label-propagation communities.
+  *
+  * Scale shapes (100 TB notes):
+  *  - vec_hamming_topk: 64 dims pack into TWO 32-bit sign words
+  *    (8 bytes/vector — even PQ is 16 bytes here); the candidate scan is
+  *    two XOR+popcounts per pair, the exact re-rank touches ≤ 20 full
+  *    vectors per query. Two words rather than one 64-bit word because
+  *    bit 63 would make the packed sum overflow-sensitive in engines
+  *    that error on signed overflow — and the pair of 32-bit words keeps
+  *    every intermediate exact everywhere.
+  *  - graph_bfs_layers: per-hop frontier expansion off the u-partitioned
+  *    edge cache, each frontier localCheckpointed (iterative lineage
+  *    truncation) and de-duplicated against the visited set with an
+  *    anti join — one keyed shuffle per hop, the textbook distributed
+  *    BFS round.
+  *  - graph_modularity: one |E|-row double label join (both sides off
+  *    the u-partitioned cache), then a |communities|-sized aggregate;
+  *    the single-row edge-count total broadcasts.
+  */
+object BitGraphOps {
+
+  /** Pack sign bits of dims [lo+1, lo+32] into one BIGINT word (bit i =
+    * dim lo+i+1 is ≥ 0). Sum of distinct powers of two < 2^32 — exact
+    * in any engine. */
+  private def signWord(vec: String, lo: Int): org.apache.spark.sql.Column =
+    expr(s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> " +
+      s"acc + IF(element_at($vec, i + ${lo + 1}) >= 0, " +
+      "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary-quantized retrieval: 1 sign bit per dimension, Hamming
+    // shortlist (top-20 by XOR popcount, ties by id), exact re-rank on
+    // quantized-integer squared L2 (the knn_classify_eval distance
+    // contract) cut to top-5 per query.
+    "vec_hamming_topk" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s) // vec_sqdist_long
+      val packed = Tables.embeddings(s, d).select(col("vec_id"),
+        Vectors.quantize(col("embedding"), 100000L).as("ev"),
+        signWord("embedding", 0).as("w1"), signWord("embedding", 32).as("w2"))
+      val q = packed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ev").as("qe"),
+          col("w1").as("q1"), col("w2").as("q2"))
+      val wH = Window.partitionBy("qid").orderBy(col("hd"), col("vec_id"))
+      val wE = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+      packed.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("hd",
+          expr("CAST(bit_count(w1 ^ q1) + bit_count(w2 ^ q2) AS BIGINT)"))
+        .withColumn("rk1", row_number().over(wH))
+        .filter(col("rk1") <= 20)
+        .withColumn("dist", call_function("vec_sqdist_long", col("ev"), col("qe")))
+        .withColumn("rk", row_number().over(wE))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"),
+          col("hd"), col("dist"))
+        .orderBy("qid", "rk")
+    }),
+
+    // Multi-source BFS: hop-distance layer sizes from part keys
+    // {1, 2, 3} over the co-purchase graph, 3 unrolled hops — each hop
+    // one frontier⋈edges expansion, dedup, anti-join against visited.
+    "graph_bfs_layers" -> ((s, d) => {
+      val es = GraphOps.edges(s, d)
+      val srcs = GraphOps.adjacency(s, d).select(col("u"))
+        .filter(col("u").isin(1L, 2L, 3L))
+        .select(col("u").as("src"), col("u")).localCheckpoint()
+      var visited = srcs
+      var frontier = srcs
+      val layers = scala.collection.mutable.Buffer(
+        srcs.groupBy("src").agg(count(lit(1)).as("n_nodes"))
+          .withColumn("hop", lit(0L)))
+      for (h <- 1 to 3) {
+        val next = frontier.join(es, "u")
+          .select(col("src"), col("v").as("u")).distinct()
+          .join(visited, Seq("src", "u"), "left_anti")
+          .localCheckpoint() // truncate per-hop lineage (k-core pattern)
+        layers += next.groupBy("src").agg(count(lit(1)).as("n_nodes"))
+          .withColumn("hop", lit(h.toLong))
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      layers.reduce(_ unionByName _)
+        .select("src", "hop", "n_nodes").orderBy("src", "hop")
+    }),
+
+    // Newman modularity per label-propagation community: with M = the
+    // directed edge count and per community the internal directed edge
+    // count i_c and degree sum d_c, the contribution is
+    // i_c/M − (d_c/M)² — all counts exact integers, one floor at the
+    // end (identical expression tree in both engines).
+    "graph_modularity" -> ((s, d) => {
+      val es = GraphOps.edges(s, d)
+      val lab = GraphOps.labelProp2(s, d).localCheckpoint() // joined twice
+      val el = es.join(lab.hint("shuffle_hash"), "u")
+        .withColumnRenamed("lab", "lu")
+        .join(lab.select(col("u").as("v"), col("lab").as("lv"))
+          .hint("shuffle_hash"), "v")
+        .select("lu", "lv")
+      val m = el.agg(count(lit(1)).as("m2"))
+      el.groupBy(col("lu").as("lab"))
+        .agg(count(lit(1)).as("d_c"),
+          sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("i_c"))
+        .crossJoin(broadcast(m))
+        .withColumn("q_c", floor((col("i_c").cast("double") / col("m2") -
+          (col("d_c").cast("double") / col("m2")) *
+            (col("d_c").cast("double") / col("m2"))) * lit(1000000.0))
+          .cast("long"))
+        .select("lab", "d_c", "i_c", "q_c")
+        .orderBy("lab")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "vec_hamming_topk" -> {
+      val qdiff = "(CAST(floor(CAST(embedding[i] AS DOUBLE) * 100000) AS BIGINT) - " +
+        "CAST(floor(CAST(qe[i] AS DOUBLE) * 100000) AS BIGINT))"
+      s"""WITH d AS (SELECT vec_id, embedding FROM embeddings),
+        |w AS (SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN embedding[i] >= 0
+        |        THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END))
+        |      AS BIGINT) AS w1,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      i -> CASE WHEN embedding[i] >= 0
+        |        THEN CAST(1 AS BIGINT) << (i - 33) ELSE CAST(0 AS BIGINT) END))
+        |      AS BIGINT) AS w2
+        |  FROM d),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, w1 AS q1, w2 AS q2
+        |  FROM w WHERE vec_id < 5),
+        |h AS (SELECT q.qid, x.vec_id,
+        |    CAST(bit_count(xor(x.w1, q.q1)) + bit_count(xor(x.w2, q.q2))
+        |      AS BIGINT) AS hd,
+        |    x.embedding, q.qe
+        |  FROM w x JOIN q ON x.vec_id <> q.qid),
+        |sh AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY hd, vec_id) AS rk1 FROM h),
+        |rr AS (SELECT qid, vec_id, hd,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> $qdiff * $qdiff)) AS BIGINT) AS dist
+        |  FROM sh WHERE rk1 <= 20),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dist, vec_id) AS rk FROM rr)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, hd, dist
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    },
+
+    "graph_bfs_layers" -> {
+      val hops = (1 to 3).map { h =>
+        val (pv, pf) = (s"v${h - 1}", s"f${h - 1}")
+        s"""x$h AS (SELECT DISTINCT f.src, e.v AS u
+           |  FROM $pf f JOIN e ON f.u = e.u),
+           |f$h AS (SELECT x.src, x.u FROM x$h x LEFT JOIN $pv p
+           |    ON x.src = p.src AND x.u = p.u WHERE p.u IS NULL),
+           |v$h AS (SELECT src, u FROM $pv UNION
+           |        SELECT src, u FROM f$h)""".stripMargin
+      }.mkString(",\n")
+      val rows = (0 to 3).map { h =>
+        s"""SELECT src, CAST($h AS BIGINT) AS hop, count(*) AS n_nodes
+           |FROM f$h GROUP BY src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${GraphOps.edgesSql},
+        |f0 AS (SELECT DISTINCT u AS src, u FROM e WHERE u IN (1, 2, 3)),
+        |v0 AS (SELECT src, u FROM f0),
+        |$hops
+        |$rows
+        |ORDER BY src, hop""".stripMargin
+    },
+
+    "graph_modularity" ->
+      s"""WITH ${GraphOps.edgesSql},
+        |${GraphOps.labelProp2Sql},
+        |el AS (SELECT a.lab AS lu, b.lab AS lv FROM e
+        |  JOIN l2 a ON e.u = a.u JOIN l2 b ON e.v = b.u),
+        |m AS (SELECT count(*) AS m2 FROM el),
+        |c AS (SELECT lu AS lab, count(*) AS d_c,
+        |    CAST(sum(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS BIGINT) AS i_c
+        |  FROM el GROUP BY 1)
+        |SELECT lab, d_c, i_c,
+        |  CAST(floor((CAST(i_c AS DOUBLE) / m2 - (CAST(d_c AS DOUBLE) / m2) *
+        |    (CAST(d_c AS DOUBLE) / m2)) * 1000000.0) AS BIGINT) AS q_c
+        |FROM c, m ORDER BY lab""".stripMargin
+  )
+}

@@ -297,30 +297,37 @@ object GraphOps {
     // Top-30 communities by size. Same shared u-partitioned edge cache;
     // each round is one join + two keyed aggregations — the scale shape
     // of every iterative label algorithm on Spark.
-    "graph_label_prop" -> ((s, d) => {
-      val es = edges(s, d)
-      var lab = adjacency(s, d).select(col("u"), col("u").as("lab"))
-      for (_ <- 1 to 2) {
-        // the edge relation is symmetric, so "labels of u's neighbors"
-        // ≡ join each edge's U endpoint to its label and aggregate on V:
-        // the join stays on u — exchange-free off the u-partitioned
-        // cache (a join keyed on v would re-shuffle all |E| rows every
-        // round); only the |V|-row label table moves
-        val nb = es.join(lab.hint("shuffle_hash"), "u")
-          .groupBy(col("v").as("u"), col("lab")).agg(count(lit(1)).as("c"))
-        // mode with tie -> smallest label as ONE hash aggregate:
-        // max(struct(c, -lab)) is (count desc, label asc) lexicographic —
-        // a row_number window here would SORT the |E|-sized round-1
-        // (u, label) relation; the agg is partial-combinable and never
-        // sorts (labels are positive part keys, so -lab is safe)
-        lab = nb.groupBy("u")
-          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("u"), (-col("m.nl")).as("lab"))
-      }
-      lab.groupBy("lab").agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("n_nodes").desc, col("lab")).limit(30)
-    })
+    "graph_label_prop" -> ((s, d) =>
+      labelProp2(s, d).groupBy("lab").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("lab")).limit(30))
   )
+
+  /** Two deterministic label-propagation rounds over the shared edge
+    * cache, returning the final (u, lab) assignment — the community
+    * relation graph_label_prop reports sizes of and graph_modularity
+    * (BitGraphOps) scores. */
+  private[graft] def labelProp2(s: SparkSession, d: String): DataFrame = {
+    val es = edges(s, d)
+    var lab = adjacency(s, d).select(col("u"), col("u").as("lab"))
+    for (_ <- 1 to 2) {
+      // the edge relation is symmetric, so "labels of u's neighbors"
+      // ≡ join each edge's U endpoint to its label and aggregate on V:
+      // the join stays on u — exchange-free off the u-partitioned
+      // cache (a join keyed on v would re-shuffle all |E| rows every
+      // round); only the |V|-row label table moves
+      val nb = es.join(lab.hint("shuffle_hash"), "u")
+        .groupBy(col("v").as("u"), col("lab")).agg(count(lit(1)).as("c"))
+      // mode with tie -> smallest label as ONE hash aggregate:
+      // max(struct(c, -lab)) is (count desc, label asc) lexicographic —
+      // a row_number window here would SORT the |E|-sized round-1
+      // (u, label) relation; the agg is partial-combinable and never
+      // sorts (labels are positive part keys, so -lab is safe)
+      lab = nb.groupBy("u")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("u"), (-col("m.nl")).as("lab"))
+    }
+    lab
+  }
 
   /** The k-core peel (k = 100), four unrolled rounds, shared by the
     * broadcast and forced-shuffle variants. Each round drops nodes whose
@@ -534,16 +541,22 @@ object GraphOps {
 
     "graph_label_prop" ->
       s"""WITH $edgesSql,
-        |l0 AS (SELECT DISTINCT u, u AS lab FROM e),
-        |n1 AS (SELECT e.u, l0.lab, count(*) AS c
-        |       FROM e JOIN l0 ON e.v = l0.u GROUP BY 1, 2),
-        |l1 AS (SELECT u, lab FROM (SELECT *, row_number() OVER
-        |    (PARTITION BY u ORDER BY c DESC, lab) AS rn FROM n1) WHERE rn = 1),
-        |n2 AS (SELECT e.u, l1.lab, count(*) AS c
-        |       FROM e JOIN l1 ON e.v = l1.u GROUP BY 1, 2),
-        |l2 AS (SELECT u, lab FROM (SELECT *, row_number() OVER
-        |    (PARTITION BY u ORDER BY c DESC, lab) AS rn FROM n2) WHERE rn = 1)
+        |$labelProp2Sql
         |SELECT lab, count(*) AS n_nodes FROM l2
         |GROUP BY lab ORDER BY n_nodes DESC, lab LIMIT 30""".stripMargin
   )
+
+  /** Oracle CTE chain for the two label-propagation rounds (expects the
+    * `e` edge relation in scope; exposes `l2` = final (u, lab)). */
+  private[graft] val labelProp2Sql: String =
+    """l0 AS (SELECT DISTINCT u, u AS lab FROM e),
+      |n1 AS (SELECT e.u, l0.lab, count(*) AS c
+      |       FROM e JOIN l0 ON e.v = l0.u GROUP BY 1, 2),
+      |l1 AS (SELECT u, lab FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY u ORDER BY c DESC, lab) AS rn FROM n1) WHERE rn = 1),
+      |n2 AS (SELECT e.u, l1.lab, count(*) AS c
+      |       FROM e JOIN l1 ON e.v = l1.u GROUP BY 1, 2),
+      |l2 AS (SELECT u, lab FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY u ORDER BY c DESC, lab) AS rn FROM n2) WHERE rn = 1)"""
+      .stripMargin
 }

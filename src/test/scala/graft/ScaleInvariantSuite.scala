@@ -57,7 +57,10 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "vocab_growth_heaps",   // × broadcast 10-row decile table
     "read_model_time_travel", // × single-row cursor bound
     "eval_ndcg",            // × bounded probe panel (vec_id < 500)
-    "confusion_knn_eval"    // × bounded probe panel (vec_id < 1000)
+    "confusion_knn_eval",   // × bounded probe panel (vec_id < 1000)
+    "vec_hamming_topk",     // × bounded probe panel (vec_id < 5)
+    "basket_rules_lift",    // × single-row distinct-order count
+    "graph_modularity"      // × single-row directed-edge count
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
@@ -88,7 +91,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "orders_value_pareto",  // customer-revenue value histogram only
     "abc_xyz_matrix",       // part-revenue value histogram only
     "order_size_histogram", // ≤|max lines|-row histogram only
-    "lm_kneser_ney"         // vocabulary-sized continuation-count relation
+    "lm_kneser_ney",        // vocabulary-sized continuation-count relation
+    "orders_backlog_daily"  // calendar-day histogram only
   )
 
   /** Queries whose heavy work happens eagerly at DataFrame-construction
