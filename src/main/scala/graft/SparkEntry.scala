@@ -56,6 +56,8 @@ object SparkEntry {
       (TpchTailOps.queries, TpchTailOps.oracles),
       (FlowOps.queries, FlowOps.oracles),
       (BitGraphOps.queries, BitGraphOps.oracles),
+      (ApproxOps.queries, ApproxOps.oracles),
+      (FeatureEngOps.queries, FeatureEngOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
 

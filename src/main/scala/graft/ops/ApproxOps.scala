@@ -18,7 +18,7 @@ import graft.io.Tables
   * correlation moments are exact BIGINT with one final canonized ratio.
   *
   * Scale shapes (100 TB notes):
-  *  - sketch_bloom_fpr: the filter is a 128-row (word, bits) relation —
+  *  - sketch_bloom_fpr: the filter is a 512-row (word, bits) relation —
   *    built by one bit_or aggregate, broadcast to probes; at 100 TB the
   *    same relation is just sized m/32 rows and the probe side streams.
   *  - eval_pr_auc: the ranking sweep runs over the SCORE-BUCKET histogram
@@ -30,15 +30,17 @@ import graft.io.Tables
   */
 object ApproxOps {
 
-  private val BloomBits = 4096
+  private val BloomBits = 16384
   private val BloomSeeds = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Bloom filter over the BUILDING segment's purchased parts (m = 4096
-    // bits as 128 × 32-bit words, k = 3 md5-derived hash positions),
-    // probed with every NON-member part: reports the measured
-    // false-positive rate. 32-bit words keep every shift < 2^31 — exact
-    // in engines that error on signed overflow.
+    // Bloom filter over a part panel (every 17th part key that the
+    // BUILDING segment purchased — a set m comfortably oversizes at both
+    // fixture scales, so the measured rate is a real FPR, not filter
+    // saturation; m = 16384 bits as 512 × 32-bit words, k = 3
+    // md5-derived hash positions), probed with every NON-member part.
+    // 32-bit words keep every shift < 2^31 — exact in engines that
+    // error on signed overflow.
     "sketch_bloom_fpr" -> ((s, d) => {
       val members = Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
@@ -46,6 +48,7 @@ object ApproxOps {
         .join(broadcast(Tables.customer(s, d)
           .filter(col("c_mktsegment") === "BUILDING")
           .select("c_custkey")), col("o_custkey") === col("c_custkey"))
+        .filter(col("l_partkey") % 17 === 0)
         .select(col("l_partkey").as("pk")).distinct()
       val seeds = explode(sequence(lit(0), lit(BloomSeeds - 1))).as("seed")
       def pos = Sampling.hashBucket(
@@ -188,7 +191,7 @@ object ApproxOps {
       s"""WITH mem AS (SELECT DISTINCT l_partkey AS pk
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
-        |  WHERE c_mktsegment = 'BUILDING'),
+        |  WHERE c_mktsegment = 'BUILDING' AND l_partkey % 17 = 0),
         |mp AS (SELECT pk, unnest(generate_series(0, ${BloomSeeds - 1})) AS seed
         |  FROM mem),
         |mb AS (SELECT pk, ${posSql("pk")} AS pos FROM mp),

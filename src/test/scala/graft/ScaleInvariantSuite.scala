@@ -57,10 +57,14 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "vocab_growth_heaps",   // × broadcast 10-row decile table
     "read_model_time_travel", // × single-row cursor bound
     "eval_ndcg",            // × bounded probe panel (vec_id < 500)
+    "eval_mrr",             // × bounded probe panel (vec_id < 500)
     "confusion_knn_eval",   // × bounded probe panel (vec_id < 1000)
     "vec_hamming_topk",     // × bounded probe panel (vec_id < 5)
     "basket_rules_lift",    // × single-row distinct-order count
-    "graph_modularity"      // × single-row directed-edge count
+    "graph_modularity",     // × single-row directed-edge count
+    "sketch_bloom_fpr",     // × 1-row FP counters + 128-word filter relation
+    "eval_pr_auc",          // × value-bounded score-bucket histogram grid
+    "feature_target_encode" // × single-row global prior
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
