@@ -73,6 +73,25 @@ object FeatureEngOps {
         .orderBy("event_type")
     }),
 
+    // Equi-frequency decile binning of order value at k$ granularity:
+    // bin = floor(cum_before·10 / N) over the value histogram — the
+    // 2-pass histogram discipline, so deciles are assigned without any
+    // rank over data rows. Reports each decile's size and k$ range
+    // (deciles are exact up to bucket granularity: a heavy bucket never
+    // splits).
+    "feature_bin_quantile" -> ((s, d) => {
+      val hist = Tables.orders(s, d)
+        .select(expr("CAST(floor(o_totalprice) AS BIGINT) div 1000").as("kv"))
+        .groupBy("kv").agg(count(lit(1)).as("nb"))
+      val w = Window.orderBy("kv").rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("cumb", coalesce(sum("nb").over(w), lit(0L)))
+        .withColumn("n", sum("nb").over(Window.partitionBy()))
+        .withColumn("bin", least(expr("(cumb * 10) div n"), lit(9L)))
+        .groupBy("bin")
+        .agg(sum("nb").as("n_orders"), min("kv").as("lo_k"), max("kv").as("hi_k"))
+        .orderBy("bin")
+    }),
+
     // The hashing trick's collision profile: document tokens hashed
     // into 256 md5-derived buckets; per bucket the distinct-token count
     // (collisions) and instance count — the report that sizes a hashed
@@ -159,6 +178,18 @@ object FeatureEngOps {
         |  count(*) AS n,
         |  CAST(sum(sp) AS BIGINT) // count(*) AS mean_scaled_ppm
         |FROM sc GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "feature_bin_quantile" ->
+      """WITH h AS (SELECT CAST(floor(o_totalprice) AS BIGINT) // 1000 AS kv,
+        |    count(*) AS nb FROM orders GROUP BY 1),
+        |c AS (SELECT *, CAST(coalesce(sum(nb) OVER (ORDER BY kv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cumb,
+        |    CAST(sum(nb) OVER () AS BIGINT) AS n FROM h),
+        |b AS (SELECT least((cumb * 10) // n, 9) AS bin, nb, kv FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(nb) AS BIGINT) AS n_orders,
+        |  min(kv) AS lo_k, max(kv) AS hi_k
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "feature_hash_bucket" -> {
       val hv = Sampling.hexDecodeSql("md5(tk)")

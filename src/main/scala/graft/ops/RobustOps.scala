@@ -28,6 +28,44 @@ import graft.io.Tables
 object RobustOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Spearman rank correlation between quantity and price (bucketed to
+    // hundreds of dollars): tie-aware DOUBLED midranks per value bucket
+    // (r2 = 2·cum_lt + n_b + 1 — the auc_eval trick, everything BIGINT),
+    // then Pearson over the per-row midrank pairs. Both rank maps are
+    // value-bounded histograms; the only data-sized work is two
+    // broadcast joins and one moment aggregate. (Midrank products reach
+    // (2N)²·N — promote to DECIMAL(38,0) past ~10⁷ rows per the usual
+    // rule; shape unchanged.)
+    "corr_spearman" -> ((s, d) => {
+      val rows = Tables.lineitem(s, d).select(
+        floor(col("l_quantity")).cast("long").as("x"),
+        expr("CAST(floor(l_extendedprice) AS BIGINT) div 100").as("y"))
+      // CENTERED doubled midranks r2' = r2 − (N+1): midranks always sum
+      // to N(N+1)/2 exactly (ties included), so Σr2' = 0 EXACTLY and
+      // Pearson collapses to sxy/√(sxx·syy) — every sum stays ≤ ~N³,
+      // inside int64 where the uncentered N⁴ cross terms overflow.
+      def midranks(c: String): DataFrame = {
+        val h = rows.groupBy(c).agg(count(lit(1)).as("nb"))
+        val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("ntot", sum("nb").over(Window.partitionBy()))
+          .withColumn(s"r2$c",
+            lit(2L) * coalesce(sum("nb").over(w), lit(0L)) + col("nb")
+              - col("ntot"))
+          .select(col(c), col(s"r2$c"))
+      }
+      rows.join(broadcast(midranks("x")), "x")
+        .join(broadcast(midranks("y")), "y")
+        .agg(count(lit(1)).as("n"),
+          sum(col("r2x") * col("r2x")).as("sxx"),
+          sum(col("r2y") * col("r2y")).as("syy"),
+          sum(col("r2x") * col("r2y")).as("sxy"))
+        .select(col("n"),
+          when(col("sxx") > 0 && col("syy") > 0,
+            floor(col("sxy").cast("double") /
+              (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double")))
+              * lit(10000.0)).cast("long")).as("rho_c"))
+    }),
+
     // Weighted median unit price per return flag, weighted by quantity
     // units: smallest price bucket where twice the cumulative weight
     // reaches the total (the lower weighted median — integer compare,
@@ -126,6 +164,33 @@ object RobustOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "corr_spearman" ->
+      """WITH r AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) // 100 AS y FROM lineitem),
+        |hx AS (SELECT x, count(*) AS nb FROM r GROUP BY 1),
+        |rx AS (SELECT x, 2 * coalesce(sum(nb) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + nb - sum(nb) OVER () AS r2x FROM hx),
+        |hy AS (SELECT y, count(*) AS nb FROM r GROUP BY 1),
+        |ry AS (SELECT y, 2 * coalesce(sum(nb) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + nb - sum(nb) OVER () AS r2y FROM hy),
+        |j AS (SELECT CAST(rx.r2x AS BIGINT) AS r2x,
+        |    CAST(ry.r2y AS BIGINT) AS r2y
+        |  FROM r JOIN rx ON r.x = rx.x JOIN ry ON r.y = ry.y),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(r2x*r2x) AS BIGINT) AS sxx,
+        |    CAST(sum(r2y*r2y) AS BIGINT) AS syy,
+        |    CAST(sum(r2x*r2y) AS BIGINT) AS sxy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN sxx > 0 AND syy > 0
+        |    THEN CAST(floor(CAST(sxy AS DOUBLE) /
+        |      (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |      * 10000.0) AS BIGINT)
+        |    ELSE NULL END AS rho_c
+        |FROM m""".stripMargin,
+
     "agg_weighted_median" ->
       """WITH h AS (SELECT l_returnflag,
         |    CAST(floor(l_extendedprice) AS BIGINT) AS p,

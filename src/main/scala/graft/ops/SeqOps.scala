@@ -30,6 +30,45 @@ import graft.io.Tables
 object SeqOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Greedy argmax decoding from the corpus bigram LM: start at the
+    // most frequent token (by bigram-head count), then 7 steps of
+    // "most frequent continuation" (ties lexicographic — a total order,
+    // so any engine decodes the identical sequence; cycles are fine and
+    // expected). The chain is 8 driver-side lookups of ONE row each
+    // against the localCheckpointed bigram-type aggregate — bounded by
+    // the step constant, like the MMR greedy; the data-sized work is the
+    // single bigram aggregation. Output (step, token, c); the chain ends
+    // early if a token has no continuation (both engines drop the row).
+    "lm_greedy_decode" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("tks"))
+        .filter(size(col("tks")) >= 2)
+      val bi = toks.select(explode(expr(
+          "transform(sequence(0, size(tks)-2), " +
+            "i -> struct(tks[i] as w1, tks[i+1] as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // probed once per step
+      val first = bi.groupBy("w1").agg(sum("c").as("cu"))
+        .orderBy(col("cu").desc, col("w1")).limit(1)
+        .collect()(0)
+      val out = scala.collection.mutable.Buffer(
+        (1L, first.getString(0), first.getLong(1)))
+      var cur = first.getString(0)
+      var halted = false
+      for (step <- 2 to 8 if !halted) {
+        val nxt = bi.filter(col("w1") === cur)
+          .orderBy(col("c").desc, col("w2")).limit(1).collect()
+        if (nxt.isEmpty) halted = true
+        else {
+          cur = nxt(0).getString(1)
+          out += ((step.toLong, cur, nxt(0).getLong(2)))
+        }
+      }
+      import s.implicits._
+      out.toSeq.toDF("step", "token", "c").orderBy("step")
+    }),
+
     // Interpolated Kneser-Ney bigram probabilities with absolute
     // discount D = 0.75 over the whitespace-token corpus:
     //   P_KN(w2|w1) = (c(w1,w2) − D)/c(w1)
@@ -123,6 +162,28 @@ object SeqOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "lm_greedy_decode" -> {
+      val steps = (2 to 8).map { k =>
+        s"""s$k AS (SELECT b.w2 AS token, b.c FROM bi b
+           |  JOIN s${k - 1} p ON b.w1 = p.token
+           |  ORDER BY b.c DESC, b.w2 LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 8)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS step, token, c FROM s$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT str_split(text, ' ') AS tks FROM documents
+        |           WHERE len(str_split(text, ' ')) >= 2),
+        |bi AS (SELECT tks[i] AS w1, tks[i+1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM t, unnest(generate_series(1, len(tks) - 1)) u(i)
+        |  GROUP BY 1, 2),
+        |s1 AS (SELECT w1 AS token, CAST(sum(c) AS BIGINT) AS c FROM bi
+        |  GROUP BY 1 ORDER BY c DESC, token LIMIT 1),
+        |$steps
+        |$rows
+        |ORDER BY step""".stripMargin
+    },
+
     "lm_kneser_ney" ->
       """WITH t AS (SELECT str_split(text, ' ') AS tks FROM documents
         |           WHERE len(str_split(text, ' ')) >= 2),

@@ -42,6 +42,15 @@ object StreamOps {
   case class Scd2Open(user_id: Long, event_id: Long, state: String,
                       valid_from_us: Long)
 
+  /** Incremental TWAP state per event type: the held (last) reading and
+    * the exact integer interval accumulators. */
+  case class TwapState(lastTs: Long, lastV: Long, accW: Long,
+                       accSpan: Long, accV: Long, n: Long)
+
+  /** Per-batch TWAP emission (running totals; final = max-n row). */
+  case class TwapOut(event_type: String, n_intervals: Long, span_us: Long,
+                     wsum: Long, vsum: Long)
+
   /** Per-user funnel progression state (-1 = stage not reached). */
   case class FunnelSt(user_id: Long, t0: Long, t1: Long, t2: Long)
 
@@ -769,6 +778,91 @@ object StreamOps {
       } finally server.stop()
     }),
 
+    // Incremental time-weighted average (batch twin: twap_time_weighted):
+    // flatMapGroupsWithState keyed by event type holds the LAST reading
+    // (the held value of step interpolation) plus exact integer interval
+    // accumulators — the boundary interval between micro-batches is
+    // closed by the state carry-over, so the streaming totals equal the
+    // batch lead()-window computation bit-for-bit. Fed as two
+    // micro-batches split at the median timestamp; Update-mode running
+    // totals are monotone in n, so the final value per type is the
+    // max-n emission.
+    "stream_twap_state" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      def upd(t: String, it: Iterator[Ev],
+              state: GroupState[TwapState]): Iterator[TwapOut] = {
+        // within-batch order is not guaranteed by the shuffle: restore
+        // the event-time order (bounded per (type, micro-batch))
+        val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+        var st = state.getOption.getOrElse(TwapState(-1L, 0L, 0L, 0L, 0L, 0L))
+        evs.foreach { e =>
+          val v = math.floor(e.value * 10000).toLong
+          st = if (st.lastTs >= 0) {
+            val dt = e.ts_us - st.lastTs
+            TwapState(e.ts_us, v, st.accW + st.lastV * dt,
+              st.accSpan + dt, st.accV + st.lastV, st.n + 1)
+          } else TwapState(e.ts_us, v, 0L, 0L, 0L, 0L)
+        }
+        state.update(st)
+        Iterator.single(TwapOut(t, st.n, st.accSpan, st.accW, st.accV))
+      }
+      val out = ms.toDS().groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(upd)
+      val emitted = runToMemory(s, out.toDF(), freshName("twap_state"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: held value carries
+        ms.addData(b2.toSeq)
+      }
+      emitted.groupBy("event_type")
+        .agg(max(struct(col("n_intervals"), col("span_us"), col("wsum"),
+          col("vsum"))).as("m"))
+        .select(col("event_type"), col("m.n_intervals").as("n_intervals"),
+          col("m.span_us").as("span_us"),
+          expr("m.wsum div m.span_us").as("twap_c"),
+          expr("m.vsum div m.n_intervals").as("mean_c"))
+        .orderBy("event_type")
+    }),
+
+    // Streaming rate alerting: tumbling 1-hour counts per type as a
+    // streaming aggregation (Update mode; counts are monotone, final =
+    // max emission), then the alert rule — current window exceeds 2.5×
+    // the mean of the 6 preceding windows — evaluated over the
+    // |windows|×|types| emitted relation with a type-partitioned lag
+    // window. Pure integer (n·100·6 vs 250·trailing_sum).
+    "stream_rate_alert" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val counts = ms.toDF()
+        .select(timestamp_micros(col("ts_us")).as("ets"), col("event_type"))
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("n"))
+      val emitted = runToMemory(s, counts, freshName("rate_alert"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // cross-batch window accumulation
+        ms.addData(b2.toSeq)
+      }
+      val fin = emitted.groupBy("win_us", "event_type").agg(max("n").as("n"))
+      val wT = Window.partitionBy("event_type").orderBy("win_us")
+        .rowsBetween(-6, -1)
+      fin
+        .withColumn("trail_n", count(lit(1)).over(wT))
+        .withColumn("trail_sum", sum("n").over(wT))
+        .filter(col("trail_n") === 6)
+        .withColumn("alert",
+          when(col("n") * 600 > col("trail_sum") * 250, 1L).otherwise(0L))
+        .select("win_us", "event_type", "n", "trail_sum", "alert")
+        .orderBy("win_us", "event_type")
+    }),
+
     // HTTP caching end-to-end (README.md:330-332): the server marks full
     // immutable batches `Cache-Control: public, max-age=…` and the DSv2
     // readers store them in the JVM-wide page cache, so a REPLAY of the
@@ -1257,6 +1351,37 @@ object StreamOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id < 20000) t
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY subject""".stripMargin,
+
+    // incremental state TWAP ≡ the batch lead()-window computation
+    // (over the fixtures' bounded replay window)
+    "stream_twap_state" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor(value * 10000) AS BIGINT) AS v_c FROM events
+        |  WHERE event_id < 20000),
+        |l AS (SELECT *, lead(ts_us, 1) OVER (PARTITION BY event_type
+        |    ORDER BY ts_us, event_id) - ts_us AS dt FROM e),
+        |g AS (SELECT event_type, count(*) AS n_intervals,
+        |    CAST(sum(v_c * dt) AS BIGINT) AS wsum,
+        |    CAST(sum(dt) AS BIGINT) AS span_us,
+        |    CAST(sum(v_c) AS BIGINT) AS vsum
+        |  FROM l WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_intervals, span_us,
+        |  wsum // span_us AS twap_c, vsum // n_intervals AS mean_c
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // streaming tumbling counts + trailing-window alert ≡ batch hourly SQL
+    "stream_rate_alert" ->
+      """WITH c AS (SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP))
+        |      AS win_us, event_type, count(*) AS n
+        |  FROM events WHERE event_id < 20000 GROUP BY 1, 2),
+        |w AS (SELECT *, count(*) OVER tw AS trail_n,
+        |    CAST(sum(n) OVER tw AS BIGINT) AS trail_sum
+        |  FROM c WINDOW tw AS (PARTITION BY event_type ORDER BY win_us
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT win_us, event_type, n, trail_sum,
+        |  CAST(CASE WHEN n * 600 > trail_sum * 250 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alert
+        |FROM w WHERE trail_n = 6 ORDER BY win_us, event_type""".stripMargin,
 
     // warm cache-served replay ≡ direct scan — a cache hit changes nothing
     "feed_cache_replay" ->

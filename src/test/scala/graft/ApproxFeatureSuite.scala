@@ -160,6 +160,106 @@ class ApproxFeatureSuite extends AnyFunSuite {
       assert(b <= n && ppm == b * 1000000L / n) }
   }
 
+  test("corr_spearman ≡ brute-force centered-midrank Pearson") {
+    val Array((n, rho)) = SparkEntry.queries("corr_spearman")(spark, d)
+      .as[(Long, Long)].collect()
+    val rows = Tables.lineitem(spark, d)
+      .select(floor($"l_quantity").cast("long"),
+        expr("CAST(floor(l_extendedprice) AS BIGINT) div 100"))
+      .as[(Long, Long)].collect()
+    assert(n == rows.length.toLong)
+    def ranks(vs: Array[Long]): Map[Long, Long] = {
+      val h = vs.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      h.map { case (v, nb) =>
+        val r = 2 * cum + nb - vs.length; cum += nb; v -> r }.toMap
+    }
+    val rx = ranks(rows.map(_._1)); val ry = ranks(rows.map(_._2))
+    val (sxx, syy, sxy) = rows.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (x, y)) =>
+      (a + rx(x) * rx(x), b + ry(y) * ry(y), c + rx(x) * ry(y)) }
+    val want = math.floor(sxy.toDouble /
+      (math.sqrt(sxx.toDouble) * math.sqrt(syy.toDouble)) * 10000).toLong
+    assert(rho == want)
+    // a valid correlation is bounded (synthetic price is independent of
+    // quantity here, so the value itself sits near 0)
+    assert(rho >= -10000 && rho <= 10000)
+  }
+
+  test("feature_bin_quantile: bins partition orders, ranges ordered, sizes near N/10") {
+    val rows = SparkEntry.queries("feature_bin_quantile")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    val total = Tables.orders(spark, d).count()
+    assert(rows.map(_._2).sum == total)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3 || a._4 <= b._3, "ranges ordered")
+      case _ => ()
+    }
+    // each decile within a heavy-bucket of the ideal size
+    val maxBucket = Tables.orders(spark, d)
+      .groupBy(expr("CAST(floor(o_totalprice) AS BIGINT) div 1000"))
+      .count().agg(max("count")).as[Long].collect().head
+    rows.foreach { case (_, nOrd, _, _) =>
+      assert(nOrd <= total / 10 + maxBucket) }
+  }
+
+  test("lm_greedy_decode ≡ brute-force argmax bigram chain") {
+    val got = SparkEntry.queries("lm_greedy_decode")(spark, d)
+      .as[(Long, String, Long)].collect()
+    assert(got.nonEmpty && got.head._1 == 1L)
+    val bi = Tables.documents(spark, d).select("text").as[String].collect()
+      .flatMap { t =>
+        val ws = t.split(" ")
+        if (ws.length >= 2) ws.zip(ws.tail) else Array.empty[(String, String)]
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val heads = bi.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    val start = heads.toSeq.sortBy { case (w, c) => (-c, w) }.head
+    assert(got.head._2 == start._1 && got.head._3 == start._2)
+    var cur = start._1
+    got.drop(1).foreach { case (_, tok, c) =>
+      val cands = bi.collect { case ((w1, w2), n) if w1 == cur => (w2, n) }
+      val best = cands.toSeq.sortBy { case (w, n) => (-n, w) }.head
+      assert(tok == best._1 && c == best._2)
+      cur = tok
+    }
+  }
+
+  test("stream_twap_state ≡ brute-force interval accounting over the replay window") {
+    val got = SparkEntry.queries("stream_twap_state")(spark, d)
+      .select("event_type", "n_intervals", "twap_c")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ev = Tables.events(spark, d).filter($"event_id" < 20000)
+      .select($"event_type", $"ts_us", $"event_id",
+        floor($"value" * 10000).cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+    ev.groupBy(_._1).foreach { case (t, es) =>
+      val s2 = es.sortBy(e => (e._2, e._3))
+      val iv = s2.zip(s2.tail).map { case (a, b) => (a._4, b._2 - a._2) }
+      assert(got(t) == ((iv.length.toLong,
+        Math.floorDiv(iv.map(x => x._1 * x._2).sum, iv.map(_._2).sum))), s"type $t")
+    }
+  }
+
+  test("stream_rate_alert: trailing windows have 6 predecessors; alerts match rule") {
+    val rows = SparkEntry.queries("stream_rate_alert")(spark, d)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val hourly = Tables.events(spark, d).filter($"event_id" < 20000)
+      .groupBy(expr("ts_us div 3600000000").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(t => t._1 -> t._3).toSeq.sortBy(_._1)).toMap
+    rows.foreach { case (winUs, t, n, trail, alert) =>
+      val series = hourly(t)
+      val idx = series.indexWhere(_._1 == winUs / 3600000000L)
+      assert(idx >= 6, "needs 6 preceding present windows")
+      assert(n == series(idx)._2)
+      assert(trail == series.slice(idx - 6, idx).map(_._2).sum)
+      assert(alert == (if (n * 600 > trail * 250) 1L else 0L))
+    }
+  }
+
   test("text_hapax_ratio ≡ brute-force within-doc hapax counting") {
     val rows = SparkEntry.queries("text_hapax_ratio")(spark, d)
       .as[(String, Long, Long, Long, Long)].collect()

@@ -96,7 +96,9 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "abc_xyz_matrix",       // part-revenue value histogram only
     "order_size_histogram", // ≤|max lines|-row histogram only
     "lm_kneser_ney",        // vocabulary-sized continuation-count relation
-    "orders_backlog_daily"  // calendar-day histogram only
+    "orders_backlog_daily", // calendar-day histogram only
+    "corr_spearman",        // value-bounded midrank histograms only
+    "feature_bin_quantile"  // k$ value histogram only
   )
 
   /** Queries whose heavy work happens eagerly at DataFrame-construction
@@ -106,7 +108,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     * full execution cost. Their plan-shape guarantees live in the
     * operators they compose (dedup_ngram_jaccard) and TrainOpsSuite. */
   private val eagerlyMaterialized =
-    Set("dedup_cluster_cc", "dedup_cluster_cc_dist", "curation_pipeline_e2e",
+    Set("lm_greedy_decode", // 8 one-row driver lookups at construction
+      "dedup_cluster_cc", "dedup_cluster_cc_dist", "curation_pipeline_e2e",
       // bounded driver greedy over a collected 20-row shortlist; its
       // distributed stages share vec_cosine_topk's swept shape
       "retrieval_mmr")
