@@ -21,6 +21,21 @@ import graft.io.Tables
 object ExportOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Page manifest with content checksums for the persisted feed: 100-id
+    // pages, per page the row count, id bounds, and md5 over the
+    // id-ordered id list — what a producer publishes next to immutable
+    // batches so consumers (and CDNs — feed_cache_replay) can verify
+    // integrity. Checksum input is canonically ordered, so any engine
+    // lands the identical digest.
+    "feed_page_manifest" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 20000)
+        .groupBy(expr("event_id div 100").as("page"))
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          md5(array_join(transform(array_sort(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("checksum"))
+        .orderBy("page")),
+
     // CloudEvents envelope serialization for a bounded page of the feed
     // (event_id < 200): the spec's JSON fields in canonical order as ONE
     // compact JSON string per event — the batch form of the producer's
@@ -105,6 +120,14 @@ object ExportOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "feed_page_manifest" ->
+      """SELECT event_id // 100 AS page, count(*) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id))
+        |    AS checksum
+        |FROM events WHERE event_id < 20000
+        |GROUP BY 1 ORDER BY page""".stripMargin,
+
     "feed_export_cloudevents" ->
       """SELECT event_id, to_json(struct_pack(
         |    specversion := '1.0',

@@ -88,6 +88,32 @@ object GovernOps {
         .orderBy("a", "b")
     }),
 
+    // Hive-style partitioned write + pruned read-back: the bounded event
+    // window written `partitionBy(event_type)` to scratch parquet, then
+    // (a) a single-type read REQUIRED to show PartitionFilters in its
+    // scan (the layout actually prunes — directories, not data, get
+    // skipped), and (b) the full read-back aggregated per type and
+    // checked against the direct-scan oracle. This is the ingest-time
+    // layout job join_bucketed proved for bucketing, applied to
+    // partition pruning.
+    "write_partitioned_roundtrip" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_id") < 20000)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 10000).cast("long").as("v_c"))
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_partwrite").toString
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(scratch)
+      val back = s.read.parquet(scratch)
+      val pruned = back.filter(col("event_type") === "click")
+      val plan = pruned.queryExecution.executedPlan.toString
+      require("PartitionFilters: \\[[^\\]]*event_type".r
+          .findFirstIn(plan).isDefined,
+        "single-type read must push the partition filter to the scan")
+      back.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v_c").as("val_c"))
+        .orderBy("event_type")
+    }),
+
     // Cross-format schema-on-read parity: a bounded lineitem sample
     // written once to CSV and JSON (scratch dir), read back with the
     // explicit schema, and aggregated identically to the parquet
@@ -155,6 +181,13 @@ object GovernOps {
         |  AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 30
         |ORDER BY a, b""".stripMargin,
+
+    // partitioned write → read-back ≡ direct scan
+    "write_partitioned_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS val_c
+        |FROM events WHERE event_id < 20000
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // parity claim: all three formats land identical aggregates — the
     // oracle states the parquet truth three times

@@ -104,6 +104,30 @@ object MaintOps {
         .orderBy("c_custkey")
     }),
 
+    // Mergeable moment sketches: per-(type, day) partials (n, Σv, Σv²)
+    // combined into per-type mean and population variance — the
+    // incremental-statistics maintenance loop (nightly partials, exact
+    // merge; the moments analog of quantile_hist_merge). Variance stays
+    // integer: (n·Σv² − (Σv)²) div n² in v_c² units. Values quantize
+    // at 1e2 (not the usual 1e4): (Σv)² must stay inside int64, and
+    // v ≤ ~560 × 2e4 rows × 1e2 keeps it at ~1.3e18. (Promote to
+    // DECIMAL(38,0) for finer scales or bigger types — shape unchanged.)
+    "stats_moments_merge" -> ((s, d) => {
+      val partials = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v_c"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("pn"), sum("v_c").as("ps1"),
+          sum(col("v_c") * col("v_c")).as("ps2"))
+      partials.groupBy("event_type")
+        .agg(count(lit(1)).as("n_partials"), sum("pn").as("n"),
+          sum("ps1").as("s1"), sum("ps2").as("s2"))
+        .withColumn("mean_c", expr("s1 div n"))
+        .withColumn("var_vc2", expr("(n * s2 - s1 * s1) div (n * n)"))
+        .select("event_type", "n_partials", "n", "mean_c", "var_vc2")
+        .orderBy("event_type")
+    }),
+
     // Quantile-sketch MERGEABILITY proven differentially (the
     // sketch_kmv_merge pattern): per-(type, day) partial 256-bucket
     // histograms — what each ingest shard builds independently — merged
@@ -241,6 +265,22 @@ object MaintOps {
         |  CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
         |    ORDER BY valid_from_us, event_id) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    // merged per-day moment partials ≡ the direct global moments
+    "stats_moments_merge" ->
+      """WITH v AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS v_c FROM events),
+        |p AS (SELECT event_type, day, count(*) AS pn,
+        |    CAST(sum(v_c) AS BIGINT) AS ps1,
+        |    CAST(sum(v_c * v_c) AS BIGINT) AS ps2
+        |  FROM v GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS n_partials,
+        |    CAST(sum(pn) AS BIGINT) AS n, CAST(sum(ps1) AS BIGINT) AS s1,
+        |    CAST(sum(ps2) AS BIGINT) AS s2
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n_partials, n, s1 // n AS mean_c,
+        |  (n * s2 - s1 * s1) // (n * n) AS var_vc2
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // the merge path: per-day partials summed bucket-wise must land the
     // direct histogram's exact quantile estimates (the final result is

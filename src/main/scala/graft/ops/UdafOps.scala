@@ -90,7 +90,63 @@ object UdafOps {
         ExpressionEncoder[Seq[(Long, Long)]]()
     }
 
+  /** JVM twin of [[Sampling.hashUniform]]'s 24-bit decode of
+    * md5(id) — first 3 digest bytes as an integer. */
+  private[graft] def idHash24(id: Long): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id".getBytes(StandardCharsets.UTF_8))
+      .take(3).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** A-Res priority −ln(u)/w with u from [[idHash24]] — identical
+    * arithmetic to the Sampling.sampleWeighted column expression
+    * (java.lang.Math.log on both paths). */
+  private[graft] def aresPriority(id: Long, w: Long): Double =
+    -math.log((idHash24(id) + 1).toDouble / 16777217.0) /
+      math.max(w.toDouble, 1e-12)
+
+  /** Bounded A-Res reservoir: the k smallest (priority, id) pairs —
+    * merge = keep the k smallest of the union (associative,
+    * commutative; the weighted sample is a FUNCTION of the id set, so
+    * partials combine exactly). */
+  private def reservoirAgg[I](k: Int, f: I => (Double, Long, Long))
+      : Aggregator[I, Seq[(Double, Long, Long)], Seq[(Double, Long, Long)]] =
+    new Aggregator[I, Seq[(Double, Long, Long)], Seq[(Double, Long, Long)]] {
+      private def keep(s: Seq[(Double, Long, Long)]) =
+        s.sortBy { case (p, id, _) => (p, id) }.take(k)
+      def zero: Seq[(Double, Long, Long)] = Seq.empty
+      def reduce(b: Seq[(Double, Long, Long)], row: I) = keep(b :+ f(row))
+      def merge(a: Seq[(Double, Long, Long)], b: Seq[(Double, Long, Long)]) =
+        keep(a ++ b)
+      def finish(r: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] = r
+      def bufferEncoder: Encoder[Seq[(Double, Long, Long)]] =
+        ExpressionEncoder[Seq[(Double, Long, Long)]]()
+      def outputEncoder: Encoder[Seq[(Double, Long, Long)]] =
+        ExpressionEncoder[Seq[(Double, Long, Long)]]()
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-source weighted reservoir (A-Res, k = 20, weight = n_chars)
+    // as a typed Aggregator: state is a bounded priority list, merged by
+    // keep-smallest — the UDAF form of sample_weighted/samplePerGroup.
+    // The oracle re-derives every reservoir with a rank window; the
+    // Aggregator never sorts a group, just maintains ≤ 20 pairs.
+    "udaf_reservoir_sample" -> ((s, d) => {
+      import s.implicits._
+      val res = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .agg(reservoirAgg[(String, Long, Long)](20,
+          t => (aresPriority(t._2, t._3), t._2, t._3)).toColumn.name("res"))
+        .toDF("source", "res")
+      res.select(col("source"), posexplode(col("res")).as(Seq("i", "e")))
+        .select(col("source"), (col("i") + 1).cast("long").as("rk"),
+          col("e._2").as("doc_id"), col("e._3").as("n_chars"),
+          floor(col("e._1") * lit(100000000.0)).cast("long").as("pri_c"))
+        .orderBy("source", "rk")
+    }),
     // Per-source 4-seed min-hash signature of the doc-id set, via a
     // custom typed Aggregator (merge = elementwise min — associative,
     // commutative, map-side combinable). Output long form (source, seed,
@@ -155,6 +211,22 @@ object UdafOps {
       s"CAST($idExpr AS VARCHAR))")
 
   def oracles: Map[String, String] = Map(
+    "udaf_reservoir_sample" -> {
+      val hv = Sampling.hexDecodeSql("m")
+      s"""WITH u AS (SELECT source, doc_id, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        |h AS (SELECT source, doc_id, n_chars, $hv AS hv FROM u),
+        |p AS (SELECT source, doc_id, n_chars,
+        |    -ln(CAST(hv + 1 AS DOUBLE) / 16777217.0) /
+        |      greatest(CAST(n_chars AS DOUBLE), 1e-12) AS pri
+        |  FROM h),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY pri, doc_id) AS rk FROM p)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars,
+        |  CAST(floor(pri * 100000000.0) AS BIGINT) AS pri_c
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin
+    },
+
     "udaf_minhash_group" -> {
       val seeds = (0 to 3).map(i =>
         s"SELECT source, CAST($i AS BIGINT) AS seed, " +

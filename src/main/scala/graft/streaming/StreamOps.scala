@@ -778,6 +778,55 @@ object StreamOps {
       } finally server.stop()
     }),
 
+    // Broadcast-sketch routing in a stream: a Bloom filter over the
+    // BUILDING segment's customer keys (16384 bits, 512 × 32-bit words,
+    // k = 3 — the sketch_bloom_fpr construction) is built batch-side,
+    // collected as a 512-entry MAP LITERAL (sketches are exactly the
+    // state small enough to publish to every executor — the
+    // denseDictionary pattern), and every streamed event is routed by
+    // pure projection: probable-member vs certain-non-member. ONE
+    // streaming aggregation counts (type, route) — no per-event state.
+    "stream_bloom_route" -> ((s, d) => {
+      import s.implicits._
+      val bits = 16384
+      val members = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      def pos(idCol: Column, seedCol: Column): Column =
+        graft.api.Sampling.hashBucket(
+          concat(idCol.cast("string"), lit(":"), seedCol.cast("string")), bits)
+      val posSet: Map[Long, Long] = members
+        .select(col("k"), explode(sequence(lit(0), lit(2))).as("seed"))
+        .withColumn("pos", pos(col("k"), col("seed")))
+        .select(col("pos").cast("long")).distinct()
+        .as[Long].collect().map(_ -> 1L).toMap
+      val mapLit = typedLit(posSet)
+      // the set-bit positions as a map literal (≤ 3·|members| ≤ m
+      // entries — the same information as the packed words, in the form
+      // a projection can probe without column-shift arithmetic); routing
+      // stays a pure per-row expression: no join, no state
+      def probe(seed: Int): Column =
+        coalesce(element_at(mapLit,
+          pos(col("user_id"), lit(seed)).cast("long")), lit(0L)) === lit(1L)
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val routed = ms.toDF()
+        .withColumn("probable_member",
+          when(probe(0) && probe(1) && probe(2), 1L).otherwise(0L))
+        .groupBy("event_type", "probable_member")
+        .agg(count(lit(1)).as("n"))
+      val emitted = runToMemory(s, routed, freshName("bloom_route"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()
+        ms.addData(b2.toSeq)
+      }
+      emitted.groupBy("event_type", "probable_member")
+        .agg(max("n").as("n"))
+        .orderBy("event_type", "probable_member")
+    }),
+
     // Incremental time-weighted average (batch twin: twap_time_weighted):
     // flatMapGroupsWithState keyed by event type holds the LAST reading
     // (the held value of step interpolation) plus exact integer interval
@@ -1351,6 +1400,31 @@ object StreamOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id < 20000) t
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY subject""".stripMargin,
+
+    // streamed sketch routing ≡ batch recomputation of the same bloom
+    "stream_bloom_route" -> {
+      val hv = graft.api.Sampling.hexDecodeSql(
+        "md5(CAST(k AS VARCHAR) || ':' || CAST(seed AS VARCHAR))")
+      val hvU = graft.api.Sampling.hexDecodeSql(
+        "md5(CAST(user_id AS VARCHAR) || ':' || CAST(seed AS VARCHAR))")
+      s"""WITH mem AS (SELECT c_custkey AS k FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |mp AS (SELECT k, unnest(generate_series(0, 2)) AS seed FROM mem),
+        |mb AS (SELECT DISTINCT ($hv) % 16384 AS pos FROM mp),
+        |e AS (SELECT event_id, event_type, user_id FROM events
+        |  WHERE event_id < 20000),
+        |ep AS (SELECT event_id, event_type, user_id,
+        |    unnest(generate_series(0, 2)) AS seed FROM e),
+        |pp AS (SELECT event_id, event_type, ($hvU) % 16384 AS pos FROM ep),
+        |pe AS (SELECT pp.event_id, pp.event_type,
+        |    CAST(min(CASE WHEN mb.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS probable_member
+        |  FROM pp LEFT JOIN mb ON pp.pos = mb.pos
+        |  GROUP BY 1, 2)
+        |SELECT event_type, probable_member, count(*) AS n
+        |FROM pe GROUP BY 1, 2 ORDER BY event_type, probable_member"""
+        .stripMargin
+    },
 
     // incremental state TWAP ≡ the batch lead()-window computation
     // (over the fixtures' bounded replay window)

@@ -260,6 +260,93 @@ class ApproxFeatureSuite extends AnyFunSuite {
     }
   }
 
+  test("write_partitioned_roundtrip ≡ direct aggregation (layout changes nothing)") {
+    val got = SparkEntry.queries("write_partitioned_roundtrip")(spark, d)
+      .as[(String, Long, Long)].collect().toSet
+    val want = Tables.events(spark, d).filter($"event_id" < 20000)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 10000).cast("long")).as("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("udaf_reservoir_sample ≡ brute-force A-Res top-20 per source") {
+    val got = SparkEntry.queries("udaf_reservoir_sample")(spark, d)
+      .select("source", "rk", "doc_id", "pri_c")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, d).select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect()
+    val brute = docs.map { case (src, id, w) =>
+      (src, id, graft.ops.UdafOps.aresPriority(id, w)) }
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._2)).take(20)).toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val want = brute(src)
+      assert(rows.length == math.min(20, want.length))
+      rows.sortBy(_._2).zip(want).foreach { case ((_, _, id, priC), (_, wid, wpri)) =>
+        assert(id == wid, s"source $src")
+        assert(priC == math.floor(wpri * 1e8).toLong)
+      }
+    }
+  }
+
+  test("stats_moments_merge ≡ direct global moments (merge is lossless)") {
+    val got = SparkEntry.queries("stats_moments_merge")(spark, d)
+      .select("event_type", "n", "mean_c", "var_vc2")
+      .as[(String, Long, Long, Long)].collect()
+    val vs = Tables.events(spark, d)
+      .select($"event_type", floor($"value" * 100).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    got.foreach { case (t, n, mean, varr) =>
+      val xs = vs(t).map(_._2)
+      val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+      assert(n == xs.length.toLong)
+      assert(mean == s1 / n)
+      assert(varr == (n * s2 - s1 * s1) / (n * n))
+      assert(varr >= 0)
+    }
+  }
+
+  test("feed_page_manifest: pages tile the window; checksums match driver md5") {
+    val rows = SparkEntry.queries("feed_page_manifest")(spark, d)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val ids = Tables.events(spark, d).filter($"event_id" < 20000)
+      .select("event_id").as[Long].collect().sorted
+    assert(rows.map(_._2).sum == ids.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (page, n, mn, mx, ck) =>
+      val pageIds = ids.filter(_ / 100 == page)
+      assert(n == pageIds.length.toLong && mn == pageIds.min && mx == pageIds.max)
+      val want = md.digest(pageIds.mkString(",").getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(ck == want, s"page $page checksum")
+    }
+  }
+
+  test("stream_bloom_route: counts tile the replay window; membership has no false negatives") {
+    val rows = SparkEntry.queries("stream_bloom_route")(spark, d)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val bound = Tables.events(spark, d).filter($"event_id" < 20000).count()
+    assert(rows.map(_._3).sum == bound)
+    // true members (user_id ∈ BUILDING custkeys) must always route as
+    // probable members (Bloom filters have no false negatives)
+    val memberKeys = Tables.customer(spark, d)
+      .filter($"c_mktsegment" === "BUILDING").select("c_custkey")
+      .as[Long].collect().toSet
+    val trueMemberEvents = Tables.events(spark, d)
+      .filter($"event_id" < 20000)
+      .select("event_type", "user_id").as[(String, Long)].collect()
+      .filter(e => memberKeys(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val routedIn = rows.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    trueMemberEvents.foreach { case (t, n) =>
+      assert(routedIn.getOrElse(t, 0L) >= n,
+        s"type $t: $n true members must all route as probable") }
+  }
+
   test("text_hapax_ratio ≡ brute-force within-doc hapax counting") {
     val rows = SparkEntry.queries("text_hapax_ratio")(spark, d)
       .as[(String, Long, Long, Long, Long)].collect()
