@@ -58,6 +58,7 @@ object SparkEntry {
       (BitGraphOps.queries, BitGraphOps.oracles),
       (ApproxOps.queries, ApproxOps.oracles),
       (FeatureEngOps.queries, FeatureEngOps.oracles),
+      (InterpOps.queries, InterpOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
 

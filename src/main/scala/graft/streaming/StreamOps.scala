@@ -42,6 +42,9 @@ object StreamOps {
   case class Scd2Open(user_id: Long, event_id: Long, state: String,
                       valid_from_us: Long)
 
+  /** KMV sketch emission: per-type estimate from the k-minima state. */
+  case class KmvOut(event_type: String, n_state: Long, est_c: Long)
+
   /** Incremental TWAP state per event type: the held (last) reading and
     * the exact integer interval accumulators. */
   case class TwapState(lastTs: Long, lastV: Long, accW: Long,
@@ -827,6 +830,51 @@ object StreamOps {
         .orderBy("event_type", "probable_member")
     }),
 
+    // Streaming KMV distinct sketch (batch twin: distinct_kmv_sketch):
+    // flatMapGroupsWithState per type keeps the k = 32 smallest
+    // (md5-uniform, id) pairs — BOUNDED state whatever the stream
+    // volume, and a pure FUNCTION of the id set (merge = keep-smallest
+    // of the union), so arrival order and batch boundaries cannot change
+    // the final sketch: streamed est ≡ the direct batch sketch, which is
+    // what the oracle recomputes.
+    "stream_kmv_state" -> ((s, d) => {
+      import s.implicits._
+      val k = 32
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      def upd(t: String, it: Iterator[Ev],
+              state: GroupState[Seq[(Double, Long)]]): Iterator[KmvOut] = {
+        val incoming = it.map(e =>
+          ((graft.ops.UdafOps.idHash24(e.user_id) + 1).toDouble / 16777217.0,
+            e.user_id)).toSeq
+        val merged = (state.getOption.getOrElse(Seq.empty) ++ incoming)
+          .distinct.sortBy { case (u, id) => (u, id) }.take(k)
+        state.update(merged)
+        val est =
+          if (merged.length < k) merged.length.toDouble
+          else (k - 1).toDouble / merged.last._1
+        Iterator.single(KmvOut(t, merged.length.toLong,
+          math.floor(est * 100).toLong))
+      }
+      val out = ms.toDS().groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(upd)
+      val emitted = runToMemory(s, out.toDF(), freshName("kmv_state"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // sketch state carries across batches
+        ms.addData(b2.toSeq)
+      }
+      // final sketch per type = the latest emission: n_state grows to k
+      // and then the k-th minimum only DECREASES, so est = (k−1)/u_k
+      // only increases — (n_state, est_c) is monotone across batches and
+      // the max struct is the final state
+      emitted.groupBy("event_type")
+        .agg(max(struct(col("n_state"), col("est_c"))).as("m"))
+        .select(col("event_type"), col("m.est_c").as("est_c"))
+        .orderBy("event_type")
+    }),
+
     // Incremental time-weighted average (batch twin: twap_time_weighted):
     // flatMapGroupsWithState keyed by event type holds the LAST reading
     // (the held value of step interpolation) plus exact integer interval
@@ -1424,6 +1472,27 @@ object StreamOps {
         |SELECT event_type, probable_member, count(*) AS n
         |FROM pe GROUP BY 1, 2 ORDER BY event_type, probable_member"""
         .stripMargin
+    },
+
+    // streamed KMV state ≡ the direct batch sketch over the same window
+    "stream_kmv_state" -> {
+      val hv = graft.api.Sampling.hexDecodeSql("m")
+      s"""WITH dist AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE event_id < 20000),
+        |u0 AS (SELECT event_type, user_id,
+        |    md5(CAST(user_id AS VARCHAR)) AS m FROM dist),
+        |h AS (SELECT event_type, user_id, $hv AS hvv FROM u0),
+        |p AS (SELECT event_type, user_id,
+        |    CAST(hvv + 1 AS DOUBLE) / 16777217.0 AS u FROM h),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY u, user_id) AS rk FROM p),
+        |kth AS (SELECT event_type, u FROM r WHERE rk = 32),
+        |cnt AS (SELECT event_type, count(*) AS n FROM dist GROUP BY 1)
+        |SELECT cnt.event_type AS event_type,
+        |  CAST(floor(CASE WHEN kth.u IS NOT NULL THEN 31.0 / kth.u
+        |    ELSE CAST(cnt.n AS DOUBLE) END * 100) AS BIGINT) AS est_c
+        |FROM cnt LEFT JOIN kth ON cnt.event_type = kth.event_type
+        |ORDER BY 1""".stripMargin
     },
 
     // incremental state TWAP ≡ the batch lead()-window computation

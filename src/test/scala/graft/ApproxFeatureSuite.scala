@@ -347,6 +347,90 @@ class ApproxFeatureSuite extends AnyFunSuite {
         s"type $t: $n true members must all route as probable") }
   }
 
+  test("ts_resample_interpolate ≡ brute-force linear interpolation; agrees with ffill on present hours") {
+    val rows = SparkEntry.queries("ts_resample_interpolate")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val hr = Tables.events(spark, d).filter($"user_id" < 10)
+      .select($"user_id", $"ts_us", $"event_id",
+        floor($"value" * 10000).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(e => (e._1, e._2 / 3600000000L))
+      .map { case ((u, h), es) => (u, h) -> es.maxBy(e => (e._2, e._3))._4 }
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val present = hr.collect { case ((uu, h), v) if uu == u => (h, v) }
+        .toSeq.sortBy(_._1)
+      rs.foreach { case (_, h, filled, gap) =>
+        present.find(_._1 == h) match {
+          case Some((_, v)) => assert(gap == 0 && filled == v)
+          case None =>
+            val (hp, vp) = present.filter(_._1 < h).maxBy(_._1)
+            val (hn, vn) = present.filter(_._1 > h).minBy(_._1)
+            val want = vp + math.floor(
+              ((vn - vp) * (h - hp)).toDouble / (hn - hp)).toLong
+            assert(gap == 1 && filled == want, s"user $u hour $h")
+        }
+      }
+    }
+  }
+
+  test("graph_pagerank_personalized ≡ brute-force 3-step sparse PPR") {
+    val got = SparkEntry.queries("graph_pagerank_personalized")(spark, d)
+      .as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey")
+      .as[(Long, Long)].collect().distinct
+    val adj = li.groupBy(_._1).values.toSeq.flatMap { items =>
+      val ps = items.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = Seq(1L, 2L, 3L).filter(adj.contains)
+    var r: Map[Long, Long] = seeds.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val spread = scala.collection.mutable.Map[Long, Long]()
+      r.foreach { case (u, ru) =>
+        val ns = adj(u); val c = ru / ns.size
+        ns.foreach(v => spread(v) = spread.getOrElse(v, 0L) + c)
+      }
+      val nxt = spread.map { case (u, sc) => u -> sc * 85 / 100 }
+      r = (nxt.toSeq ++ seeds.map(_ -> 150000L))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val want = r.toSeq.sortBy { case (u, s) => (-s, u) }.take(30)
+    assert(got.toSeq == want)
+  }
+
+  test("text_sentence_stats ≡ brute-force sentence splitting") {
+    val rows = SparkEntry.queries("text_sentence_stats")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, d).select("source", "text")
+      .as[(String, String)].collect()
+    rows.foreach { case (src, nDocs, nSent, spd, mlen) =>
+      val g = docs.filter(_._1 == src)
+      val sents = g.map(_._2.split("[.!?]+").map(_.trim).filter(_.nonEmpty))
+      assert(nDocs == g.length.toLong)
+      assert(nSent == sents.map(_.length.toLong).sum)
+      assert(spd == nSent * 1000000L / nDocs)
+      assert(mlen == sents.flatMap(_.map(_.length.toLong)).sum * 100 / nSent)
+    }
+  }
+
+  test("stream_kmv_state ≡ brute-force 32-minima sketch over the replay window") {
+    val got = SparkEntry.queries("stream_kmv_state")(spark, d)
+      .as[(String, Long)].collect().toMap
+    val dist = Tables.events(spark, d).filter($"event_id" < 20000)
+      .select("event_type", "user_id").distinct()
+      .as[(String, Long)].collect()
+    dist.groupBy(_._1).foreach { case (t, us) =>
+      val mins = us.map(_._2).distinct
+        .map(id => ((graft.ops.UdafOps.idHash24(id) + 1).toDouble / 16777217.0, id))
+        .sortBy(x => (x._1, x._2)).take(32)
+      val est = if (mins.length < 32) mins.length.toDouble else 31.0 / mins.last._1
+      assert(got(t) == math.floor(est * 100).toLong, s"type $t")
+    }
+  }
+
   test("text_hapax_ratio ≡ brute-force within-doc hapax counting") {
     val rows = SparkEntry.queries("text_hapax_ratio")(spark, d)
       .as[(String, Long, Long, Long, Long)].collect()
