@@ -59,6 +59,7 @@ object SparkEntry {
       (ApproxOps.queries, ApproxOps.oracles),
       (FeatureEngOps.queries, FeatureEngOps.oracles),
       (InterpOps.queries, InterpOps.oracles),
+      (ActiveOps.queries, ActiveOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
 

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** §2.46 (cont.) activity accounting & dynamic pruning (added round 6):
+  * DAU/WAU/MAU rolling actives, rolling cross-series correlation, and a
+  * dynamic-partition-pruning join with an in-query plan gate.
+  *
+  * Scale shapes (100 TB notes):
+  *  - active_users_dau_wau: the rolling-window membership is computed by
+  *    EXPLODING each (user, day) into the ≤30 report days it supports —
+  *    map-side fan-out of the distinct relation, then plain count
+  *    distinct per (report day, window) — never a range join of the
+  *    activity relation against the calendar.
+  *  - ts_rolling_correlation: all windowed moments run over the
+  *    calendar-day series (bounded), integer-exact until the final
+  *    canonized ratio.
+  *  - join_dpp_prune: the selective dimension filter reaches the FACT
+  *    scan at runtime as a dynamicpruning expression on the partition
+  *    column — scanning 2 of 5 partitions; the query REQUIRES the
+  *    expression in its own plan, so a regression that silently reads
+  *    everything fails correctness, not just perf.
+  */
+object ActiveOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Rolling active users per calendar day: DAU (that day), WAU
+    // (trailing 7), MAU (trailing 30). Each (user, day) active pair
+    // supports days day..day+6 (WAU) and day..day+29 (MAU): explode,
+    // then count distinct per report day — the scalable rolling-distinct
+    // shape (no range join, no per-day re-scan).
+    "active_users_dau_wau" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+      val dau = ud.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+      def rolling(span: Int, name: String): DataFrame = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + (span - 1))).as("day"))
+        .join(days, "day") // only real calendar days report
+        .groupBy("day").agg(count_distinct(col("user_id")).as(name))
+      dau.join(rolling(7, "wau"), "day").join(rolling(30, "mau"), "day")
+        .orderBy("day")
+    }),
+
+    // Rolling 14-day Pearson correlation between the click and purchase
+    // daily-count series: windowed integer moments over the calendar-day
+    // relation, canon100 ratio, NULL until the window is full or when a
+    // side is constant.
+    "ts_rolling_correlation" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val w = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+      daily
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w)).withColumn("sy", sum("y").over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .withColumn("num", col("nw") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("da", col("nw") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("db", col("nw") * col("syy") - col("sy") * col("sy"))
+        .select(col("day"), col("nw"),
+          when(col("nw") === 14 && col("da") > 0 && col("db") > 0,
+            floor(col("num").cast("double") /
+              (sqrt(col("da").cast("double")) * sqrt(col("db").cast("double")))
+              * lit(100.0)).cast("long")).as("r_c"))
+        .orderBy("day")
+    }),
+
+    // Dynamic partition pruning end-to-end: the bounded event window
+    // written partitioned by event_type, joined against a FILTERED
+    // 2-row dimension — the runtime must push the dim's filter into the
+    // fact scan as a dynamicpruning expression (2 of 5 directories
+    // read). The plan gate is part of the query contract.
+    "join_dpp_prune" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_id") < 20000)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 10000).cast("long").as("v_c"))
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_dpp").toString
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(scratch)
+      val fact = s.read.parquet(scratch)
+      val dim = Tables.events(s, d).select(col("event_type")).distinct()
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("weight", length(col("event_type")).cast("long"))
+      val joined = fact.join(dim, "event_type")
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        "the dimension filter must reach the fact scan as a runtime partition filter")
+      joined.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v_c").as("val_c"),
+          first("weight").as("weight"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "active_users_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000
+        |    AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |w7 AS (SELECT t.day, count(DISTINCT ud.user_id) AS wau
+        |  FROM days t JOIN ud ON ud.day BETWEEN t.day - 6 AND t.day
+        |  GROUP BY 1),
+        |w30 AS (SELECT t.day, count(DISTINCT ud.user_id) AS mau
+        |  FROM days t JOIN ud ON ud.day BETWEEN t.day - 29 AND t.day
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, w7.wau, w30.mau
+        |FROM dau JOIN w7 ON dau.day = w7.day JOIN w30 ON dau.day = w30.day
+        |ORDER BY dau.day""".stripMargin,
+
+    "ts_rolling_correlation" ->
+      """WITH dly AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |m AS (SELECT day, count(*) OVER w AS nw,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x*x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) OVER w AS BIGINT) AS syy,
+        |    CAST(sum(x*y) OVER w AS BIGINT) AS sxy
+        |  FROM dly WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day, nw,
+        |  CASE WHEN nw = 14 AND nw*sxx - sx*sx > 0 AND nw*syy - sy*sy > 0
+        |    THEN CAST(floor(CAST(nw*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(nw*sxx - sx*sx AS DOUBLE)) *
+        |       sqrt(CAST(nw*syy - sy*sy AS DOUBLE))) * 100.0) AS BIGINT)
+        |    ELSE NULL END AS r_c
+        |FROM m ORDER BY day""".stripMargin,
+
+    "join_dpp_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS val_c,
+        |  CAST(length(event_type) AS BIGINT) AS weight
+        |FROM events
+        |WHERE event_id < 20000 AND event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

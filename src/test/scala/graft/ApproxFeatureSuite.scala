@@ -431,6 +431,66 @@ class ApproxFeatureSuite extends AnyFunSuite {
     }
   }
 
+  test("active_users_dau_wau: DAU ≤ WAU ≤ MAU; WAU ≡ brute-force trailing-7 distinct") {
+    val rows = SparkEntry.queries("active_users_dau_wau")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val ud = Tables.events(spark, d)
+      .select($"user_id", expr("ts_us div 86400000000").as("day")).distinct()
+      .as[(Long, Long)].collect()
+    rows.foreach { case (day, dau, wau, mau) =>
+      assert(dau <= wau && wau <= mau)
+      assert(dau == ud.count(_._2 == day).toLong)
+      assert(wau == ud.filter(u => u._2 >= day - 6 && u._2 <= day)
+        .map(_._1).distinct.length.toLong, s"day $day")
+      assert(mau == ud.filter(u => u._2 >= day - 29 && u._2 <= day)
+        .map(_._1).distinct.length.toLong, s"day $day")
+    }
+  }
+
+  test("ts_rolling_correlation ≡ brute-force windowed Pearson") {
+    val rows = SparkEntry.queries("ts_rolling_correlation")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, d)
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    rows.zipWithIndex.foreach { case ((day, nw, rc), i) =>
+      assert(day == daily(i)._1)
+      val wind = daily.slice(math.max(0, i - 13), i + 1)
+      assert(nw == wind.length.toLong)
+      if (rc.isDefined) {
+        val n = wind.length.toLong
+        val sx = wind.map(_._2).sum; val sy = wind.map(_._3).sum
+        val sxx = wind.map(w => w._2 * w._2).sum
+        val syy = wind.map(w => w._3 * w._3).sum
+        val sxy = wind.map(w => w._2 * w._3).sum
+        val want = math.floor((n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) *
+            math.sqrt((n * syy - sy * sy).toDouble)) * 100).toLong
+        assert(rc.contains(want), s"day $day")
+      }
+    }
+  }
+
+  test("join_dpp_prune ≡ direct filtered aggregation (pruning changes nothing)") {
+    val got = SparkEntry.queries("join_dpp_prune")(spark, d)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = Tables.events(spark, d)
+      .filter($"event_id" < 20000 && $"event_type".isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 10000).cast("long")).as("v"),
+        length($"event_type").cast("long").as("w"))
+      .select($"event_type", $"n", $"v", $"w")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want && got.size == 2)
+  }
+
   test("text_hapax_ratio ≡ brute-force within-doc hapax counting") {
     val rows = SparkEntry.queries("text_hapax_ratio")(spark, d)
       .as[(String, Long, Long, Long, Long)].collect()

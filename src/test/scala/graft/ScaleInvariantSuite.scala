@@ -98,7 +98,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "lm_kneser_ney",        // vocabulary-sized continuation-count relation
     "orders_backlog_daily", // calendar-day histogram only
     "corr_spearman",        // value-bounded midrank histograms only
-    "feature_bin_quantile"  // k$ value histogram only
+    "feature_bin_quantile", // k$ value histogram only
+    "ts_rolling_correlation" // calendar-day series only
   )
 
   /** Queries whose heavy work happens eagerly at DataFrame-construction
