@@ -81,7 +81,8 @@ object SparkEntry {
     "dedup_ngram_jaccard_prefix",  // forced All-Pairs prefix + PPJoin path
     "dedup_ngram_jaccard_shuffle", // forced non-broadcast (shuffled) bitset join
     "dedup_cluster_cc_dist",       // forced distributed hook+compress CC
-    "graph_kcore_shuffle"          // forced non-broadcast (shuffled) k-core peel
+    "graph_kcore_shuffle",         // forced non-broadcast (shuffled) k-core peel
+    "join_inner_merge"             // forced sort-merge twin of join_inner_hash
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

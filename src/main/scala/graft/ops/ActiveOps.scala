@@ -75,6 +75,58 @@ object ActiveOps {
         .orderBy("day")
     }),
 
+    // Stationary distribution of the event-type Markov chain: per-user
+    // lag-1 transitions build the |types|² matrix, then 4 unrolled power
+    // steps π′_j = Σ_i ⌊π_i·c_ij / c_i⌋ from the uniform start — every
+    // term integer (quantize-before-sum), the whole iteration over the
+    // 25-cell relation.
+    "markov_stationary_step" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tm = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("j"))
+        .withColumn("i", lag(col("j"), 1).over(w))
+        .filter(col("i").isNotNull)
+        .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      val rowTot = tm.groupBy("i").agg(sum("c").as("ci"))
+      val m = tm.join(rowTot, "i").localCheckpoint() // iterated 4×
+      val nTypes = m.select("i").distinct().count()
+      var pi = m.select(col("i").as("t")).distinct()
+        .withColumn("p", lit(1000000L / nTypes))
+      for (_ <- 1 to 4) {
+        pi = m.join(pi.withColumnRenamed("t", "i"), "i")
+          .select(col("j"), expr("(p * c) div ci").as("term"))
+          .groupBy(col("j").as("t")).agg(sum("term").as("p"))
+      }
+      pi.select(col("t").as("event_type"), col("p").as("pi_ppm"))
+        .orderBy("event_type")
+    }),
+
+    // Schema evolution on read: two parquet file generations (v2 adds a
+    // column) read together with mergeSchema — v1 rows surface NULL for
+    // the new column, and the per-generation aggregates must equal the
+    // direct computation. The contract every long-lived lakehouse table
+    // depends on.
+    "source_schema_evolution" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("long").as("qty"), col("l_returnflag"))
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_schevo").toString
+      base.filter(expr("l_orderkey % 100 = 0"))
+        .drop("l_returnflag") // generation 1: no flag column yet
+        .write.mode("overwrite").parquet(s"$scratch/g1")
+      base.filter(expr("l_orderkey % 100 = 50"))
+        .write.mode("overwrite").parquet(s"$scratch/g2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$scratch/g1", s"$scratch/g2")
+        .groupBy(when(col("l_returnflag").isNull, "v1").otherwise("v2")
+          .as("generation"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          count_distinct(col("l_returnflag")).as("n_flags"))
+        .orderBy("generation")
+    }),
+
     // Dynamic partition pruning end-to-end: the bounded event window
     // written partitioned by event_type, joined against a FILTERED
     // 2-row dimension — the runtime must push the dim's filter into the
@@ -141,6 +193,41 @@ object ActiveOps {
         |       sqrt(CAST(nw*syy - sy*sy AS DOUBLE))) * 100.0) AS BIGINT)
         |    ELSE NULL END AS r_c
         |FROM m ORDER BY day""".stripMargin,
+
+    "markov_stationary_step" -> {
+      val steps = (1 to 4).map { k =>
+        s"""p$k AS (SELECT m.j AS t,
+           |    CAST(sum((p${k - 1}.p * m.c) // m.ci) AS BIGINT) AS p
+           |  FROM m JOIN p${k - 1} ON m.i = p${k - 1}.t GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type AS j FROM events),
+        |l AS (SELECT *, lag(j) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS i FROM e),
+        |tm AS (SELECT i, j, count(*) AS c FROM l
+        |  WHERE i IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT i, CAST(sum(c) AS BIGINT) AS ci FROM tm GROUP BY 1),
+        |m AS (SELECT tm.i, tm.j, tm.c, rt.ci FROM tm JOIN rt ON tm.i = rt.i),
+        |nt AS (SELECT count(DISTINCT i) AS n FROM m),
+        |p0 AS (SELECT DISTINCT i AS t, CAST(1000000 // nt.n AS BIGINT) AS p
+        |  FROM m, nt),
+        |$steps
+        |SELECT t AS event_type, p AS pi_ppm FROM p4
+        |ORDER BY event_type""".stripMargin
+    },
+
+    "source_schema_evolution" ->
+      """WITH b AS (SELECT l_orderkey,
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty, l_returnflag
+        |  FROM lineitem),
+        |u AS (SELECT 'v1' AS generation, qty, NULL AS flag FROM b
+        |    WHERE l_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 'v2', qty, l_returnflag FROM b WHERE l_orderkey % 100 = 50)
+        |SELECT generation, count(*) AS n, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(count(DISTINCT flag) AS BIGINT) AS n_flags
+        |FROM u GROUP BY 1 ORDER BY generation""".stripMargin,
 
     "join_dpp_prune" ->
       """SELECT event_type, count(*) AS n,

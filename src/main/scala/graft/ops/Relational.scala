@@ -60,6 +60,23 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // The SAME fact ⋈ dim aggregate with the join FORCED to sort-merge
+    // (merge hints on both sides): the plan shape every equi-join takes
+    // once BOTH sides outgrow broadcast AND shuffle-hash build budgets —
+    // the default at true 100 TB fact-fact scale. Verification-only
+    // under join_inner_hash's oracle (SparkEntry.verifyOnly): proves the
+    // at-scale physical strategy is semantics-identical, the
+    // graph_kcore_shuffle pattern.
+    "join_inner_merge" -> ((s, d) => {
+      Tables.orders(s, d).hint("merge")
+        .join(Tables.customer(s, d).hint("merge"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(canon(col("o_totalprice"), 100)).as("revenue_c"))
+        .orderBy("c_mktsegment")
+    }),
+
     // explicit broadcast of the small dimension side
     "join_broadcast" -> ((s, d) => {
       Tables.nation(s, d)
@@ -247,6 +264,13 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
 
     "join_inner_hash" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // forced sort-merge twin: identical semantics, identical oracle
+    "join_inner_merge" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -491,6 +491,54 @@ class ApproxFeatureSuite extends AnyFunSuite {
     assert(got == want && got.size == 2)
   }
 
+  test("markov_stationary_step: mass conserved up to floor loss; brute-force equal") {
+    val got = SparkEntry.queries("markov_stationary_step")(spark, d)
+      .as[(String, Long)].collect().toMap
+    assert(got.nonEmpty)
+    // brute-force the transition matrix and 4 power steps
+    val ev = Tables.events(spark, d)
+      .select($"user_id", $"ts_us", $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val trans = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      val s2 = es.sortBy(e => (e._2, e._3)).map(_._4)
+      s2.zip(s2.tail)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = trans.keys.map(_._1).toSeq.distinct
+    val rowTot = rows.map(i => i ->
+      trans.collect { case ((a, _), c) if a == i => c }.sum).toMap
+    var pi = rows.map(_ -> 1000000L / rows.length).toMap
+    for (_ <- 1 to 4) {
+      val next = scala.collection.mutable.Map[String, Long]()
+      trans.foreach { case ((i, j), c) =>
+        next(j) = next.getOrElse(j, 0L) + pi(i) * c / rowTot(i) }
+      pi = next.toMap
+    }
+    assert(got == pi)
+    // floor losses only shrink the mass, and only slightly
+    val mass = got.values.sum
+    assert(mass <= 1000000L && mass >= 1000000L - 1000L)
+  }
+
+  test("source_schema_evolution: v1 generation surfaces NULL flags, counts split") {
+    val rows = SparkEntry.queries("source_schema_evolution")(spark, d)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("v1", "v2"))
+    assert(rows("v1")._4 == 0, "v1 files must read the new column as NULL")
+    assert(rows("v2")._4 > 0)
+    val b = Tables.lineitem(spark, d).select("l_orderkey").as[Long].collect()
+    assert(rows("v1")._2 == b.count(_ % 100 == 0).toLong)
+    assert(rows("v2")._2 == b.count(_ % 100 == 50).toLong)
+  }
+
+  test("join_inner_merge ≡ join_inner_hash, with a SortMergeJoin plan") {
+    val hash = SparkEntry.queries("join_inner_hash")(spark, d).collect()
+    val merge = SparkEntry.queries("join_inner_merge")(spark, d)
+    assert(merge.collect().map(_.toSeq).toSeq == hash.map(_.toSeq).toSeq)
+    val plan = merge.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "merge hint must force SMJ")
+    assert(!plan.contains("BroadcastHashJoin"))
+  }
+
   test("text_hapax_ratio ≡ brute-force within-doc hapax counting") {
     val rows = SparkEntry.queries("text_hapax_ratio")(spark, d)
       .as[(String, Long, Long, Long, Long)].collect()
