@@ -410,11 +410,17 @@ object GraphOps {
         .localCheckpoint()
     })
 
+  // MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+  // iterative oracles (PageRank steps, k-core rounds, label-prop) each
+  // reference `e` several times — materializing the edge build once
+  // keeps those oracles linear in the rounds instead of multiplicative.
   private[graft] val edgesSql =
-    """lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+    """lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |      FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
       |       FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
-      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)""".stripMargin
+      |e AS MATERIALIZED (SELECT u, v FROM e0
+      |      UNION ALL SELECT v AS u, u AS v FROM e0)""".stripMargin
 
   /** One unrolled oracle PageRank step: prev CTE -> next CTE. */
   private def stepSql(prev: String, next: String): String =
@@ -497,13 +503,18 @@ object GraphOps {
     .++(oraclesTail)
 
   private lazy val kcoreSql: String = {
-      // unrolled peel: dN = degrees of the subgraph induced by a(N-1)
+      // unrolled peel: dN = degrees of the subgraph induced by a(N-1).
+      // Every aN is referenced three times downstream (next round's two
+      // endpoint joins + the count rows) — DuckDB INLINES plain CTEs, so
+      // without MATERIALIZED the peel re-evaluates multiplicatively
+      // across rounds (the sf0.1 oracle went from >10 min to seconds).
       val rounds = (1 to 4).map { r =>
         val prev = if (r == 1) "a0" else s"a${r - 1}"
-        s"""d$r AS (SELECT e.u, count(*) AS deg FROM e
+        s"""d$r AS MATERIALIZED (SELECT e.u, count(*) AS deg FROM e
            |  JOIN $prev x ON e.u = x.u JOIN $prev y ON e.v = y.u
            |  GROUP BY e.u),
-           |a$r AS (SELECT u FROM d$r WHERE deg >= 100)""".stripMargin
+           |a$r AS MATERIALIZED (SELECT u FROM d$r WHERE deg >= 100)"""
+          .stripMargin
       }.mkString(",\n")
       val rows = (1 to 4).map { r =>
         val prev = if (r == 1) "a0" else s"a${r - 1}"
@@ -513,7 +524,7 @@ object GraphOps {
            |  (SELECT count(*) FROM a$r) AS n_alive""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH $edgesSql,
-        |a0 AS (SELECT DISTINCT u FROM e),
+        |a0 AS MATERIALIZED (SELECT DISTINCT u FROM e),
         |$rounds
         |$rows
         |ORDER BY round""".stripMargin

@@ -14,6 +14,12 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     con = duckdb.connect()
+    # Bound DuckDB's memory and give it a spill dir: the heavy graph
+    # oracles at sf0.1 otherwise race whatever else the box is running
+    # for the default 80%-of-RAM budget and die with bad-allocation
+    # instead of spilling.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/graft_duck_spill'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
