@@ -60,6 +60,7 @@ object SparkEntry {
       (FeatureEngOps.queries, FeatureEngOps.oracles),
       (InterpOps.queries, InterpOps.oracles),
       (ActiveOps.queries, ActiveOps.oracles),
+      (SketchOps.queries, SketchOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
 

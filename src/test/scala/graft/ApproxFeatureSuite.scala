@@ -539,6 +539,69 @@ class ApproxFeatureSuite extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"))
   }
 
+  test("agg_hll_deterministic ≡ brute-force register recomputation; sane estimate") {
+    val got = SparkEntry.queries("agg_hll_deterministic")(spark, d)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, d).select("event_type", "user_id")
+      .as[(String, Long)].collect().distinct
+    got.foreach { case (t, nExact, estC) =>
+      val users = ev.filter(_._1 == t).map(_._2).distinct
+      assert(nExact == users.length.toLong)
+      val regs = scala.collection.mutable.Map[Long, Long]()
+      users.foreach { id =>
+        val h = graft.ops.UdafOps.idHash24(id)
+        val b = h % 64; val w = h / 64
+        val rho = if (w == 0) 19L else 18L - (63 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(b) = math.max(regs.getOrElse(b, 0L), rho)
+      }
+      val sHit = regs.values.map(r => 1.0 / math.pow(2.0, r.toDouble)).sum
+      val s2 = sHit + (64 - regs.size).toDouble
+      val raw = 0.709 * 4096.0 / s2
+      val est = if (regs.size < 64 && raw <= 160.0)
+        64.0 * math.log(64.0 / (64 - regs.size).toDouble) else raw
+      assert(estC == math.floor(est * 100).toLong, s"type $t")
+      // estimator sanity (LC at small n, raw above): within 45%
+      assert(math.abs(est - nExact) / nExact < 0.45, s"type $t est $est vs $nExact")
+    }
+  }
+
+  test("text_freq_spectrum: bands partition the bigram vocabulary; tail exists") {
+    val rows = SparkEntry.queries("text_freq_spectrum")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val bigrams = Tables.documents(spark, d).select("text").as[String].collect()
+      .flatMap { t =>
+        val ws = t.split(" ")
+        if (ws.length >= 2) ws.zip(ws.tail).map(p => p._1 + " " + p._2)
+        else Array.empty[String]
+      }
+    val vocab = bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+    assert(rows.map(_._2).sum == vocab.size.toLong, "bands partition the vocab")
+    assert(rows.map(_._3).sum == bigrams.length.toLong, "instances total")
+    rows.foreach { case (band, _, _, mn, mx) =>
+      if (band.startsWith("1e")) {
+        val digits = band.drop(2).toInt + 1
+        assert(mn.toString.length == digits && mx.toString.length == digits)
+      } else assert(mn == band.toLong && mx == band.toLong)
+    }
+    assert(rows.exists(_._1 == "1"), "a rare tail (hapax bigrams) must exist")
+  }
+
+  test("subquery_not_in_null: NOT IN with NULL list is empty; NOT EXISTS is not") {
+    val got = SparkEntry.queries("subquery_not_in_null")(spark, d)
+      .as[(String, Long)].collect().toMap
+    assert(got("not_in") == 0, "NOT IN over a NULL-bearing list can never be TRUE")
+    // brute-force the NOT EXISTS side
+    val cust = Tables.customer(spark, d).select("c_custkey").as[Long].collect()
+    val o99 = Tables.orders(spark, d)
+      .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").as[Long].collect().toSet
+    assert(got("not_exists") == cust.count(c => !o99(c)).toLong)
+    assert(got("not_exists") > 0, "the probe set must be nonempty to demonstrate")
+  }
+
   test("text_hapax_ratio ≡ brute-force within-doc hapax counting") {
     val rows = SparkEntry.queries("text_hapax_ratio")(spark, d)
       .as[(String, Long, Long, Long, Long)].collect()
