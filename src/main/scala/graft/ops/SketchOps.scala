@@ -42,6 +42,24 @@ object SketchOps {
     s"(CASE $whens ELSE 19 END)"
   }
 
+  /** JVM twin of the rank ladder (for stream_hll_state's register
+    * updates): rank of the 18-bit word, 1..19. */
+  private[graft] def hllRho(w: Long): Long =
+    if (w == 0) 19L else 18L - (63 - java.lang.Long.numberOfLeadingZeros(w))
+
+  /** JVM twin of the estimator fold (registers length 64, 0 = empty):
+    * raw α·m²/Σ2^(−ρ) with the linear-counting small-range branch —
+    * arithmetic identical to the column expressions. */
+  private[graft] def hllEstimate(regs: Array[Long]): Double = {
+    val hit = regs.count(_ > 0)
+    val s = regs.filter(_ > 0).map(r => 1.0 / math.pow(2.0, r.toDouble)).sum +
+      (HllBuckets - hit).toDouble
+    val raw = 0.709 * (HllBuckets.toLong * HllBuckets).toDouble / s
+    if (hit < HllBuckets && raw <= 2.5 * HllBuckets)
+      HllBuckets.toDouble * math.log(HllBuckets.toDouble / (HllBuckets - hit))
+    else raw
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 64-register HLL distinct estimate per event type,
     // WITH the standard linear-counting small-range correction (raw
@@ -78,6 +96,76 @@ object SketchOps {
       exact.join(folded.select(col("event_type"),
           floor(col("est") * 100).cast("long").as("est_c")), "event_type")
         .orderBy("event_type")
+    }),
+
+    // HLL MERGEABILITY proven differentially (the kmv/quantile-merge
+    // pattern): per-(type, day) partial register sets — what each ingest
+    // shard builds — merged by elementwise MAX give the SAME registers
+    // as the direct sketch (max is associative/commutative/idempotent),
+    // so the estimate hash-matches the direct oracle.
+    "sketch_hll_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+          col("user_id"))
+      val hv = Sampling.hashBucket(col("user_id"), 1 << 24)
+      val partial = ev.withColumn("h", hv)
+        .select(col("event_type"), col("day"), expr("h % 64").as("bucket"),
+          expr(rankCase("(h div 64)")).cast("long").as("rho"))
+        .groupBy("event_type", "day", "bucket").agg(max("rho").as("p_rho"))
+      val reg = partial.groupBy("event_type", "bucket")
+        .agg(max("p_rho").as("m_rho")) // the merge: elementwise max
+      val folded = reg.groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(lit(1.0) / pow(lit(2.0), col("m_rho"))).as("s_hit"))
+        .withColumn("s",
+          col("s_hit") + (lit(HllBuckets) - col("n_buckets")).cast("double"))
+        .withColumn("raw",
+          lit(0.709) * lit((HllBuckets.toLong * HllBuckets).toDouble) / col("s"))
+        .withColumn("est",
+          when(col("n_buckets") < HllBuckets &&
+              col("raw") <= lit(2.5 * HllBuckets),
+            lit(HllBuckets.toDouble) *
+              log(lit(HllBuckets.toDouble) /
+                (lit(HllBuckets) - col("n_buckets")).cast("double")))
+            .otherwise(col("raw")))
+      val exact = ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      exact.join(folded.select(col("event_type"),
+          floor(col("est") * 100).cast("long").as("est_c")), "event_type")
+        .orderBy("event_type")
+    }),
+
+    // Jensen–Shannon divergence between source unigram distributions
+    // (all source pairs a < b): per-token contributions computed as
+    // identical-parse-tree doubles, QUANTIZED to integer 1e-9 units
+    // BEFORE the sum (a raw double Σ over the vocabulary would be
+    // merge-order dependent) — the drift metric next to drift_l1_buckets
+    // with the information-theoretic weighting.
+    "text_js_divergence" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tk"))
+        .filter(length(col("tk")) > 0)
+        .groupBy("source", "tk").agg(count(lit(1)).as("c"))
+      val tot = tok.groupBy("source").agg(sum("c").as("n"))
+      val withP = tok.join(tot, "source")
+      val a = withP.select(col("source").as("sa"), col("tk"),
+        col("c").as("ca"), col("n").as("na"))
+      val b = withP.select(col("source").as("sb"), col("tk"),
+        col("c").as("cb"), col("n").as("nb"))
+      val pairs = a.join(b, Seq("tk"), "inner").filter(col("sa") < col("sb"))
+      // SHARED-support JS by contract: tokens appearing on only one side
+      // are excluded (n_shared reports the support size) — the common
+      // variant when comparing distributions over a shared vocabulary
+      def contrib(p: org.apache.spark.sql.Column,
+                  q: org.apache.spark.sql.Column) =
+        floor((p * log(lit(2.0) * p / (p + q)) +
+          q * log(lit(2.0) * q / (p + q))) * lit(5e8)).cast("long")
+      val both = pairs.select(col("sa"), col("sb"),
+        contrib(col("ca").cast("double") / col("na").cast("double"),
+          col("cb").cast("double") / col("nb").cast("double")).as("t"))
+      both.groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"),
+          sum("t").as("js_e9"))
+        .orderBy("sa", "sb")
     }),
 
     // Frequency-of-frequency spectrum of the document BIGRAM vocabulary
@@ -153,6 +241,53 @@ object SketchOps {
         |FROM x JOIN e ON x.event_type = e.event_type
         |ORDER BY 1""".stripMargin
     },
+
+    // merged per-day register partials ≡ the direct sketch (max merge)
+    "sketch_hll_merge" -> {
+      val hv = Sampling.hexDecodeSql("md5(CAST(user_id AS VARCHAR))")
+      s"""WITH h AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    user_id, ($hv) AS hv FROM events),
+        |r AS (SELECT event_type, day, hv % 64 AS bucket,
+        |    ${rankCase("(hv // 64)")} AS rho FROM h),
+        |pa AS (SELECT event_type, day, bucket, max(rho) AS p_rho
+        |  FROM r GROUP BY 1, 2, 3),
+        |reg AS (SELECT event_type, bucket, max(p_rho) AS m_rho
+        |  FROM pa GROUP BY 1, 2),
+        |f AS (SELECT event_type, count(*) AS n_buckets,
+        |    sum(1.0 / power(2.0, m_rho)) AS s_hit
+        |  FROM reg GROUP BY 1),
+        |e0 AS (SELECT event_type, n_buckets,
+        |    0.709 * 4096.0 / (s_hit + (64 - n_buckets)) AS raw FROM f),
+        |e AS (SELECT event_type,
+        |    CASE WHEN n_buckets < 64 AND raw <= 160.0
+        |      THEN 64.0 * ln(64.0 / CAST(64 - n_buckets AS DOUBLE))
+        |      ELSE raw END AS est FROM e0),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT x.event_type AS event_type, x.n_exact,
+        |  CAST(floor(e.est * 100) AS BIGINT) AS est_c
+        |FROM x JOIN e ON x.event_type = e.event_type
+        |ORDER BY 1""".stripMargin
+    },
+
+    "text_js_divergence" ->
+      """WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS tk
+        |  FROM documents),
+        |c AS (SELECT source, tk, count(*) AS c FROM tok
+        |  WHERE length(tk) > 0 GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |w AS (SELECT c.source, c.tk, c.c, t.n FROM c JOIN t
+        |  ON c.source = t.source),
+        |p AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS pa,
+        |    CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS pb
+        |  FROM w a JOIN w b ON a.tk = b.tk AND a.source < b.source),
+        |q AS (SELECT sa, sb,
+        |    CAST(floor((pa * ln(2.0 * pa / (pa + pb)) +
+        |      pb * ln(2.0 * pb / (pa + pb))) * 500000000.0) AS BIGINT) AS t
+        |  FROM p)
+        |SELECT sa, sb, count(*) AS n_shared, CAST(sum(t) AS BIGINT) AS js_e9
+        |FROM q GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin,
 
     "text_freq_spectrum" ->
       """WITH t AS (SELECT str_split(text, ' ') AS tks FROM documents

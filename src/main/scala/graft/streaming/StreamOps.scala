@@ -830,6 +830,45 @@ object StreamOps {
         .orderBy("event_type", "probable_member")
     }),
 
+    // Streaming deterministic HLL (batch twin: agg_hll_deterministic):
+    // flatMapGroupsWithState per type keeps the 64 max-rank registers —
+    // O(1) state, merge = elementwise max (idempotent: at-least-once
+    // delivery cannot corrupt the sketch) — and emits the estimate per
+    // batch. Σρ grows with every register update, so the max-(Σρ, est)
+    // emission is the final sketch; the oracle recomputes the identical
+    // registers from the bounded replay window.
+    "stream_hll_state" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      def upd(t: String, it: Iterator[Ev],
+              state: GroupState[Seq[Long]]): Iterator[KmvOut] = {
+        val regs = state.getOption.map(_.toArray)
+          .getOrElse(Array.fill(64)(0L))
+        it.foreach { e =>
+          val h = graft.ops.UdafOps.idHash24(e.user_id)
+          val b = (h % 64).toInt
+          regs(b) = math.max(regs(b), graft.ops.SketchOps.hllRho(h / 64))
+        }
+        state.update(regs.toSeq)
+        Iterator.single(KmvOut(t, regs.sum,
+          math.floor(graft.ops.SketchOps.hllEstimate(regs) * 100).toLong))
+      }
+      val out = ms.toDS().groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(upd)
+      val emitted = runToMemory(s, out.toDF(), freshName("hll_state"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // registers carry across batches
+        ms.addData(b2.toSeq)
+      }
+      emitted.groupBy("event_type")
+        .agg(max(struct(col("n_state"), col("est_c"))).as("m"))
+        .select(col("event_type"), col("m.est_c").as("est_c"))
+        .orderBy("event_type")
+    }),
+
     // Streaming KMV distinct sketch (batch twin: distinct_kmv_sketch):
     // flatMapGroupsWithState per type keeps the k = 32 smallest
     // (md5-uniform, id) pairs — BOUNDED state whatever the stream
@@ -1472,6 +1511,33 @@ object StreamOps {
         |SELECT event_type, probable_member, count(*) AS n
         |FROM pe GROUP BY 1, 2 ORDER BY event_type, probable_member"""
         .stripMargin
+    },
+
+    // streamed HLL registers ≡ the direct sketch over the replay window
+    "stream_hll_state" -> {
+      val hv = graft.api.Sampling.hexDecodeSql("md5(CAST(user_id AS VARCHAR))")
+      val rank = {
+        val whens = (17 to 0 by -1).map { b =>
+          s"WHEN (hvv // 64) >= ${1L << b} THEN ${18 - b}"
+        }.mkString(" ")
+        s"(CASE $whens ELSE 19 END)"
+      }
+      s"""WITH h AS (SELECT event_type, user_id, ($hv) AS hvv FROM events
+        |  WHERE event_id < 20000),
+        |r AS (SELECT event_type, hvv % 64 AS bucket, $rank AS rho FROM h),
+        |reg AS (SELECT event_type, bucket, max(rho) AS m_rho
+        |  FROM r GROUP BY 1, 2),
+        |f AS (SELECT event_type, count(*) AS n_buckets,
+        |    sum(1.0 / power(2.0, m_rho)) AS s_hit
+        |  FROM reg GROUP BY 1),
+        |e0 AS (SELECT event_type, n_buckets,
+        |    0.709 * 4096.0 / (s_hit + (64 - n_buckets)) AS raw FROM f),
+        |e AS (SELECT event_type,
+        |    CASE WHEN n_buckets < 64 AND raw <= 160.0
+        |      THEN 64.0 * ln(64.0 / CAST(64 - n_buckets AS DOUBLE))
+        |      ELSE raw END AS est FROM e0)
+        |SELECT event_type, CAST(floor(est * 100) AS BIGINT) AS est_c
+        |FROM e ORDER BY event_type""".stripMargin
     },
 
     // streamed KMV state ≡ the direct batch sketch over the same window

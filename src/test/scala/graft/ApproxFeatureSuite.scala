@@ -602,6 +602,56 @@ class ApproxFeatureSuite extends AnyFunSuite {
     assert(got("not_exists") > 0, "the probe set must be nonempty to demonstrate")
   }
 
+  test("sketch_hll_merge ≡ agg_hll_deterministic (max-merge is lossless)") {
+    val direct = SparkEntry.queries("agg_hll_deterministic")(spark, d)
+      .collect().map(_.toSeq)
+    val merged = SparkEntry.queries("sketch_hll_merge")(spark, d)
+      .collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq && merged.nonEmpty)
+  }
+
+  test("stream_hll_state ≡ brute-force registers over the replay window") {
+    val got = SparkEntry.queries("stream_hll_state")(spark, d)
+      .as[(String, Long)].collect().toMap
+    val ev = Tables.events(spark, d).filter($"event_id" < 20000)
+      .select("event_type", "user_id").as[(String, Long)].collect()
+    ev.groupBy(_._1).foreach { case (t, es) =>
+      val regs = Array.fill(64)(0L)
+      es.map(_._2).distinct.foreach { id =>
+        val h = graft.ops.UdafOps.idHash24(id)
+        val b = (h % 64).toInt
+        regs(b) = math.max(regs(b), graft.ops.SketchOps.hllRho(h / 64))
+      }
+      val want = math.floor(graft.ops.SketchOps.hllEstimate(regs) * 100).toLong
+      assert(got(t) == want, s"type $t")
+    }
+  }
+
+  test("text_js_divergence: nonnegative up to floor, brute-force one pair") {
+    val rows = SparkEntry.queries("text_js_divergence")(spark, d)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // JS ≥ 0; per-term floors can shave at most 1e-9 each
+    rows.foreach { case (a, b, nSh, js) =>
+      assert(js >= -nSh, s"($a,$b)")
+      assert(js <= 693147181L, "JS ≤ ln 2 in 1e-9 units") }
+    val (sa, sb, nSh, js) = (rows.head._1, rows.head._2, rows.head._3, rows.head._4)
+    val tok = Tables.documents(spark, d).select("source", "text")
+      .as[(String, String)].collect()
+      .flatMap { case (src, t) => t.split(" ").filter(_.nonEmpty).map(src -> _) }
+    val ca = tok.filter(_._1 == sa).groupBy(_._2).view.mapValues(_.length.toLong)
+    val cb = tok.filter(_._1 == sb).groupBy(_._2).view.mapValues(_.length.toLong)
+    val na = ca.values.sum.toDouble; val nb = cb.values.sum.toDouble
+    val shared = ca.keySet.toSet.intersect(cb.keySet.toSet)
+    assert(nSh == shared.size.toLong)
+    val want = shared.toSeq.map { tk =>
+      val p = ca(tk) / na; val q = cb(tk) / nb
+      math.floor((p * math.log(2.0 * p / (p + q)) +
+        q * math.log(2.0 * q / (p + q))) * 5e8).toLong
+    }.sum
+    assert(js == want)
+  }
+
   test("text_hapax_ratio ≡ brute-force within-doc hapax counting") {
     val rows = SparkEntry.queries("text_hapax_ratio")(spark, d)
       .as[(String, Long, Long, Long, Long)].collect()
