@@ -94,6 +94,24 @@ object BitGraphOps {
         .select("src", "hop", "n_nodes").orderBy("src", "hop")
     }),
 
+    // Local clustering coefficient (top-30 by cc, ties by part): per
+    // node cc = 2·tri(p) / (deg·(deg−1)) in ppm — how close the
+    // neighborhood is to a clique — off the SAME shared common-neighbor
+    // relation as triangle counting (Σ cn over a node's edges = 2·tri).
+    "graph_clustering_coeff" -> ((s, d) => {
+      val cn = GraphOps.commonNeighbors(s, d)
+      val deg = GraphOps.adjacency(s, d).select(col("u"), col("deg"))
+      val tri = cn.select(explode(array(col("u"), col("v"))).as("u"), col("cn"))
+        .groupBy("u").agg((sum("cn") / 2).cast("long").as("tri"))
+      deg.join(tri, Seq("u"), "left_outer")
+        .select(col("u").as("part"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .filter(col("deg") >= 2)
+        .withColumn("cc_ppm",
+          expr("(tri * 2 * 1000000) div (deg * (deg - 1))"))
+        .orderBy(col("cc_ppm").desc, col("part")).limit(30)
+    }),
+
     // Newman modularity per label-propagation community: with M = the
     // directed edge count and per community the internal directed edge
     // count i_c and degree sum d_c, the contribution is
@@ -176,6 +194,24 @@ object BitGraphOps {
         |$rows
         |ORDER BY src, hop""".stripMargin
     },
+
+    "graph_clustering_coeff" ->
+      s"""WITH ${GraphOps.edgesSql},
+        |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        |  FROM e0 a JOIN e0 b ON b.u = a.v
+        |  JOIN e0 c ON c.u = a.u AND c.v = b.v),
+        |p AS (SELECT x AS part FROM t UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t),
+        |pn AS (SELECT part, count(*) AS tri FROM p GROUP BY part),
+        |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+        |c AS (SELECT dg.u AS part, dg.deg,
+        |    CAST(coalesce(pn.tri, 0) AS BIGINT) AS tri
+        |  FROM dg LEFT JOIN pn ON dg.u = pn.part
+        |  WHERE dg.deg >= 2),
+        |r AS (SELECT part, deg, tri,
+        |    (tri * 2 * 1000000) // (deg * (deg - 1)) AS cc_ppm FROM c)
+        |SELECT part, deg, tri, CAST(cc_ppm AS BIGINT) AS cc_ppm
+        |FROM r ORDER BY cc_ppm DESC, part LIMIT 30""".stripMargin,
 
     "graph_modularity" ->
       s"""WITH ${GraphOps.edgesSql},

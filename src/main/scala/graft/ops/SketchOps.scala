@@ -192,6 +192,29 @@ object SketchOps {
         .orderBy("f_min")
     }),
 
+    // Primary-key uniqueness audit over two candidate keys — the
+    // lineitem (orderkey, linenumber) "PK" and the events
+    // (user_id, ts_us) natural key — reporting per check the
+    // duplicate-key count, affected rows, and worst multiplicity: the
+    // first integrity report every load runs. (Both candidates are in
+    // fact dirty in this synthetic fixture — exactly what the report
+    // exists to surface.)
+    "dq_uniqueness_check" -> ((s, d) => {
+      def audit(df: DataFrame, name: String): DataFrame = df
+        .groupBy("k1", "k2").agg(count(lit(1)).as("c"))
+        .agg(lit(name).as("check_name"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_rows"),
+          max("c").as("max_mult"))
+      audit(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("k1"),
+            col("l_linenumber").cast("long").as("k2")), "lineitem_pk")
+        .unionByName(audit(Tables.events(s, d)
+          .select(col("user_id").as("k1"), col("ts_us").as("k2")),
+          "events_user_ts"))
+        .orderBy("check_name")
+    }),
+
     // NOT IN vs NOT EXISTS under NULLs — the SQL trap: `key NOT IN
     // (subquery containing NULL)` is never TRUE, while NOT EXISTS
     // ignores the NULL row. Probe = customers without a 1999 order (a
@@ -303,6 +326,22 @@ object SketchOps {
         |    AS n_instances,
         |  min(f) AS f_min, max(f) AS f_max
         |FROM b GROUP BY 1 ORDER BY f_min""".stripMargin,
+
+    "dq_uniqueness_check" ->
+      """WITH a AS (SELECT l_orderkey AS k1, l_linenumber AS k2, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT user_id AS k1, epoch_us(ts) AS k2, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'events_user_ts' AS check_name,
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows,
+        |  max(c) AS max_mult FROM b
+        |UNION ALL
+        |SELECT 'lineitem_pk',
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+        |  max(c) FROM a
+        |ORDER BY check_name""".stripMargin,
 
     "subquery_not_in_null" ->
       """WITH o99 AS (SELECT o_custkey FROM orders

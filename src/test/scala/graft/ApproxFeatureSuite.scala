@@ -652,6 +652,38 @@ class ApproxFeatureSuite extends AnyFunSuite {
     assert(js == want)
   }
 
+  test("graph_clustering_coeff: cc bounded; consistent with triangle participation") {
+    val rows = SparkEntry.queries("graph_clustering_coeff")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, deg, tri, cc) =>
+      assert(deg >= 2)
+      assert(tri <= deg * (deg - 1) / 2, "triangles bounded by wedge count")
+      assert(cc == tri * 2 * 1000000L / (deg * (deg - 1)))
+      assert(cc >= 0 && cc <= 1000000L)
+    }
+  }
+
+  test("dq_uniqueness_check ≡ brute-force duplicate-key accounting") {
+    val rows = SparkEntry.queries("dq_uniqueness_check")(spark, d)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def brute(keys: Array[(Long, Long)]): (Long, Long, Long) = {
+      val g = keys.groupBy(identity).view.mapValues(_.length.toLong)
+      (g.count(_._2 > 1).toLong, g.values.filter(_ > 1).sum, g.values.max)
+    }
+    val li = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_linenumber".cast("long"))
+      .as[(Long, Long)].collect()
+    val (d1, r1, m1) = brute(li)
+    assert(rows("lineitem_pk") == (("lineitem_pk", d1, r1, m1)))
+    val ev = Tables.events(spark, d).select($"user_id", $"ts_us")
+      .as[(Long, Long)].collect()
+    val (d2, r2, m2) = brute(ev)
+    assert(rows("events_user_ts") == (("events_user_ts", d2, r2, m2)))
+    rows.values.foreach { case (_, nd, nr, _) =>
+      assert(nr >= 2 * nd, "each dup key accounts for >= 2 rows") }
+  }
+
   test("text_hapax_ratio ≡ brute-force within-doc hapax counting") {
     val rows = SparkEntry.queries("text_hapax_ratio")(spark, d)
       .as[(String, Long, Long, Long, Long)].collect()
