@@ -75,6 +75,31 @@ object ActiveOps {
         .orderBy("day")
     }),
 
+    // Rolling z-score of each type's daily count against its OWN
+    // trailing 14 days (current day excluded — the alert must not
+    // normalize against itself): z·100 = (x·n − Σx)·100 /
+    // √(n·Σx² − (Σx)²), exact integer moments under the radical,
+    // one identical-parse-tree float at the end. NULL until the
+    // trailing window fills or when it is constant.
+    "ts_rolling_zscore" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-14, -1)
+      daily
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("da", col("nw") * col("sxx") - col("sx") * col("sx"))
+        .select(col("event_type"), col("day"), col("x"), col("nw"),
+          when(col("nw") === 14 && col("da") > 0,
+            floor((col("x") * col("nw") - col("sx")).cast("double") /
+              sqrt(col("da").cast("double")) * lit(100.0)).cast("long"))
+            .as("z_c"))
+        .orderBy("event_type", "day")
+    }),
+
     // Stationary distribution of the event-type Markov chain: per-user
     // lag-1 transitions build the |types|² matrix, then 4 unrolled power
     // steps π′_j = Σ_i ⌊π_i·c_ij / c_i⌋ from the uniform start — every
@@ -193,6 +218,22 @@ object ActiveOps {
         |       sqrt(CAST(nw*syy - sy*sy AS DOUBLE))) * 100.0) AS BIGINT)
         |    ELSE NULL END AS r_c
         |FROM m ORDER BY day""".stripMargin,
+
+    "ts_rolling_zscore" ->
+      """WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, day, x,
+        |    count(*) OVER w AS nw,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(x*x) OVER w AS BIGINT) AS sxx
+        |  FROM dly WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, x, nw,
+        |  CASE WHEN nw = 14 AND nw*sxx - sx*sx > 0
+        |    THEN CAST(floor(CAST(x * nw - sx AS DOUBLE) /
+        |      sqrt(CAST(nw*sxx - sx*sx AS DOUBLE)) * 100.0) AS BIGINT)
+        |    ELSE NULL END AS z_c
+        |FROM m ORDER BY event_type, day""".stripMargin,
 
     "markov_stationary_step" -> {
       val steps = (1 to 4).map { k =>

@@ -190,6 +190,27 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of join: the first click strictly AFTER each purchase
+    // by the same user (the "next maintenance after failure" direction —
+    // backward/nearest/tolerance cover the other three semantics). Same
+    // single-shuffle union-tag shape, forward-scanning window.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isin("click", "purchase"))
+      val wf = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("next_click_id",
+          first(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(wf))
+        .withColumn("next_click_us",
+          first(when(col("event_type") === "click", col("ts_us")),
+            ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("next_click_id"),
+          (col("next_click_us") - col("ts_us")).as("wait_us"))
+        .orderBy("event_id")
+    }),
+
     // As-of with a staleness TOLERANCE: each purchase matches its most
     // recent prior click only if it happened within 10 minutes —
     // older candidates yield NULL (the "data too stale to use" rule a
@@ -325,6 +346,20 @@ object Relational {
         |     AND c.event_id < p.event_id) AS last_click_id
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT *,
+        |    min(CASE WHEN event_type = 'click' THEN event_id END)
+        |      OVER f AS next_click_id,
+        |    min(CASE WHEN event_type = 'click' THEN ts_us END)
+        |      OVER f AS next_click_us
+        |  FROM e WINDOW f AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ts_us, next_click_id,
+        |  next_click_us - ts_us AS wait_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "join_asof_tolerance" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type

@@ -684,6 +684,45 @@ class ApproxFeatureSuite extends AnyFunSuite {
       assert(nr >= 2 * nd, "each dup key accounts for >= 2 rows") }
   }
 
+  test("join_asof_forward: matched click strictly after; agrees with nearest's forward leg") {
+    val rows = SparkEntry.queries("join_asof_forward")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, d)
+      .filter($"event_type".isin("click", "purchase"))
+      .select("event_id", "user_id", "event_type")
+      .as[(Long, Long, String)].collect()
+    val byUser = ev.groupBy(_._2)
+    rows.foreach { case (pid, u, nxt) =>
+      val clicksAfter = byUser(u).filter(e => e._3 == "click" && e._1 > pid)
+      val want = if (clicksAfter.isEmpty) None else Some(clicksAfter.map(_._1).min)
+      assert(nxt == want, s"purchase $pid")
+    }
+  }
+
+  test("ts_rolling_zscore ≡ brute-force trailing-window standardization") {
+    val rows = SparkEntry.queries("ts_rolling_zscore")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    val daily = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3))).toMap
+    rows.foreach { case (t, day, x, nw, zc) =>
+      val series = daily(t)
+      val i = series.indexWhere(_._1 == day)
+      val wind = series.slice(math.max(0, i - 14), i).map(_._2)
+      assert(nw == wind.length.toLong)
+      zc.foreach { z =>
+        val n = wind.length.toLong
+        val sx = wind.sum; val sxx = wind.map(v => v * v).sum
+        val want = math.floor((x * n - sx).toDouble /
+          math.sqrt((n * sxx - sx * sx).toDouble) * 100).toLong
+        assert(z == want, s"($t, $day)")
+      }
+    }
+  }
+
   test("text_hapax_ratio ≡ brute-force within-doc hapax counting") {
     val rows = SparkEntry.queries("text_hapax_ratio")(spark, d)
       .as[(String, Long, Long, Long, Long)].collect()
