@@ -101,9 +101,27 @@ object Pipeline {
     * dictionary turns each doc's token set into a fixed-width bitset —
     * encoded by a shuffle-free map-literal projection — so every
     * candidate verifies with a popcount fold instead of a string-array
-    * intersect. Returns cand + `jac`. */
+    * intersect.
+    *
+    * Scale shape: the corpus-sized `sets` relation is never joined (or
+    * broadcast) whole. Each pair-join side is first SEMI-JOINED down to
+    * the doc ids that actually appear in a candidate pair — bounded by
+    * band collisions, which LSH itself bounds — so both inputs of the
+    * pair join are collision-sized. No broadcast hint: AQE picks
+    * broadcast vs shuffle from the measured post-semi-join size
+    * (`forceShuffle` pins the shuffled shape for the verify-only twin
+    * under the same oracle). Returns cand + `jac`. */
   private def verifyJaccard(docs: DataFrame, tok: DataFrame,
-                            cand: DataFrame): DataFrame = {
+                            cand: DataFrame,
+                            forceShuffle: Boolean = false): DataFrame = {
+    val c = cand.localCheckpoint() // collision-bounded; reused 3× below
+    // Prune `sets` to one side's candidate ids (the id list auto-broadcasts
+    // for the semi-join; the corpus streams through map-side).
+    def candSide(sets: DataFrame, side: String): DataFrame = {
+      val pruned = sets.join(c.select(col(side).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      if (forceShuffle) pruned.hint("shuffle_hash") else pruned
+    }
     val dict = graft.api.Curation.denseDictionary(tok.select("tk"))
     if (dict.isDefined) {
       val (dictMap, nWords) = dict.get
@@ -111,19 +129,19 @@ object Pipeline {
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tks"))
         .select(col("doc_id"), size(col("tks")).cast("long").as("n"),
           call_function("bitset_from_tokens", col("tks"), dictMap, lit(nWords)).as("bs"))
-      cand
-        .join(broadcast(sets.select(col("doc_id").as("d1"),
-          col("n").as("n1"), col("bs").as("bs1"))), "d1")
-        .join(broadcast(sets.select(col("doc_id").as("d2"),
-          col("n").as("n2"), col("bs").as("bs2"))), "d2")
+      c
+        .join(candSide(sets, "d1").select(col("doc_id").as("d1"),
+          col("n").as("n1"), col("bs").as("bs1")), "d1")
+        .join(candSide(sets, "d2").select(col("doc_id").as("d2"),
+          col("n").as("n2"), col("bs").as("bs2")), "d2")
         .withColumn("shared", bitsetShared(col("bs1"), col("bs2")))
         .withColumn("jac", col("shared") * lit(1.0) /
           (col("n1") + col("n2") - col("shared")))
     } else {
       val sets = tok.groupBy("doc_id").agg(collect_list(col("tk")).as("tks"))
-      cand
-        .join(broadcast(sets.select(col("doc_id").as("d1"), col("tks").as("t1"))), "d1")
-        .join(broadcast(sets.select(col("doc_id").as("d2"), col("tks").as("t2"))), "d2")
+      c
+        .join(candSide(sets, "d1").select(col("doc_id").as("d1"), col("tks").as("t1")), "d1")
+        .join(candSide(sets, "d2").select(col("doc_id").as("d2"), col("tks").as("t2")), "d2")
         .withColumn("shared", size(array_intersect(col("t1"), col("t2"))).cast("long"))
         .withColumn("jac", col("shared") * lit(1.0) /
           (size(col("t1")) + size(col("t2")) - col("shared")))
@@ -173,6 +191,25 @@ object Pipeline {
           col("d1") < col("d2") && lshFirstMatch)
         .select("d1", "d2")
       verifyJaccard(Tables.documents(s, d), tok, cand)
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
+        .orderBy("d1", "d2")
+    }),
+
+    // The SAME MinHash-LSH semantics with the verify-stage join FORCED
+    // shuffled (no AQE broadcast): the physical shape the collision set
+    // takes when it outgrows a broadcast at corpus scale. Verification-
+    // only — SparkEntry.verifyOnly excludes it from the bench headline.
+    "dedup_minhash_shuffle" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val tok = tokens(Tables.documents(s, d)).localCheckpoint()
+      val bands = lshBands(tok)
+      val cand = lshSide(bands, 1)
+        .join(lshSide(bands, 2), col("l1") === col("l2") &&
+          col("b1") === col("b2") && col("k1") === col("k2") &&
+          col("d1") < col("d2") && lshFirstMatch)
+        .select("d1", "d2")
+      verifyJaccard(Tables.documents(s, d), tok, cand, forceShuffle = true)
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), canon(col("jac")).as("jac_c"))
         .orderBy("d1", "d2")
@@ -626,6 +663,30 @@ object Pipeline {
 
   def oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+        |             FROM documents),
+        |sig AS (SELECT doc_id, lang, s AS seed,
+        |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
+        |        FROM tok, unnest(generate_series(0, 7)) t(s)
+        |        GROUP BY doc_id, lang, s),
+        |band AS (SELECT doc_id, lang, seed // 2 AS band,
+        |           md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
+        |         FROM sig GROUP BY doc_id, lang, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM band a JOIN band b ON a.lang = b.lang AND a.band = b.band
+        |           AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list(tk) AS tks FROM tok GROUP BY doc_id),
+        |v AS (SELECT d1, d2, len(list_intersect(sa.tks, sb.tks)) AS shared,
+        |        len(sa.tks) AS n1, len(sb.tks) AS n2
+        |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id)
+        |SELECT d1, d2,
+        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
+        |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    // identical semantics ⇒ identical oracle; only the Spark-side
+    // physical verify-join strategy differs
+    "dedup_minhash_shuffle" ->
       """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
         |             FROM documents),
         |sig AS (SELECT doc_id, lang, s AS seed,

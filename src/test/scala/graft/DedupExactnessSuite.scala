@@ -141,4 +141,32 @@ class DedupExactnessSuite extends AnyFunSuite {
       assert(dn % 5 == 0 && dold % 5 != 0, s"side membership violated: ($dn, $dold)")
     }
   }
+
+  test("minhash verify stage is collision-bounded: semi-pruned sets, shuffled twin identical") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val (dir, _) = corpus(21, nBase = 50, vocab = 100)
+    // 1. the default plan prunes the corpus-sized `sets` relation down to
+    //    candidate doc ids BEFORE the pair join — two LeftSemi joins must
+    //    appear in the physical plan (one per pair side)
+    val lsh = graft.ops.Pipeline.queries("dedup_minhash_lsh")(spark, dir)
+    val semis = lsh.queryExecution.sparkPlan.collect {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semis.length >= 2,
+      s"verify joins must semi-prune sets to candidate ids; plan has ${semis.length} " +
+        s"LeftSemi joins:\n${lsh.queryExecution.sparkPlan}")
+    // 2. the forced-shuffle twin takes shuffled hash joins for the verify
+    //    stage (the at-scale shape when collisions outgrow a broadcast)...
+    val twin = graft.ops.Pipeline.queries("dedup_minhash_shuffle")(spark, dir)
+    val shuffled = twin.queryExecution.sparkPlan.collect {
+      case j: ShuffledHashJoinExec if j.joinType == Inner => j
+    }
+    assert(shuffled.length >= 2,
+      s"forced twin must plan shuffled verify joins:\n${twin.queryExecution.sparkPlan}")
+    // 3. ...and emits byte-identical pairs
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("jac_c"))).toSeq
+    assert(rows(twin) === rows(lsh), "shuffled twin diverged from broadcast-eligible plan")
+  }
 }
