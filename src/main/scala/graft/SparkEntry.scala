@@ -61,6 +61,7 @@ object SparkEntry {
       (InterpOps.queries, InterpOps.oracles),
       (ActiveOps.queries, ActiveOps.oracles),
       (SketchOps.queries, SketchOps.oracles),
+      (SpecOps.queries, SpecOps.oracles),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracles)
     )
 

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.udf.Uuid6
+
+/** Residual spec-clause operators (round 8): the UUIDv6 time-ordered id
+  * scheme (reference `README.md:156-157`) and non-JSON `datacontenttype`
+  * envelopes (`README.md:315`). Each puts a spec clause the engine
+  * previously only implemented implicitly under the DuckDB oracle.
+  */
+object SpecOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // UUIDv6 ids (README.md:156-157): build time-ordered UUIDv6 event ids
+    // from a simulated 3-writer feed (each writer's clock skewed ±250 ms —
+    // the spec's multi-writer caveat), then audit per feed:
+    //  - n_decode_mismatch: the 60-bit timestamp field decodes back to
+    //    exactly the stamped time (codec round-trip; always 0);
+    //  - n_id_order_mismatch: lexicographic id order ≡ stamped-time order
+    //    (the property that makes a UUIDv6 string a valid feed cursor;
+    //    always 0 — fixed-width big-endian hex);
+    //  - n_true_inversions / max_reorder_us: how far id order diverges
+    //    from TRUE event time under clock skew — the reorder window a
+    //    consumer must buffer to restore wall-clock order, quantifying
+    //    the spec's "might be a problem with multiple servers" caveat.
+    // All math is exact 64-bit integer (µs ticks ×10), windows are
+    // per-feed (partitioned) — nothing global touches data rows.
+    "uuid6_time_order" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
+        .withColumn("writer", col("user_id") % 3)
+        .withColumn("stamped_us", col("ts_us") + (col("writer") - 1) * lit(250000L))
+        .withColumn("uid", Uuid6.encode(col("stamped_us"), col("writer"),
+          substring(md5(col("event_id").cast("string")), 1, 12)))
+      val wU = Window.partitionBy("event_type").orderBy("uid")
+      val wS = Window.partitionBy("event_type").orderBy("stamped_us", "uid")
+      ev
+        .withColumn("dec_ticks", Uuid6.decodeTicks(col("uid")))
+        .withColumn("rn_uuid", row_number().over(wU))
+        .withColumn("rn_stamped", row_number().over(wS))
+        .withColumn("prev_true", lag(col("ts_us"), 1).over(wU))
+        .withColumn("runmax_true",
+          max(col("ts_us")).over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("dec_ticks") =!=
+            (col("stamped_us") + lit(Uuid6.GregorianOffsetUs)) * 10, 1L)
+            .otherwise(0L)).as("n_decode_mismatch"),
+          sum(when(col("rn_uuid") =!= col("rn_stamped"), 1L).otherwise(0L))
+            .as("n_id_order_mismatch"),
+          sum(when(col("prev_true") > col("ts_us"), 1L).otherwise(0L))
+            .as("n_true_inversions"),
+          max(col("runmax_true") - col("ts_us")).as("max_reorder_us"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "uuid6_time_order" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id % 3 AS writer,
+        |             event_type,
+        |             epoch_us(ts) + ((user_id % 3) - 1) * 250000 AS stamped_us
+        |           FROM events),
+        |u AS (SELECT *,
+        |        lower(lpad(to_hex(((stamped_us + 12219292800000000) * 10) >> 28), 8, '0'))
+        |        || '-' ||
+        |        lower(lpad(to_hex((((stamped_us + 12219292800000000) * 10) >> 12) & 65535), 4, '0'))
+        |        || '-6' ||
+        |        lower(lpad(to_hex(((stamped_us + 12219292800000000) * 10) & 4095), 3, '0'))
+        |        || '-' ||
+        |        lower(lpad(to_hex(32768 | writer), 4, '0'))
+        |        || '-' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS uid
+        |      FROM e),
+        |dec AS (SELECT *,
+        |          CAST('0x' || substr(uid, 1, 8) AS BIGINT) * 268435456
+        |          + CAST('0x' || substr(uid, 10, 4) AS BIGINT) * 4096
+        |          + CAST('0x' || substr(uid, 16, 3) AS BIGINT) AS dec_ticks
+        |        FROM u),
+        |w AS (SELECT *,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY uid) AS rn_uuid,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY stamped_us, uid) AS rn_stamped,
+        |        lag(ts_us) OVER (PARTITION BY event_type ORDER BY uid) AS prev_true,
+        |        max(ts_us) OVER (PARTITION BY event_type ORDER BY uid
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax_true
+        |      FROM dec)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN dec_ticks <> (stamped_us + 12219292800000000) * 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_decode_mismatch,
+        |  CAST(sum(CASE WHEN rn_uuid <> rn_stamped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_id_order_mismatch,
+        |  CAST(sum(CASE WHEN prev_true > ts_us THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true_inversions,
+        |  max(runmax_true - ts_us) AS max_reorder_us
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

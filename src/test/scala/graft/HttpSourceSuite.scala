@@ -224,6 +224,69 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("UUIDv6 time-ordered ids work as feed cursors end-to-end (README.md:156-157)") {
+    import graft.udf.Uuid6
+    def uuidEnvelope(seq: Long): (String, String) = {
+      val ts = 1700000000000000L + seq * 1000000L
+      val id = Uuid6.encodeStr(ts, clockSeq = 1, node = f"$seq%012x")
+      val json =
+        s"""{"specversion":"1.0","id":"$id","type":"t.example","source":"srv",
+           |"time_us":$ts,"subject":"s${seq % 7}",
+           |"method":"PUT","datacontenttype":"application/json","data":"{\\"v\\":$seq}"}"""
+          .stripMargin.replace("\n", "")
+      (id, json)
+    }
+    val events = (1L to 60L).map(uuidEnvelope)
+    // the scheme's cursor contract: time order ≡ lexicographic id order
+    assert(events.map(_._1) === events.map(_._1).sorted,
+      "UUIDv6 ids must sort lexicographically in time order")
+    // codec round-trip, Scala side
+    assert(Uuid6.decodeStr(events(7)._1) === 1700000000000000L + 8L * 1000000L)
+    // Scala and Column codecs agree (encode AND decode)
+    locally {
+      import spark.implicits._
+      val rows = Seq((1700000000000000L, 1, "00000000002a"),
+        (1700009999123456L, 3, "0000000000ff"))
+      val parity = rows.toDF("ts_us", "cs", "node")
+        .select(Uuid6.encode(col("ts_us"), col("cs"), col("node")).as("uid"),
+          col("ts_us"))
+        .withColumn("dec", Uuid6.decodeTicks(col("uid")))
+        .collect()
+      rows.zip(parity).foreach { case ((ts, cs, node), r) =>
+        assert(r.getAs[String]("uid") === Uuid6.encodeStr(ts, cs, node))
+        assert(r.getAs[Long]("dec") === (ts + Uuid6.GregorianOffsetUs) * 10)
+      }
+    }
+    val server = new TestFeedServer(events, pageSize = 25)
+    try {
+      // full batch replay over UUIDv6 pages
+      val df = spark.read.format("http-feed").option("url", server.url).load()
+      assert(df.count() === 60)
+      // resume strictly after a UUIDv6 cursor mid-feed (README.md:150-151:
+      // the deleted/compacted cursor must still position correctly — the
+      // server compares ids as strings, no seq prefix to parse)
+      val cursor = events(29)._1
+      val resumed = spark.read.format("http-feed")
+        .option("url", server.url).option("startId", cursor).load()
+        .orderBy("id").collect().map(_.getAs[String]("id")).toSeq
+      assert(resumed === events.drop(30).map(_._1))
+      // streaming: the checkpointed offset is a UUIDv6 string; appends
+      // land after it across micro-batches
+      val q = spark.readStream.format("http-feed")
+        .option("url", server.url).option("timeoutMs", "100").load()
+        .writeStream.format("memory").queryName("http_uuid6").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("http_uuid6").count() === 60)
+        server.append((61L to 70L).map(uuidEnvelope))
+        q.processAllAvailable()
+        val ids = spark.table("http_uuid6").orderBy("id")
+          .collect().map(_.getAs[String]("id")).toSeq
+        assert(ids === (1L to 70L).map(uuidEnvelope).map(_._1))
+      } finally q.stop()
+    } finally server.stop()
+  }
+
   test("auth-protected feed: Bearer/Basic honored, missing credentials rejected (README.md:321-328)") {
     val events = (1L to 25L).map(i => envelopeJson(i, s"s$i"))
     val bearer = new TestFeedServer(events, pageSize = 10,
