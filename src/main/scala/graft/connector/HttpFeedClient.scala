@@ -37,27 +37,46 @@ object HttpFeedClient {
 
   /** In-memory HTTP cache for feed pages (what a CDN or forward proxy
     * does for this protocol): pages the SERVER marked cacheable are
-    * stored by (url, cursor) and served without a network round-trip.
-    * Safe by construction — only full immutable batches carry
-    * `max-age`, and a full batch for a given cursor can never change
-    * (ids are append-only and totally ordered, `README.md:148-159`).
-    * Opt-in via [[fetchPage]]'s `cache` parameter: the streaming source
-    * wires one per executor for replay/backfill reads. */
+    * stored by (url, cursor, principal) and served without a network
+    * round-trip. Safe by construction — only full immutable batches
+    * carry `max-age`, and a full batch for a given cursor can never
+    * change (ids are append-only and totally ordered,
+    * `README.md:148-159`).
+    *
+    * The PRINCIPAL is part of the key (a digest of the `Authorization`
+    * value, never the raw credential): the spec says auth-protected
+    * feeds must be `no-store` (`README.md:328`) and the client honors
+    * that, but a misbehaving server that mislabels a per-principal-
+    * filtered page `public` must still never leak one principal's rows
+    * to another principal sharing the JVM — defense in depth, keyed at
+    * the cache, not trusted from the wire. Opt-in via [[fetchPage]]'s
+    * `cache` parameter: the streaming source wires one per executor for
+    * replay/backfill reads. */
   final class PageCache(maxEntries: Int = 1024) {
     private val m = java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, String), Page](16, 0.75f, true) {
+      new java.util.LinkedHashMap[(String, String, String), Page](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, String), Page]): Boolean =
+            e: java.util.Map.Entry[(String, String, String), Page]): Boolean =
           size() > maxEntries // LRU bound: replay working sets are windows
       })
     private val hitCount = new java.util.concurrent.atomic.AtomicInteger(0)
-    private[connector] def get(url: String, cursor: String): Option[Page] = {
-      val p = Option(m.get((url, cursor)))
+    /** Digest of the Authorization value — cache keys must separate
+      * principals without retaining the credential itself. */
+    private def principalKey(auth: Option[String]): String =
+      auth.fold("") { a =>
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(a.getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      }
+    private[connector] def get(url: String, cursor: String,
+                               auth: Option[String]): Option[Page] = {
+      val p = Option(m.get((url, cursor, principalKey(auth))))
       if (p.isDefined) hitCount.incrementAndGet()
       p
     }
-    private[connector] def put(url: String, cursor: String, page: Page): Unit =
-      if (page.cacheable) m.put((url, cursor), page)
+    private[connector] def put(url: String, cursor: String,
+                               auth: Option[String], page: Page): Unit =
+      if (page.cacheable) m.put((url, cursor, principalKey(auth)), page)
     def size: Int = m.size()
     def hits: Int = hitCount.get()
   }
@@ -80,7 +99,7 @@ object HttpFeedClient {
                 auth: Option[String] = None, maxAttempts: Int = 3,
                 retryBackoffMs: Long = 200L,
                 cache: Option[PageCache] = None): Page = {
-    val cached = cache.flatMap(_.get(url, lastEventId))
+    val cached = cache.flatMap(_.get(url, lastEventId, auth))
     if (cached.isDefined) return cached.get
     var lastErr: Throwable = null
     var attempt = 0
@@ -88,7 +107,7 @@ object HttpFeedClient {
       attempt += 1
       try {
         val page = fetchOnce(url, lastEventId, timeoutMs, auth)
-        cache.foreach(_.put(url, lastEventId, page))
+        cache.foreach(_.put(url, lastEventId, auth, page))
         return page
       } catch {
         case e: java.io.IOException => // transient: connect/read/5xx/429

@@ -17,7 +17,15 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * the empty-then-data subscription sequence.
   */
 class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
-                     requiredAuth: Option[String] = None, port: Int = 0) {
+                     requiredAuth: Option[String] = None, port: Int = 0,
+                     /** Per-principal feed view (README.md:325-328): when
+                       * set, each request sees only the envelopes this
+                       * predicate admits for its Authorization header. */
+                     principalFilter: Option[(Option[String], String) => Boolean] = None,
+                     /** Misbehavior injection: force this Cache-Control on
+                       * every response regardless of the spec's rules (for
+                       * cache-isolation defense-in-depth tests). */
+                     forceCacheControl: Option[String] = None) {
 
   // (id, envelopeJson), kept sorted by id (ids are the total order key)
   private var events: Vector[(String, String)] = initial.sortBy(_._1).toVector
@@ -92,9 +100,13 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
     }.toMap
   }
 
-  private def pageAfter(lastEventId: String): Vector[String] = lock.synchronized {
-    events.dropWhile(_._1 <= lastEventId).take(pageSize).map(_._2)
-  }
+  private def visible(auth: Option[String]): Vector[(String, String)] =
+    principalFilter.fold(events)(f => events.filter(e => f(auth, e._2)))
+
+  private def pageAfter(lastEventId: String, auth: Option[String]): Vector[String] =
+    lock.synchronized {
+      visible(auth).dropWhile(_._1 <= lastEventId).take(pageSize).map(_._2)
+    }
 
   private def handle(ex: HttpExchange): Unit = {
     requests.incrementAndGet()
@@ -114,16 +126,17 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
       }
     }
     val params = query(ex)
+    val authHdr = Option(ex.getRequestHeaders.getFirst("Authorization"))
     val lastId = params.getOrElse("lastEventId", "")
     val timeoutMs = params.get("timeout").map(_.toLong).getOrElse(0L)
-    var page = pageAfter(lastId)
+    var page = pageAfter(lastId, authHdr)
     if (page.isEmpty && timeoutMs > 0) {
       // long poll: hold the connection until data arrives or timeout
       val deadline = System.currentTimeMillis() + timeoutMs
       lock.synchronized {
         while (page.isEmpty && System.currentTimeMillis() < deadline) {
           lock.wait(math.max(1, deadline - System.currentTimeMillis()))
-          page = events.dropWhile(_._1 <= lastId).take(pageSize).map(_._2)
+          page = visible(authHdr).dropWhile(_._1 <= lastId).take(pageSize).map(_._2)
         }
       }
     }
@@ -136,10 +149,10 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
     // backfill re-reads the same immutable pages). Partial/empty pages
     // grow as events arrive, and principal-filtered feeds
     // (README.md:328) vary per credential: both are `no-store`.
-    val cacheControl =
-      if (requiredAuth.isEmpty && page.length == pageSize)
+    val cacheControl = forceCacheControl.getOrElse(
+      if (requiredAuth.isEmpty && principalFilter.isEmpty && page.length == pageSize)
         "public, max-age=31536000"
-      else "no-store"
+      else "no-store")
     ex.getResponseHeaders.set("Cache-Control", cacheControl)
     if (abortCount.getAndUpdate(c => math.max(0, c - 1)) > 0) {
       // declared-length response cut short mid-body: premature EOF at

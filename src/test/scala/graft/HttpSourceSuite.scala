@@ -400,6 +400,41 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("auth-aware cache: principals never see each other's pages, even mislabeled public (README.md:325-328)") {
+    // a MISBEHAVING server: per-principal filtered views (alice sees even
+    // seqs, bob odd) yet every page stamped `public, max-age` — the spec
+    // violation the cache key must defend against
+    val events = (1L to 10L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 5,
+      principalFilter = Some((auth, json) => {
+        val seq = "\"id\":\"(\\d+)::".r.findFirstMatchIn(json).get.group(1).toLong
+        if (auth.contains("Bearer alice")) seq % 2 == 0 else seq % 2 == 1
+      }),
+      forceCacheControl = Some("public, max-age=31536000"))
+    try {
+      val cache = new HttpFeedClient.PageCache()
+      val alice = HttpFeedClient.fetchPage(server.url, "", 0L,
+        auth = Some("Bearer alice"), cache = Some(cache))
+      assert(alice.cacheable && cache.size === 1,
+        "mislabeled page IS stored (that's the hazard under test)")
+      val bob = HttpFeedClient.fetchPage(server.url, "", 0L,
+        auth = Some("Bearer bob"), cache = Some(cache))
+      assert(cache.hits === 0, "bob must not hit alice's cache entry")
+      def seqs(p: HttpFeedClient.Page) =
+        p.events.map(_.get("data").asText().filter(_.isDigit).toLong).toSet
+      assert(seqs(alice).forall(_ % 2 == 0), "alice sees only her rows")
+      assert(seqs(bob).forall(_ % 2 == 1), "bob sees only his rows")
+      assert(seqs(alice).intersect(seqs(bob)).isEmpty)
+      // same principal, same cursor: served from cache with no round-trip
+      val n = server.requestCount
+      val aliceAgain = HttpFeedClient.fetchPage(server.url, "", 0L,
+        auth = Some("Bearer alice"), cache = Some(cache))
+      assert(server.requestCount === n && cache.hits === 1,
+        "per-principal entry still serves its own principal")
+      assert(seqs(aliceAgain) === seqs(alice))
+    } finally server.stop()
+  }
+
   test("client fails fast on non-retryable 4xx (no wasted retries)") {
     val server = new TestFeedServer(Seq.empty, pageSize = 10)
     try {
