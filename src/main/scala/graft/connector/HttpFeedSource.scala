@@ -213,10 +213,15 @@ class HttpFeedPartitionReader(p: HttpFeedInputPartition)
 
   private def toRow(n: JsonNode): InternalRow = {
     val timeUs = Option(n.get("time_us")).filterNot(_.isNull).map(_.asLong())
+    // datacontenttype passes through from the wire verbatim (non-JSON
+    // payloads ride as-is, e.g. base64 data with a binary media type);
+    // only a MISSING field takes the spec default (README.md:315)
+    val ct = Option[Any](str(n, "datacontenttype"))
+      .getOrElse(UTF8String.fromString("application/json"))
     new GenericInternalRow(Array[Any](
       str(n, "specversion"), str(n, "id"), str(n, "type"), str(n, "source"),
       timeUs.map(Long.box).orNull, str(n, "subject"), str(n, "method"),
-      str(n, "datacontenttype"), str(n, "data")))
+      ct, str(n, "data")))
   }
 
   override def next(): Boolean = {

@@ -34,7 +34,14 @@ object CloudEvent {
     * The typed entry point for `Dataset[CloudEvent]` operators
     * (graft.udf.LatestState, the streaming read-model state machine).
     */
-  def fromEvents(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[CloudEvent] = {
+  def fromEvents(ev: org.apache.spark.sql.DataFrame,
+                 /** Per-row media type; the fixture table carries JSON
+                   * payloads, so the spec DEFAULT (`README.md:315`) is the
+                   * default — a wire-fed relation passes its own column
+                   * through instead (non-JSON envelopes ride verbatim). */
+                 contentType: org.apache.spark.sql.Column =
+                   org.apache.spark.sql.functions.lit("application/json"))
+      : org.apache.spark.sql.Dataset[CloudEvent] = {
     import org.apache.spark.sql.functions._
     val spark = ev.sparkSession
     import spark.implicits._
@@ -46,7 +53,7 @@ object CloudEvent {
       timestamp_micros(col("ts_us")).as("time"),
       col("user_id").cast("string").as("subject"),
       when(col("event_type") === "error", DELETE).otherwise(PUT).as("method"),
-      lit("application/json").as("datacontenttype"),
+      contentType.as("datacontenttype"),
       col("props").as("data")
     ).as[CloudEvent]
   }

@@ -55,6 +55,30 @@ object SpecOps {
             .as("n_true_inversions"),
           max(col("runmax_true") - col("ts_us")).as("max_reorder_us"))
         .orderBy("event_type")
+    }),
+
+    // Non-JSON datacontenttype (README.md:315): a mixed feed where some
+    // envelopes carry binary payloads (base64 data, octet-stream media
+    // type) or plain text instead of the JSON default; route by media
+    // type and aggregate — payload size measured on the DECODED bytes
+    // (unbase64 for binary), so the base64 round-trip itself is under
+    // the oracle, and max(data) pins the base64 ENCODING cross-engine.
+    "feed_content_type_route" -> ((s, d) => {
+      val env = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        when(col("user_id") % 4 === 0, lit("application/octet-stream"))
+          .when(col("user_id") % 4 === 1, lit("text/plain"))
+          .otherwise(lit("application/json")).as("datacontenttype"),
+        when(col("user_id") % 4 === 0, base64(col("props").cast("binary")))
+          .otherwise(col("props")).as("data"))
+      env.groupBy("datacontenttype")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("datacontenttype") === "application/octet-stream",
+            octet_length(unbase64(col("data"))))
+            .otherwise(octet_length(col("data"))).cast("long")).as("payload_bytes"),
+          countDistinct(col("user_id")).as("n_subjects"),
+          max(col("data")).as("max_data"))
+        .orderBy("datacontenttype")
     })
   )
 
@@ -94,6 +118,22 @@ object SpecOps {
         |  CAST(sum(CASE WHEN prev_true > ts_us THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_true_inversions,
         |  max(runmax_true - ts_us) AS max_reorder_us
-        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "feed_content_type_route" ->
+      """WITH env AS (SELECT event_id, user_id,
+        |  CASE WHEN user_id % 4 = 0 THEN 'application/octet-stream'
+        |       WHEN user_id % 4 = 1 THEN 'text/plain'
+        |       ELSE 'application/json' END AS datacontenttype,
+        |  CASE WHEN user_id % 4 = 0 THEN to_base64(encode(props))
+        |       ELSE props END AS data
+        |  FROM events)
+        |SELECT datacontenttype, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN datacontenttype = 'application/octet-stream'
+        |    THEN octet_length(from_base64(data))
+        |    ELSE octet_length(encode(data)) END) AS BIGINT) AS payload_bytes,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects,
+        |  max(data) AS max_data
+        |FROM env GROUP BY datacontenttype ORDER BY datacontenttype""".stripMargin
   )
 }

@@ -435,6 +435,34 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("non-JSON datacontenttype passes through from the wire; missing takes the spec default (README.md:315)") {
+    val binPayload = java.util.Base64.getEncoder.encodeToString(
+      Array[Byte](0, 1, 2, -1, -128, 127))
+    val e1 = (SeqId.encodeFn(1, "u1"),
+      s"""{"specversion":"1.0","id":"${SeqId.encodeFn(1, "u1")}","type":"t.bin","source":"srv",
+         |"time_us":1700000000000000,"subject":"s1","method":"PUT",
+         |"datacontenttype":"application/avro+binary","data":"$binPayload"}"""
+        .stripMargin.replace("\n", ""))
+    // envelope with NO datacontenttype field at all
+    val e2 = (SeqId.encodeFn(2, "u2"),
+      s"""{"specversion":"1.0","id":"${SeqId.encodeFn(2, "u2")}","type":"t.json","source":"srv",
+         |"time_us":1700000001000000,"subject":"s2","method":"PUT","data":"{\\"v\\":2}"}"""
+        .stripMargin.replace("\n", ""))
+    val server = new TestFeedServer(Seq(e1, e2), pageSize = 10)
+    try {
+      val rows = spark.read.format("http-feed").option("url", server.url).load()
+        .orderBy("id").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[String]("datacontenttype") === "application/avro+binary")
+      // binary payload rides verbatim and decodes back to the exact bytes
+      val decoded = java.util.Base64.getDecoder.decode(rows(0).getAs[String]("data"))
+      assert(decoded.toSeq === Seq[Byte](0, 1, 2, -1, -128, 127))
+      assert(rows(1).getAs[String]("datacontenttype") === "application/json",
+        "missing datacontenttype must take the spec default")
+      assert(rows(1).getAs[String]("data") === """{"v":2}""")
+    } finally server.stop()
+  }
+
   test("client fails fast on non-retryable 4xx (no wasted retries)") {
     val server = new TestFeedServer(Seq.empty, pageSize = 10)
     try {
