@@ -69,6 +69,16 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
     lock.notifyAll()
   }
 
+  /** Compaction/deletion (README.md:148-155): remove events by id. The
+    * cursor contract survives deletion by construction — pages key on id
+    * ORDER (`> lastEventId`), not id membership, so a consumer whose
+    * persisted `lastEventId` was compacted away still resumes at its
+    * original position and receives only newer events. */
+  def compact(removeIds: Set[String]): Unit = lock.synchronized {
+    events = events.filterNot(e => removeIds(e._1))
+    lock.notifyAll()
+  }
+
   private val failCount = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var failCode = 503
 

@@ -211,6 +211,43 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("compaction chaos: the persisted cursor's event is deleted mid-stream — resume sends only newer events (README.md:153-154)") {
+    val first = (1L to 40L).map(i => envelopeJson(i, s"s${i % 5}"))
+    val server = new TestFeedServer(first, pageSize = 10)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_http_compact").toString
+    try {
+      def runQuery(sink: java.util.List[String]) = {
+        val collect: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (df, _) => df.collect().foreach(r => sink.add(r.getAs[String]("id")))
+        val q = spark.readStream.format("http-feed")
+          .option("url", server.url).option("timeoutMs", "100").load()
+          .writeStream.option("checkpointLocation", ckpt).foreachBatch(collect).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val seen1 = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      runQuery(seen1)
+      assert(seen1.size === 40) // persisted cursor now points at event 40
+      // the server compacts away events 30..40 — INCLUDING the very event
+      // the durable lastEventId names — then appends a new tail
+      server.compact((30L to 40L).map(i => SeqId.encodeFn(i, f"u$i%04d")).toSet)
+      server.append((41L to 55L).map(i => envelopeJson(i, s"s${i % 5}")))
+      val seen2 = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      runQuery(seen2) // fresh query, same checkpoint, cursor's event gone
+      import scala.jdk.CollectionConverters._
+      // README.md:153-154: the server must respect the ORIGINAL position —
+      // only events newer than the deleted cursor, nothing replayed
+      // (events 1..29 still exist server-side), nothing skipped
+      assert(seen2.asScala.sorted.toSeq ===
+        (41L to 55L).map(i => SeqId.encodeFn(i, f"u$i%04d")),
+        "exactly-once must hold across compaction of the cursor event")
+      // same contract for a batch read whose startId was compacted away
+      val batch = spark.read.format("http-feed").option("url", server.url)
+        .option("startId", SeqId.encodeFn(35, "u0035")).load()
+        .orderBy("id").collect().map(_.getAs[String]("id")).toSeq
+      assert(batch === (41L to 55L).map(i => SeqId.encodeFn(i, f"u$i%04d")))
+    } finally server.stop()
+  }
+
   test("responses are chronological and ids strongly ordered (README.md:9,150-151)") {
     val events = (1L to 60L).map(i => envelopeJson(i, s"s$i"))
     val server = new TestFeedServer(events, pageSize = 7)
