@@ -60,7 +60,35 @@ object Bench {
       }
       case None => SparkEntry.queries -- SparkEntry.verifyOnly
     }
-    val results = selected
+    // One-time SHARED cache/fixture builds, forced up front and billed as
+    // explicit `_build_*` lines: otherwise their cost lands on whichever
+    // query happens to run first in sorted order, and per-query numbers
+    // migrate between rounds whenever a new key shifts that order. The
+    // leading underscore sorts them ahead of every query in the report.
+    // Skipped under a SPARK_GRAFT_ONLY filter that selects none of their
+    // consumers (local iteration stays cheap); the contract run is full.
+    val builds: Seq[(String, String, () => Unit)] = Seq(
+      ("_build_table_scan_warm", "",
+        () => Seq("lineitem", "orders", "customer", "part", "supplier",
+          "events", "documents", "embeddings").foreach(t =>
+          spark.read.parquet(s"$sfDir/$t.parquet").count())),
+      ("_build_graph_adjacency", "graph_",
+        () => { graft.ops.GraphOps.adjacency(spark, sfDir).count(); () }),
+      ("_build_graph_common_neighbors", "graph_",
+        () => { graft.ops.GraphOps.commonNeighbors(spark, sfDir).count(); () }),
+      ("_build_stream_fixture_rows", "stream_",
+        () => graft.streaming.StreamOps.prebuildFixtures(spark, sfDir))
+    )
+    val buildResults = builds
+      .filter { case (_, prefix, _) =>
+        only.isEmpty || (prefix.nonEmpty && selected.keys.exists(_.startsWith(prefix))) }
+      .map { case (name, _, body) =>
+        val t0 = System.nanoTime()
+        val ok = try { body(); true }
+        catch { case e: Throwable => System.err.println(s"BENCH_FAIL $name: $e"); false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val results = buildResults ++ selected
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try {

@@ -297,6 +297,13 @@ object StreamOps {
   private def evRowsCollected(s: SparkSession, d: String): Array[Ev] =
     evRowsCache.computeIfAbsent((s, d), _ => evRows(s, d).collect())
 
+  /** Force the shared replay-window collect so a bench can bill it as an
+    * explicit build line instead of whichever streaming fixture runs
+    * first. */
+  private[graft] def prebuildFixtures(s: SparkSession, d: String): Unit = {
+    evRowsCollected(s, d); ()
+  }
+
   /** Run a streaming DataFrame into an in-memory sink table and return the
     * table once its contents stabilize — the stabilization loop covers the
     * trailing no-data micro-batch that finalizes watermark-closed windows
