@@ -33,6 +33,20 @@ object Sampling {
     (h + lit(1.0)) / lit(16777217.0)
   }
 
+  /** Raw 24-bit integer decode h ∈ [0, 2²⁴) of `md5(id)`'s first 6 hex
+    * digits — the integer [[hashUniform]] is built on, for callers that
+    * compare against integer thresholds directly (inverse-CDF ladders)
+    * instead of round-tripping through a double. SQL twin:
+    * [[hexDecodeSql]]. */
+  def hashDecode24(id: Column): Column = {
+    val m = md5(id.cast("string"))
+    (1 to 6).map { i =>
+      val a = ascii(substring(m, i, 1))
+      val digit = when(a >= 97, a - 87).otherwise(a - 48)
+      digit.cast("long") * lit(1L << (4 * (6 - i)))
+    }.reduce(_ + _)
+  }
+
   /** Deterministic bucket in [0, k): the same 6-hex-digit integer decode
     * as [[hashUniform]], taken mod k. Used for fold/split assignment —
     * reproducible in any SQL engine via [[hexDecodeSql]] `% k`. */

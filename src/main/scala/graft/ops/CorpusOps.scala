@@ -225,10 +225,70 @@ object CorpusOps {
           md5(array_join(slice(col("tks"), (col("s") + 1).cast("int"),
             lit(64)), " ")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Johnson–Lindenstrauss random projection 64→16 dims with a ±1
+    // (Achlioptas) matrix derived from md5 parity — the cheap dim
+    // reduction ahead of clustering/ANN at corpus scale. The sign matrix
+    // is computed ONCE in plain Scala (MD5 is MD5 in every engine) and
+    // inlined as 16 plan literals, so the whole operator is a per-row
+    // projection of in-order integer folds: NO explode, NO join, NO
+    // shuffle of any kind before the output sort. Components quantize to
+    // integers first (floor(v·1e5)) so every projected coordinate is an
+    // exact integer sum; `jl_ratio_c` checks the JL norm-preservation
+    // guarantee E[|Pv|²] = k·|v|² per vector.
+    "vec_random_projection" -> ((s, d) => {
+      def q(v: Column): Column = floor(v.cast("double") * 100000).cast("long")
+      val projCols = (0 until 16).map { j =>
+        aggregate(
+          zip_with(col("embedding"), typedLit(rpSigns(j)), (v, sg) => q(v) * sg),
+          lit(0L), (a, x) => a + x).as(s"p$j")
+      }
+      val sqv = aggregate(transform(col("embedding"), v => q(v) * q(v)),
+        lit(0L), (a, x) => a + x)
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: col("label") +: sqv.as("sqv") +: projCols: _*)
+        .withColumn("proj", array((0 until 16).map(j => col(s"p$j")): _*))
+        .withColumn("sqp", (0 until 16).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _))
+        .select(col("vec_id"), col("label"), col("proj"),
+          floor(col("sqp") * lit(10000.0) / (lit(16.0) * col("sqv")))
+            .cast("long").as("jl_ratio_c"))
+        .orderBy("vec_id")
     })
   )
 
+  /** ±1 projection signs: sgn(pos, j) = (ascii of md5("pos:j")'s first
+    * hex char % 2)·2 − 1, j = 0..15 over 64 input dims — the identical
+    * expression the DuckDB oracle evaluates with ITS md5 (MD5 agrees
+    * everywhere, so Scala literals ≡ SQL-computed signs). */
+  private lazy val rpSigns: IndexedSeq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map(j => (0 until 64).map { pos =>
+      val hex = md.digest(s"$pos:$j".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      ((hex.charAt(0).toInt % 2) * 2 - 1).toLong
+    })
+  }
+
   def oracles: Map[String, String] = Map(
+    "vec_random_projection" ->
+      """WITH sg AS (SELECT pos, j,
+        |    (ascii(substr(md5(CAST(pos AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1 AS sgn
+        |  FROM unnest(generate_series(0, 63)) p(pos),
+        |       unnest(generate_series(0, 15)) t(j)),
+        |c AS (SELECT vec_id, label, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 100000) AS BIGINT) AS qv
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
+        |pj AS (SELECT vec_id, label, j, CAST(sum(qv * sgn) AS BIGINT) AS p
+        |  FROM c JOIN sg USING (pos) GROUP BY vec_id, label, j),
+        |agg AS (SELECT vec_id, label, list(p ORDER BY j) AS proj,
+        |    CAST(sum(p * p) AS BIGINT) AS sqp FROM pj GROUP BY vec_id, label),
+        |sv AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS sqv
+        |  FROM c GROUP BY vec_id)
+        |SELECT a.vec_id, a.label, a.proj,
+        |  CAST(floor(sqp * 10000.0 / (16.0 * sqv)) AS BIGINT) AS jl_ratio_c
+        |FROM agg a JOIN sv USING (vec_id) ORDER BY a.vec_id""".stripMargin,
+
     "chunk_overlap_windows" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS tks FROM documents),
         |c AS (SELECT doc_id, tks, len(tks) AS n_tok,

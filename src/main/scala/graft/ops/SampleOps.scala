@@ -106,10 +106,65 @@ object SampleOps {
           col("dup_c"), col("mean_lp_c"), col("shuffle_pos"),
           col("start_tok"), col("seq_first"), col("seq_last"))
         .orderBy("doc_id")
+    }),
+
+    // Poisson bootstrap (the distributed bootstrap: per-row independent
+    // Poisson(1) replica weights instead of a global n-resample — the
+    // only bootstrap that works on sharded data, and embarrassingly
+    // map-parallel): 8 replicas, weight from an md5-derived 24-bit
+    // uniform pushed through the inverse-CDF ladder (integer thresholds
+    // computed once and inlined IDENTICALLY in the oracle — no float
+    // boundary round-trip), replica mean order value from exact integer
+    // sums. One |orders|×8 map + one 8-group aggregate; no shuffle of
+    // data rows beyond the map-side-combinable sum.
+    "sample_poisson_bootstrap" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = PoissonThresholds.zipWithIndex.foldRight(lit(7L): Column) {
+        case ((t, k), rest) => when(col("h") < t, lit(k.toLong)).otherwise(rest)
+      }
+      o.select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0L), lit(7L))).as("b"))
+        .withColumn("h", Sampling.hashDecode24(
+          concat(col("o_orderkey").cast("string"), lit(":"), col("b").cast("string"))))
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(sum(col("w")).as("n_samples"),
+          sum(col("w") * col("cents")).as("sum_cents"))
+        .selectExpr("b", "n_samples", "sum_cents",
+          "sum_cents div n_samples AS mean_c")
+        .orderBy("b")
     })
   )
 
+  /** Cumulative Poisson(1) inverse-CDF thresholds on the 24-bit decode:
+    * t(k) = ⌊2²⁴ · P(X ≤ k)⌋ for k = 0..6 (h < t(k) ⇒ weight ≤ k; the
+    * residual mass lands on weight 7). Computed once here and
+    * interpolated verbatim into the DuckDB oracle so both engines
+    * compare against the SAME integer literals. */
+  private val PoissonThresholds: Seq[Long] = {
+    val pmf = Iterator.iterate((0, math.exp(-1.0))) {
+      case (k, p) => (k + 1, p / (k + 1))
+    }.take(7).map(_._2).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => math.floor(c * 16777216.0).toLong)
+  }
+
   def oracles: Map[String, String] = Map(
+    "sample_poisson_bootstrap" -> {
+      val hv = hexDecodeSql("md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
+      val ladder = PoissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")
+      s"""WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT o_orderkey, cents, b, $hv AS h
+        |      FROM o, unnest(generate_series(0, 7)) t(b)),
+        |w AS (SELECT b, cents, CASE $ladder ELSE 7 END AS w FROM r)
+        |SELECT b, CAST(sum(w) AS BIGINT) AS n_samples,
+        |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(w * cents) AS BIGINT) // CAST(sum(w) AS BIGINT) AS mean_c
+        |FROM w GROUP BY b ORDER BY b""".stripMargin
+    },
+
     "sample_weighted" -> {
       val hv = hexDecodeSql("m")
       s"""WITH u AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
