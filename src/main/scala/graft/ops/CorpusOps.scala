@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.io.Tables.{canon, canon100}
@@ -248,7 +248,9 @@ object CorpusOps {
         lit(0L), (a, x) => a + x)
       Tables.embeddings(s, d)
         .select(col("vec_id") +: col("label") +: sqv.as("sqv") +: projCols: _*)
-        .withColumn("proj", array((0 until 16).map(j => col(s"p$j")): _*))
+        .withColumn("proj",
+          array_join(array((0 until 16).map(j => col(s"p$j")): _*)
+            .cast("array<string>"), ","))
         .withColumn("sqp", (0 until 16).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _))
         .select(col("vec_id"), col("label"), col("proj"),
           floor(col("sqp") * lit(10000.0) / (lit(16.0) * col("sqv")))
@@ -281,7 +283,8 @@ object CorpusOps {
         |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
         |pj AS (SELECT vec_id, label, j, CAST(sum(qv * sgn) AS BIGINT) AS p
         |  FROM c JOIN sg USING (pos) GROUP BY vec_id, label, j),
-        |agg AS (SELECT vec_id, label, list(p ORDER BY j) AS proj,
+        |agg AS (SELECT vec_id, label,
+        |    string_agg(CAST(p AS VARCHAR), ',' ORDER BY j) AS proj,
         |    CAST(sum(p * p) AS BIGINT) AS sqp FROM pj GROUP BY vec_id, label),
         |sv AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS sqv
         |  FROM c GROUP BY vec_id)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{Relevance, Sampling}
 import graft.io.Tables
@@ -121,7 +121,8 @@ object SampleOps {
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
       val w = PoissonThresholds.zipWithIndex.foldRight(lit(7L): Column) {
-        case ((t, k), rest) => when(col("h") < t, lit(k.toLong)).otherwise(rest)
+        case ((t: Long, k: Int), rest) =>
+          when(col("h") < t, lit(k.toLong)).otherwise(rest)
       }
       o.select(col("o_orderkey"), col("cents"),
           explode(sequence(lit(0L), lit(7L))).as("b"))

@@ -79,6 +79,32 @@ object SpecOps {
           countDistinct(col("user_id")).as("n_subjects"),
           max(col("data")).as("max_data"))
         .orderBy("datacontenttype")
+    }),
+
+    // Merkle page manifest (the integrity structure the spec's immutable
+    // cacheable pages make possible, README.md:148-159 + 330-332): level-0
+    // page digests (md5 over the id-ordered id list, as feed_page_manifest),
+    // 16 pages roll up into one level-1 digest (order carried by the
+    // (page, digest) struct sort — no global window), and the level-1
+    // digests fold into ONE root. A consumer re-verifies any single page
+    // against the root with log₁₆(n) digests instead of re-hashing the
+    // feed — the audit shape that matters at 100 TB. Root joins back as a
+    // 1-row broadcast (allowlisted BNLJ-by-design).
+    "feed_manifest_merkle" -> ((s, d) => {
+      val pages = Tables.events(s, d).filter(col("event_id") < 20000)
+        .groupBy(expr("event_id div 100").as("page"))
+        .agg(count(lit(1)).as("n"),
+          md5(array_join(transform(array_sort(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("pd"))
+      val l1 = pages.groupBy(expr("page div 16").as("bucket"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("n")).as("n_events"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("page"), col("pd")))),
+            x => x.getField("pd")), ",")).as("digest1"))
+      val root = l1.agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("bucket"), col("digest1")))),
+        x => x.getField("digest1")), ",")).as("root"))
+      l1.crossJoin(broadcast(root)).orderBy("bucket")
     })
   )
 
@@ -134,6 +160,18 @@ object SpecOps {
         |    ELSE octet_length(encode(data)) END) AS BIGINT) AS payload_bytes,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects,
         |  max(data) AS max_data
-        |FROM env GROUP BY datacontenttype ORDER BY datacontenttype""".stripMargin
+        |FROM env GROUP BY datacontenttype ORDER BY datacontenttype""".stripMargin,
+
+    "feed_manifest_merkle" ->
+      """WITH p AS (SELECT event_id // 100 AS page, count(*) AS n,
+        |    md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS pd
+        |  FROM events WHERE event_id < 20000 GROUP BY 1),
+        |l1 AS (SELECT page // 16 AS bucket, count(*) AS n_pages,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    md5(string_agg(pd, ',' ORDER BY page)) AS digest1
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT md5(string_agg(digest1, ',' ORDER BY bucket)) AS root FROM l1)
+        |SELECT bucket, n_pages, n_events, digest1, root
+        |FROM l1, r ORDER BY bucket""".stripMargin
   )
 }

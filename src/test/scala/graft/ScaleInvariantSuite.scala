@@ -64,7 +64,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "graph_modularity",     // × single-row directed-edge count
     "sketch_bloom_fpr",     // × 1-row FP counters + 128-word filter relation
     "eval_pr_auc",          // × value-bounded score-bucket histogram grid
-    "feature_target_encode" // × single-row global prior
+    "feature_target_encode", // × single-row global prior
+    "feed_manifest_merkle"  // × single-row Merkle root digest
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
