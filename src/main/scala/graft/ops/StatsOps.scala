@@ -156,6 +156,40 @@ object StatsOps {
         .orderBy("doc_id")
     }),
 
+    // Jelinek–Mercer interpolated bigram LM (λ = 0.5): per-term
+    // p = ½·c(w₁w₂)/c(w₁) + ½·c(w₂)/N — the mixture smoothing that
+    // backs off to the unigram instead of add-one mass. The log-prob is
+    // the one float in the pipeline and both engines evaluate the
+    // IDENTICAL parse tree (the KN/add-one discipline), floor-quantized
+    // per term before the integer per-doc sum. Count tables are
+    // vocabulary-sized; totals are |langs|-row.
+    "lm_jelinek_mercer" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s) // word_bigrams kernel
+      val base = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("toks"),
+        call_function("word_bigrams", col("text")).as("bigs"))
+      val uni = base.select(col("lang"), explode(col("toks")).as("w"))
+      val cu = uni.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val nt = uni.groupBy("lang").agg(count(lit(1)).as("nt"))
+      val bi = base.select(col("doc_id"), col("lang"), explode(col("bigs")).as("b"))
+      val cb = bi.groupBy("lang", "b").agg(count(lit(1)).as("cb"))
+      bi
+        .join(cb, Seq("lang", "b"))
+        .withColumn("w1", split(col("b"), " ").getItem(0))
+        .withColumn("w2", split(col("b"), " ").getItem(1))
+        .join(cu.select(col("lang"), col("w").as("w1"), col("c").as("cu1")), Seq("lang", "w1"))
+        .join(cu.select(col("lang"), col("w").as("w2"), col("c").as("cu2")), Seq("lang", "w2"))
+        .join(nt, Seq("lang"))
+        .withColumn("lp", floor(log(lit(0.5) * col("cb") / col("cu1") +
+          lit(0.5) * col("cu2") / col("nt")) * lit(10000.0)).cast("long"))
+        .groupBy("doc_id")
+        .agg(first(col("lang")).as("lang"), count(lit(1)).as("n_big"),
+          sum(col("lp")).as("sum_lp_c"))
+        .withColumn("mean_lp_c",
+          floor(col("sum_lp_c") * lit(1.0) / col("n_big")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // One k-means Lloyd step on the embeddings (centroids = vec_id < 8):
     // nearest-centroid assignment via min(struct(sqdist, cid)) — FP ties
     // break on cid identically in both engines — then per-cluster size,
@@ -465,6 +499,29 @@ object StatsOps {
         |  CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
         |  CAST(sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
         |FROM probe GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "lm_jelinek_mercer" ->
+      """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS b
+        |  FROM t),
+        |uni AS (SELECT lang, unnest(toks) AS w FROM t),
+        |cu AS (SELECT lang, w, count(*) AS c FROM uni GROUP BY lang, w),
+        |nt AS (SELECT lang, count(*) AS nt FROM uni GROUP BY lang),
+        |sc AS (SELECT bi.doc_id, bi.lang,
+        |    CAST(floor(ln(0.5 * cb.c / cu1.c + 0.5 * cu2.c / nt.nt) * 10000)
+        |      AS BIGINT) AS lp
+        |  FROM bi
+        |    JOIN (SELECT lang, b, count(*) AS c FROM bi GROUP BY lang, b) cb
+        |      ON bi.lang = cb.lang AND bi.b = cb.b
+        |    JOIN cu cu1 ON bi.lang = cu1.lang AND str_split(bi.b, ' ')[1] = cu1.w
+        |    JOIN cu cu2 ON bi.lang = cu2.lang AND str_split(bi.b, ' ')[2] = cu2.w
+        |    JOIN nt ON bi.lang = nt.lang)
+        |SELECT doc_id, any_value(lang) AS lang, count(*) AS n_big,
+        |  CAST(sum(lp) AS BIGINT) AS sum_lp_c,
+        |  CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT) AS mean_lp_c
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "lm_score_bigram" ->
       """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),

@@ -173,10 +173,69 @@ object TimeOps {
           sum(canon(col("value"))).as("sum_value_c"))
         .withColumn("dur_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "sid")
+    }),
+
+    // Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    // slopes over the daily-count series — outlier-days can't drag the
+    // fit the way least squares lets them. The pair relation is
+    // CALENDAR² per type (days × days — grows with time, never with
+    // data rows), slopes floor-quantize through one exact double ratio
+    // (numerators can be negative, so floor-of-ratio, never integer
+    // div), and the median is the DOUBLED-midrank pick (sum of the two
+    // middle order statistics) — all-integer output, no percentile
+    // interpolation to match across engines.
+    "ts_theil_sen_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val a = daily.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
+      val b = daily.select(col("event_type"), col("day").as("d2"), col("c").as("c2"))
+      val pairs = a.join(b, Seq("event_type")).where(col("d1") < col("d2"))
+        .withColumn("slope_c",
+          floor((col("c2") - col("c1")) * lit(1000000.0) / (col("d2") - col("d1")))
+            .cast("long"))
+      val w = Window.partitionBy("event_type").orderBy("slope_c")
+      pairs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+        // doubled median: weight 2 when the lower and upper middle
+        // positions coincide (odd n), 1+1 otherwise — integer `div` only
+        .withColumn("wt",
+          (col("rn") === expr("(np + 1) div 2")).cast("long") +
+            (col("rn") === expr("np div 2 + 1")).cast("long"))
+        .filter(col("wt") > 0)
+        .groupBy("event_type")
+        .agg(first(col("np")).as("n_pairs"),
+          sum(col("slope_c") * col("wt")).as("med2_slope_c"))
+        .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")), Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"), col("med2_slope_c"))
+        .orderBy("event_type")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_theil_sen_trend" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(floor((b.c - a.c) * 1000000.0 / (b.day - a.day)) AS BIGINT) AS slope_c
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (SELECT event_type, slope_c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope_c) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p),
+        |m AS (SELECT event_type, np,
+        |    CAST(sum(slope_c * (CASE WHEN rn = (np + 1) // 2 THEN 1 ELSE 0 END
+        |      + CASE WHEN rn = np // 2 + 1 THEN 1 ELSE 0 END)) AS BIGINT) AS med2_slope_c
+        |  FROM r WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+        |  GROUP BY event_type, np)
+        |SELECT m.event_type, d.n_days, m.np AS n_pairs, m.med2_slope_c
+        |FROM m JOIN (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1) d
+        |  USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "sessionize_ids" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
         |    event_type, CAST(floor(value * 10000) AS BIGINT) AS vc FROM events),

@@ -611,6 +611,47 @@ object StreamOps {
         .orderBy("event_type")
     }),
 
+    // Streaming Merkle manifest maintenance (batch twin:
+    // feed_manifest_merkle): per-page id sets kept as streaming
+    // aggregation state, update mode re-emitting only pages the
+    // micro-batch touched — maintaining the manifest costs O(pages
+    // touched per batch), never a feed re-hash. The id-ordered batch
+    // split puts the boundary page's ids in BOTH batches, so its final
+    // digest requires genuine cross-batch state carry. The level-1/root
+    // fold then runs over the |pages|-row digest relation only.
+    "stream_manifest_merkle" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(_.event_id)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val pages = ms.toDF()
+        .groupBy(expr("event_id div 100").as("page"))
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(col("event_id"))).as("ids"))
+      val emitted = runToMemory(s, pages, freshName("merkle_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable() // boundary page spans both micro-batches
+        ms.addData(b2.toSeq)
+      }
+      // final state per page = the emission carrying its complete id set
+      val wp = Window.partitionBy("page").orderBy(col("n").desc)
+      val fin = emitted.withColumn("rn", row_number().over(wp))
+        .filter(col("rn") === 1)
+        .select(col("page"), col("n"),
+          md5(array_join(transform(col("ids"), x => x.cast("string")), ","))
+            .as("pd"))
+      val l1 = fin.groupBy(expr("page div 16").as("bucket"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("n")).as("n_events"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("page"), col("pd")))),
+            x => x.getField("pd")), ",")).as("digest1"))
+      val root = l1.agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("bucket"), col("digest1")))),
+        x => x.getField("digest1")), ",")).as("root"))
+      l1.crossJoin(broadcast(root)).orderBy("bucket")
+    }),
+
     // Continuously-maintained aggregate read model (README.md:168-179,
     // 274-292): flatMapGroupsWithState keyed by subject keeps the latest
     // envelope per subject; a DELETE tombstone removes the state
@@ -1642,6 +1683,20 @@ object StreamOps {
 
     // the batch quantile_hist oracle bounded to the replay window — the
     // streaming state's final sketch must land the identical histogram
+    // identical to feed_manifest_merkle (the streaming maintenance must
+    // land exactly the batch manifest over the same replay window)
+    "stream_manifest_merkle" ->
+      """WITH p AS (SELECT event_id // 100 AS page, count(*) AS n,
+        |    md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS pd
+        |  FROM events WHERE event_id < 20000 GROUP BY 1),
+        |l1 AS (SELECT page // 16 AS bucket, count(*) AS n_pages,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    md5(string_agg(pd, ',' ORDER BY page)) AS digest1
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT md5(string_agg(digest1, ',' ORDER BY bucket)) AS root FROM l1)
+        |SELECT bucket, n_pages, n_events, digest1, root
+        |FROM l1, r ORDER BY bucket""".stripMargin,
+
     "stream_quantile_hist" ->
       """WITH v AS (SELECT event_type,
         |    CAST(floor(value * 10000) AS BIGINT) AS vi FROM events

@@ -76,6 +76,63 @@ class SpecOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("stream_manifest_merkle lands exactly the batch manifest (cross-batch page state)") {
+    val batch = SparkEntry.queries("feed_manifest_merkle")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.queries("stream_manifest_merkle")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch,
+      "incremental streaming maintenance must reproduce the batch Merkle manifest")
+  }
+
+  test("ts_theil_sen_trend ≡ brute-force median-of-slopes in plain Scala") {
+    val daily = graft.io.Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("day"), r.getAs[Long]("c")))
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val pts = rows.map(r => (r._2, r._3))
+      val slopes = (for {
+        (d1, c1) <- pts; (d2, c2) <- pts if d1 < d2
+      } yield math.floor((c2 - c1) * 1000000.0 / (d2 - d1)).toLong).sorted
+      val n = slopes.length
+      val med2 = slopes((n + 1) / 2 - 1) + slopes(n / 2)
+      t -> (pts.length.toLong, n.toLong, med2)
+    }
+    val got = SparkEntry.queries("ts_theil_sen_trend")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("med2_slope_c"))).toMap
+    expected.foreach { case (t, e) => assert(got(t) === e, s"type $t") }
+  }
+
+  test("lm_jelinek_mercer ≡ plain-Scala recomputation of the interpolated model") {
+    // rebuild the per-language count tables and the ½/½ mixture in plain
+    // Scala for a few docs and demand exact per-term quantized equality
+    val docs = graft.io.Tables.documents(spark, d)
+      .select("doc_id", "lang", "text").limit(3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val corpus = graft.io.Tables.documents(spark, d)
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val got = SparkEntry.queries("lm_jelinek_mercer")(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_big"), r.getAs[Long]("sum_lp_c"))).toMap
+    docs.foreach { case (id, lang, text) =>
+      val langToks = corpus.filter(_._1 == lang).flatMap(_._2.split(" "))
+      val cu = langToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nt = langToks.length.toLong
+      val langBigs = corpus.filter(_._1 == lang).flatMap(_._2.split(" ").sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")))
+      val cb = langBigs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val toks = text.split(" ")
+      val lps = toks.sliding(2).filter(_.length == 2).map { p =>
+        val b = p.mkString(" ")
+        math.floor(math.log(0.5 * cb(b) / cu(p(0)) + 0.5 * cu(p(1)) / nt) * 10000.0).toLong
+      }.toSeq
+      assert(got(id) === ((lps.length.toLong, lps.sum)),
+        s"doc $id JM score diverged from plain-Scala recomputation")
+    }
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
