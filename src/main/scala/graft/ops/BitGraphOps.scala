@@ -94,6 +94,60 @@ object BitGraphOps {
         .select("src", "hop", "n_nodes").orderBy("src", "hop")
     }),
 
+    // k-hop Brandes betweenness (sources 1–4, paths truncated at 4
+    // hops — the standard bounded variant for graphs whose full Brandes
+    // is O(V·E)): forward BFS accumulates per-(src, node) shortest-path
+    // counts σ layer by layer (anti-join dedup, sum over same-layer
+    // predecessors), then the backward pass folds dependencies down the
+    // layers: δq(v) = Σ_succ ⌊σv·(10⁶ + δq(w)) / σw⌋ — integer division
+    // of positive integers, so the quantized accumulation is exact in
+    // any engine (the PageRank quantize-per-step discipline applied to
+    // Brandes). Per-hop frontiers and per-layer deltas localCheckpoint
+    // (the k-core lineage pattern); everything keys on node ids — at
+    // 100 TB this is per-source-batched BFS off the pinned adjacency,
+    // the shape GraphFrames/Pregel would take.
+    "graph_betweenness_khop" -> ((s, d) => {
+      val es = GraphOps.edges(s, d)
+      val srcs = GraphOps.adjacency(s, d).select(col("u"))
+        .filter(col("u").isin(1L, 2L, 3L, 4L))
+        .select(col("u").as("src"), col("u").as("v")).localCheckpoint()
+      var frontier = srcs.withColumn("sigma", lit(1L)).localCheckpoint()
+      var visited = srcs
+      val lay = scala.collection.mutable.Buffer(frontier)
+      for (l <- 1 to 3) {
+        val next = frontier.select(col("src"), col("v").as("u"), col("sigma"))
+          .join(es, "u")
+          .select(col("src"), col("v"), col("sigma"))
+          .join(visited, Seq("src", "v"), "left_anti")
+          .groupBy("src", "v").agg(sum("sigma").as("sigma"))
+          .localCheckpoint()
+        lay += next
+        visited = visited.unionByName(next.select("src", "v")).localCheckpoint()
+        frontier = next
+      }
+      var deltaNext = lay(3).select(col("src"), col("v"), lit(0L).as("dq"))
+      val bcParts = scala.collection.mutable.Buffer[DataFrame]()
+      for (l <- 2 to 1 by -1) {
+        val wSide = lay(l + 1)
+          .select(col("src"), col("v").as("w"), col("sigma").as("sw"))
+          .join(deltaNext.select(col("src"), col("v").as("w"), col("dq")),
+            Seq("src", "w"), "left")
+          .na.fill(0L, Seq("dq"))
+        val contrib = lay(l).select(col("src"), col("v"), col("sigma").as("sv"))
+          .join(es.select(col("u").as("v"), col("v").as("w")), "v")
+          .join(wSide, Seq("src", "w"))
+          .withColumn("c", expr("(sv * (1000000 + dq)) div sw"))
+          .groupBy("src", "v").agg(sum("c").as("dq"))
+          .localCheckpoint()
+        bcParts += contrib
+        deltaNext = contrib
+      }
+      bcParts.reduce(_ unionByName _)
+        .groupBy(col("v").as("part")).agg(sum("dq").as("bc_q"))
+        .orderBy(col("bc_q").desc, col("part")).limit(20)
+        .orderBy(col("bc_q").desc, col("part"))
+    }),
+
     // Local clustering coefficient (top-30 by cc, ties by part): per
     // node cc = 2·tri(p) / (deg·(deg−1)) in ppm — how close the
     // neighborhood is to a clique — off the SAME shared common-neighbor
@@ -194,6 +248,41 @@ object BitGraphOps {
         |$rows
         |ORDER BY src, hop""".stripMargin
     },
+
+    "graph_betweenness_khop" ->
+      s"""WITH ${GraphOps.edgesSql},
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS src, u AS v,
+        |    CAST(1 AS BIGINT) AS sigma FROM e WHERE u IN (1, 2, 3, 4)),
+        |f1 AS MATERIALIZED (SELECT l0.src, e.v, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+        |  FROM l0 JOIN e ON e.u = l0.v
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 x WHERE x.src = l0.src AND x.v = e.v)
+        |  GROUP BY l0.src, e.v),
+        |f2 AS MATERIALIZED (SELECT f1.src, e.v, CAST(sum(f1.sigma) AS BIGINT) AS sigma
+        |  FROM f1 JOIN e ON e.u = f1.v
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 x WHERE x.src = f1.src AND x.v = e.v)
+        |    AND NOT EXISTS (SELECT 1 FROM f1 y WHERE y.src = f1.src AND y.v = e.v)
+        |  GROUP BY f1.src, e.v),
+        |f3 AS MATERIALIZED (SELECT f2.src, e.v, CAST(sum(f2.sigma) AS BIGINT) AS sigma
+        |  FROM f2 JOIN e ON e.u = f2.v
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 x WHERE x.src = f2.src AND x.v = e.v)
+        |    AND NOT EXISTS (SELECT 1 FROM f1 y WHERE y.src = f2.src AND y.v = e.v)
+        |    AND NOT EXISTS (SELECT 1 FROM f2 z WHERE z.src = f2.src AND z.v = e.v)
+        |  GROUP BY f2.src, e.v),
+        |d2 AS MATERIALIZED (SELECT f2.src, f2.v,
+        |    CAST(sum((f2.sigma * 1000000) // f3.sigma) AS BIGINT) AS dq
+        |  FROM f2 JOIN e ON e.u = f2.v
+        |  JOIN f3 ON f3.src = f2.src AND f3.v = e.v
+        |  GROUP BY f2.src, f2.v),
+        |d1 AS (SELECT f1.src, f1.v,
+        |    CAST(sum((f1.sigma * (1000000 + coalesce(d2.dq, 0))) // f2.sigma)
+        |      AS BIGINT) AS dq
+        |  FROM f1 JOIN e ON e.u = f1.v
+        |  JOIN f2 ON f2.src = f1.src AND f2.v = e.v
+        |  LEFT JOIN d2 ON d2.src = f2.src AND d2.v = f2.v
+        |  GROUP BY f1.src, f1.v),
+        |b AS (SELECT v, CAST(sum(dq) AS BIGINT) AS bc_q FROM
+        |  (SELECT v, dq FROM d2 UNION ALL SELECT v, dq FROM d1) t GROUP BY v)
+        |SELECT v AS part, bc_q FROM b ORDER BY bc_q DESC, part LIMIT 20""".stripMargin,
 
     "graph_clustering_coeff" ->
       s"""WITH ${GraphOps.edgesSql},

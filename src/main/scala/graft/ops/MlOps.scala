@@ -92,6 +92,45 @@ object MlOps {
         .orderBy("gini_c", "band")
         .limit(10)
         .orderBy("band")
+    }),
+
+    // k-center greedy seeding (the deterministic farthest-point variant
+    // of k-means++ init, k = 4): start at the smallest vec_id, then
+    // repeatedly pick the vector MAXIMIZING its min quantized-integer
+    // squared distance to the chosen set (tie → smallest id, exact via
+    // max over (dist, −id) structs — no sampling, no float ties). Each
+    // round is one ×1-row broadcast distance update + one 1-row argmax
+    // aggregate over the corpus; the running min-distance column is
+    // localCheckpointed so round r+1 never re-derives rounds 1..r —
+    // Lloyd iteration gets its centroids without a single global sort.
+    "vec_kmeanspp_init" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s) // vec_sqdist_long
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.api.Vectors.quantize(col("embedding"), 100000L).as("qv"))
+      val c1 = emb.orderBy("vec_id").limit(1).localCheckpoint()
+      var cur = emb
+        .crossJoin(broadcast(c1.select(col("qv").as("ce"))))
+        .withColumn("dmin",
+          call_function("vec_sqdist_long", col("qv"), col("ce")))
+        .drop("ce").localCheckpoint()
+      val first = c1.select(lit(1L).as("step"), col("vec_id").as("cid"),
+        lit(0L).as("maxmin_d"))
+      val picks = scala.collection.mutable.Buffer(first)
+      for (step <- 2 to 4) {
+        val pick = cur
+          .agg(max(struct(col("dmin").as("d"), (-col("vec_id")).as("nid"))).as("w"))
+          .select(lit(step.toLong).as("step"), (-col("w.nid")).as("cid"),
+            col("w.d").as("maxmin_d"))
+          .localCheckpoint() // 1 row; consumed twice (output + next update)
+        picks += pick
+        val cVec = pick.join(emb, pick("cid") === emb("vec_id"))
+          .select(col("qv").as("ce"))
+        cur = cur.crossJoin(broadcast(cVec))
+          .withColumn("dmin", least(col("dmin"),
+            call_function("vec_sqdist_long", col("qv"), col("ce"))))
+          .drop("ce").localCheckpoint()
+      }
+      picks.reduce(_ unionByName _).orderBy("step")
     })
   )
 
@@ -112,6 +151,35 @@ object MlOps {
         |    CAST(floor(l_quantity) AS BIGINT) AS y FROM lineitem)
         |${(xtx ++ xty).mkString("\nUNION ALL\n")}
         |ORDER BY kind, i, j""".stripMargin
+    },
+
+    "vec_kmeanspp_init" -> {
+      def sq(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, len($a)), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+      s"""WITH q AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+        |d1 AS MATERIALIZED (SELECT q.vec_id, q.qv,
+        |    CAST(${sq("q.qv", "c1.qv")} AS BIGINT) AS dmin FROM q, c1),
+        |p2 AS (SELECT vec_id, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+        |c2 AS (SELECT q.qv FROM q JOIN p2 ON q.vec_id = p2.vec_id),
+        |d2 AS MATERIALIZED (SELECT d1.vec_id, d1.qv,
+        |    least(d1.dmin, CAST(${sq("d1.qv", "c2.qv")} AS BIGINT)) AS dmin
+        |  FROM d1, c2),
+        |p3 AS (SELECT vec_id, dmin FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1),
+        |c3 AS (SELECT q.qv FROM q JOIN p3 ON q.vec_id = p3.vec_id),
+        |d3 AS MATERIALIZED (SELECT d2.vec_id, d2.qv,
+        |    least(d2.dmin, CAST(${sq("d2.qv", "c3.qv")} AS BIGINT)) AS dmin
+        |  FROM d2, c3),
+        |p4 AS (SELECT vec_id, dmin FROM d3 ORDER BY dmin DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS step, c1.vec_id AS cid,
+        |  CAST(0 AS BIGINT) AS maxmin_d FROM c1
+        |UNION ALL SELECT 2, vec_id, dmin FROM p2
+        |UNION ALL SELECT 3, vec_id, dmin FROM p3
+        |UNION ALL SELECT 4, vec_id, dmin FROM p4
+        |ORDER BY step""".stripMargin
     },
 
     "stump_split_gain" ->

@@ -105,6 +105,31 @@ object SpecOps {
         array_sort(collect_list(struct(col("bucket"), col("digest1")))),
         x => x.getField("digest1")), ",")).as("root"))
       l1.crossJoin(broadcast(root)).orderBy("bucket")
+    }),
+
+    // Equi-depth backfill partition plan for the DSv2 source: split the
+    // feed's id space into 8 cursor ranges carrying ~equal EVENT counts
+    // (not equal id spans — skewed feeds balance by depth), derived from
+    // the page histogram the way a 1000-executor backfill planner would.
+    // The one global window runs over the PAGE-histogram relation
+    // (bounded: |feed| / page size rows), never event rows — the 2-pass
+    // global-rank discipline.
+    "feed_backfill_partition_plan" -> ((s, d) => {
+      val pages = Tables.events(s, d)
+        .groupBy(expr("event_id div 100").as("page"))
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+      val wH = Window.orderBy("page")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wT = Window.partitionBy()
+      pages
+        .withColumn("cumb", coalesce(sum("n").over(wH), lit(0L)))
+        .withColumn("tot", sum("n").over(wT))
+        .withColumn("pno", expr("(cumb * 8) div tot"))
+        .groupBy("pno")
+        .agg(count(lit(1)).as("n_pages"), sum(col("n")).as("n_events"),
+          min("min_id").as("start_id"), max("max_id").as("end_id"))
+        .orderBy("pno")
     })
   )
 
@@ -172,6 +197,20 @@ object SpecOps {
         |  FROM p GROUP BY 1),
         |r AS (SELECT md5(string_agg(digest1, ',' ORDER BY bucket)) AS root FROM l1)
         |SELECT bucket, n_pages, n_events, digest1, root
-        |FROM l1, r ORDER BY bucket""".stripMargin
+        |FROM l1, r ORDER BY bucket""".stripMargin,
+
+    "feed_backfill_partition_plan" ->
+      """WITH p AS (SELECT event_id // 100 AS page, count(*) AS n,
+        |    min(event_id) AS min_id, max(event_id) AS max_id
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY page
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tot
+        |  FROM p)
+        |SELECT (cumb * 8) // tot AS pno, count(*) AS n_pages,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  min(min_id) AS start_id, max(max_id) AS end_id
+        |FROM c GROUP BY 1 ORDER BY pno""".stripMargin
   )
 }

@@ -100,7 +100,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "orders_backlog_daily", // calendar-day histogram only
     "corr_spearman",        // value-bounded midrank histograms only
     "feature_bin_quantile", // k$ value histogram only
-    "ts_rolling_correlation" // calendar-day series only
+    "ts_rolling_correlation", // calendar-day series only
+    "feed_backfill_partition_plan" // page-histogram relation only
   )
 
   /** Queries whose heavy work happens eagerly at DataFrame-construction

@@ -133,6 +133,88 @@ class SpecOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("vec_kmeanspp_init ≡ brute-force k-center greedy in plain Scala") {
+    val vecs = graft.io.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100000).toLong).toArray))
+      .sortBy(_._1)
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var chosen = Seq(vecs.head)
+    var expected = Seq((1L, vecs.head._1, 0L))
+    var dmin = vecs.map(v => sq(v._2, vecs.head._2))
+    for (step <- 2 to 4) {
+      val best = vecs.indices.maxBy(i => (dmin(i), -vecs(i)._1))
+      expected :+= ((step.toLong, vecs(best)._1, dmin(best)))
+      chosen :+= vecs(best)
+      dmin = vecs.indices.map(i =>
+        math.min(dmin(i), sq(vecs(i)._2, vecs(best)._2))).toArray
+    }
+    val got = SparkEntry.queries("vec_kmeanspp_init")(spark, d).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("cid"),
+        r.getAs[Long]("maxmin_d"))).toSeq
+    assert(got === expected)
+  }
+
+  test("graph_betweenness_khop ≡ brute-force truncated Brandes in plain Scala") {
+    val edges = graft.ops.GraphOps.edges(spark, d).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (src <- Seq(1L, 2L, 3L, 4L) if adj.contains(src)) {
+      // forward: layers with path counts
+      var layers = Vector(Map(src -> 1L))
+      var seen = Set(src)
+      for (_ <- 1 to 3) {
+        val next = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        layers.last.foreach { case (v, sig) =>
+          adj.getOrElse(v, Set.empty).foreach(w => if (!seen(w)) next(w) += sig)
+        }
+        layers :+= next.toMap
+        seen ++= next.keySet
+      }
+      // backward: quantized dependency accumulation
+      var delta = layers(3).map { case (v, _) => v -> 0L }
+      for (l <- 2 to 1 by -1) {
+        val nd = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        layers(l).foreach { case (v, sv) =>
+          adj(v).foreach { w =>
+            layers(l + 1).get(w).foreach { sw =>
+              nd(v) += sv * (1000000L + delta.getOrElse(w, 0L)) / sw
+            }
+          }
+        }
+        // only nodes with ≥1 successor appear (inner-join semantics)
+        delta = nd.toMap
+        delta.foreach { case (v, dq) => bc(v) += dq }
+      }
+    }
+    val expected = bc.toSeq.sortBy { case (v, q) => (-q, v) }.take(20)
+    val got = SparkEntry.queries("graph_betweenness_khop")(spark, d).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("bc_q"))).toSeq
+    assert(got === expected)
+  }
+
+  test("feed_backfill_partition_plan: full coverage, disjoint ordered ranges, balanced depth") {
+    val total = graft.io.Tables.events(spark, d).count()
+    val rows = SparkEntry.queries("feed_backfill_partition_plan")(spark, d).collect()
+      .map(r => (r.getAs[Long]("pno"), r.getAs[Long]("n_pages"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_id"), r.getAs[Long]("end_id")))
+    assert(rows.map(_._3).sum === total, "partitions must cover every event")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 < b._4, "ranges must be disjoint and ordered")
+      case _ =>
+    }
+    // equi-depth within one page of slack per boundary
+    val target = total / 8.0
+    rows.foreach { case (pno, _, n, _, _) =>
+      assert(n <= target + 100 + target / 4 && n + 100 + target / 4 >= target,
+        s"partition $pno depth $n far from target $target")
+    }
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
