@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.io.Tables.{canon, canon100}
 
@@ -227,6 +228,39 @@ object CorpusOps {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // RAKE keyword extraction (Rapid Automatic Keyword Extraction),
+    // regex-free: candidate phrases are the maximal stopword-delimited
+    // token runs (gaps-and-islands over a cumulative stopword flag —
+    // per-doc window, engine-portable), word degree = Σ phrase length
+    // over a word's occurrences, score = degree/frequency as an exact
+    // positive integer division. Top-20 keywords per language ranked
+    // over the VOCABULARY-sized (lang, word) relation only.
+    "text_rake_keywords" -> ((s, d) => {
+      val stop = graft.api.Curation.Stopwords
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tk")))
+        .withColumn("st", when(col("tk").isin(stop: _*), 1L).otherwise(0L))
+      val wD = Window.partitionBy("doc_id").orderBy("pos")
+      val members = tok
+        .withColumn("pid", sum(col("st")).over(wD))
+        .filter(col("st") === 0)
+        .select(col("doc_id"), col("lang"), col("pid"), col("tk"))
+      val plen = members.groupBy("doc_id", "pid")
+        .agg(count(lit(1)).as("plen"))
+      val scores = members.join(plen, Seq("doc_id", "pid"))
+        .groupBy("lang", "tk")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("score_c", expr("(deg * 10000) div freq"))
+      val wR = Window.partitionBy("lang")
+        .orderBy(col("score_c").desc, col("tk"))
+      scores.withColumn("rk", row_number().over(wR).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("tk"), col("freq"),
+          col("deg"), col("score_c"))
+        .orderBy("lang", "rk")
+    }),
+
     // Johnson–Lindenstrauss random projection 64→16 dims with a ±1
     // (Achlioptas) matrix derived from md5 parity — the cheap dim
     // reduction ahead of clustering/ANN at corpus scale. The sign matrix
@@ -273,6 +307,27 @@ object CorpusOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_rake_keywords" ->
+      """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, lang, i AS pos, toks[i] AS tk,
+        |    CASE WHEN toks[i] IN ('a', 'the', 'and', 'of', 'to')
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM t, unnest(generate_series(1, len(toks))) g(i)),
+        |ph AS (SELECT *, CAST(sum(st) OVER (PARTITION BY doc_id ORDER BY pos)
+        |    AS BIGINT) AS pid FROM p),
+        |m AS (SELECT doc_id, lang, pid, tk FROM ph WHERE st = 0),
+        |pl AS (SELECT doc_id, pid, count(*) AS plen FROM m GROUP BY 1, 2),
+        |wd AS (SELECT m.lang, m.tk, count(*) AS freq,
+        |    CAST(sum(pl.plen) AS BIGINT) AS deg
+        |  FROM m JOIN pl ON m.doc_id = pl.doc_id AND m.pid = pl.pid
+        |  GROUP BY m.lang, m.tk),
+        |r AS (SELECT lang, tk, freq, deg, (deg * 10000) // freq AS score_c,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (deg * 10000) // freq DESC, tk) AS rk
+        |  FROM wd)
+        |SELECT lang, rk, tk, freq, deg, score_c FROM r
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
     "vec_random_projection" ->
       """WITH sg AS (SELECT pos, j,
         |    (ascii(substr(md5(CAST(pos AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1 AS sgn

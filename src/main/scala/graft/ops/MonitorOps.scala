@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
@@ -107,6 +107,41 @@ object MonitorOps {
             col("sst_s").cast("double") * lit(1000000.0)).cast("long")))
         .select(col("event_type"), col("nc").as("n_cells"),
           col("strength_ppm"))
+        .orderBy("event_type")
+    }),
+
+    // Single-bin DFT spectral energy at the weekly and monthly
+    // frequencies of each type's daily-count series — the periodogram
+    // peaks a seasonality detector reads. cos/sin enter as
+    // PRE-TABULATED integer literals over day mod 7 / day mod 30 (the
+    // NDCG discount discipline: both engines index the SAME generated
+    // table, so no libm in any compared value); the Fourier sums and
+    // their squared moduli are exact int64 (1e3 scale keeps
+    // (Σc·cos)² < 2⁶³ at any realistic daily volume).
+    "ts_dft_energy" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      def lits(period: Int, f: Double => Double): Column =
+        array((0 until period).map(k => lit(math.floor(
+          f(2.0 * math.Pi * k / period) * 1000.0).toLong)): _*)
+      val scored = daily
+        .withColumn("p7", (col("day") % 7).cast("int"))
+        .withColumn("p30", (col("day") % 30).cast("int"))
+        .withColumn("c7", element_at(lits(7, math.cos), col("p7") + 1))
+        .withColumn("s7", element_at(lits(7, math.sin), col("p7") + 1))
+        .withColumn("c30", element_at(lits(30, math.cos), col("p30") + 1))
+        .withColumn("s30", element_at(lits(30, math.sin), col("p30") + 1))
+      scored.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c") * col("c7")).as("a7"),
+          sum(col("c") * col("s7")).as("b7"),
+          sum(col("c") * col("c30")).as("a30"),
+          sum(col("c") * col("s30")).as("b30"))
+        .withColumn("e7", col("a7") * col("a7") + col("b7") * col("b7"))
+        .withColumn("e30", col("a30") * col("a30") + col("b30") * col("b30"))
+        .select(col("event_type"), col("n_days"), col("a7"), col("b7"),
+          col("e7"), col("a30"), col("b30"), col("e30"))
         .orderBy("event_type")
     }),
 
@@ -221,6 +256,29 @@ object MonitorOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_dft_energy" -> {
+      def litList(period: Int, f: Double => Double): String =
+        (0 until period).map(k => math.floor(
+          f(2.0 * math.Pi * k / period) * 1000.0).toLong)
+          .mkString("list_value(", ", ", ")")
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (SELECT event_type, c,
+        |    ${litList(7, math.cos)}[CAST(day % 7 AS INT) + 1] AS c7,
+        |    ${litList(7, math.sin)}[CAST(day % 7 AS INT) + 1] AS s7,
+        |    ${litList(30, math.cos)}[CAST(day % 30 AS INT) + 1] AS c30,
+        |    ${litList(30, math.sin)}[CAST(day % 30 AS INT) + 1] AS s30
+        |  FROM daily),
+        |agg AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(c * c7) AS BIGINT) AS a7, CAST(sum(c * s7) AS BIGINT) AS b7,
+        |    CAST(sum(c * c30) AS BIGINT) AS a30, CAST(sum(c * s30) AS BIGINT) AS b30
+        |  FROM sc GROUP BY event_type)
+        |SELECT event_type, n_days, a7, b7, a7 * a7 + b7 * b7 AS e7,
+        |  a30, b30, a30 * a30 + b30 * b30 AS e30
+        |FROM agg ORDER BY event_type""".stripMargin
+    },
+
     "feed_consumer_lag" ->
       """WITH m AS (SELECT max(event_id) AS mx, count(*) AS n FROM events),
         |c AS (SELECT 'consumer_' || i AS consumer, (mx * i) // 4 AS committed,

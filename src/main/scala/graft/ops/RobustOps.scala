@@ -160,10 +160,61 @@ object RobustOps {
         .agg(sum(expr("cast(floor(cast(x as double) * 10000) as bigint) * q"))
           .as("s"))
         .orderBy("pos")
+    }),
+
+    // Kendall rank correlation between event types' daily activity: for
+    // every type pair, concordant / discordant / tied day-pairs and
+    // tau-a — the rank-dependence measure robust to any monotone
+    // transform (Spearman's pairwise sibling). The day-pair relation is
+    // CALENDAR² per type pair (grows with time, never with data rows —
+    // the Theil–Sen discipline); concordance tests are pure integer
+    // sign comparisons, tau floor-quantizes through one double ratio
+    // (negative numerators ⇒ floor-of-ratio, never integer div).
+    "eval_kendall_tau_daily" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val pair = daily.select(col("event_type").as("t1"), col("day"), col("c").as("c1"))
+        .join(daily.select(col("event_type").as("t2"), col("day"), col("c").as("c2")),
+          "day")
+        .where(col("t1") < col("t2"))
+      val a = pair.select(col("t1"), col("t2"), col("day").as("da"),
+        col("c1").as("x1"), col("c2").as("y1"))
+      val b = pair.select(col("t1"), col("t2"), col("day").as("db"),
+        col("c1").as("x2"), col("c2").as("y2"))
+      a.join(b, Seq("t1", "t2")).where(col("da") < col("db"))
+        .withColumn("prod", (col("x2") - col("x1")) * (col("y2") - col("y1")))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("prod") > 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("prod") < 0, 1L).otherwise(0L)).as("nd"),
+          sum(when(col("prod") === 0, 1L).otherwise(0L)).as("nt"))
+        .withColumn("tau_c",
+          floor((col("nc") - col("nd")) * lit(10000.0) / col("n_pairs")).cast("long"))
+        .orderBy("t1", "t2")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "eval_kendall_tau_daily" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS t1, b.event_type AS t2, a.day,
+        |    a.c AS c1, b.c AS c2
+        |  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type),
+        |dp AS (SELECT x.t1, x.t2,
+        |    (y.c1 - x.c1) * (y.c2 - x.c2) AS prod
+        |  FROM p x JOIN p y ON x.t1 = y.t1 AND x.t2 = y.t2 AND x.day < y.day)
+        |SELECT t1, t2, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |  CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |  CAST(sum(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |  CAST(floor((CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    - CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)) * 10000.0
+        |    / count(*)) AS BIGINT) AS tau_c
+        |FROM dp GROUP BY t1, t2 ORDER BY t1, t2""".stripMargin,
+
     "corr_spearman" ->
       """WITH r AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
         |    CAST(floor(l_extendedprice) AS BIGINT) // 100 AS y FROM lineitem),

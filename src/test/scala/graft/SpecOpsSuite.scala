@@ -215,6 +215,89 @@ class SpecOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("text_rake_keywords ≡ brute-force RAKE in plain Scala") {
+    val stop = graft.api.Curation.Stopwords.toSet
+    val docs = graft.io.Tables.documents(spark, d)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val deg = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    val freq = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { case (_, lang, text) =>
+      // maximal stopword-delimited runs
+      val phrases = text.split(" ").foldLeft(List(List.empty[String])) {
+        case (acc, tk) if stop(tk) => Nil :: acc
+        case (h :: t, tk) => (tk :: h) :: t
+        case (Nil, tk) => List(List(tk))
+      }.map(_.reverse).filter(_.nonEmpty)
+      phrases.foreach { ph =>
+        ph.foreach { w =>
+          deg((lang, w)) += ph.length
+          freq((lang, w)) += 1
+        }
+      }
+    }
+    val expected = deg.keys.groupBy(_._1).view.mapValues { ks =>
+      ks.toSeq.map { k =>
+        (k._2, freq(k), deg(k), deg(k) * 10000 / freq(k))
+      }.sortBy { case (tk, _, _, sc) => (-sc, tk) }.take(20)
+    }.toMap
+    val got = SparkEntry.queries("text_rake_keywords")(spark, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rk"), r.getString(2),
+        r.getAs[Long]("freq"), r.getAs[Long]("deg"), r.getAs[Long]("score_c")))
+      .groupBy(_._1)
+    expected.foreach { case (lang, exp) =>
+      val g = got(lang).sortBy(_._2).map(x => (x._3, x._4, x._5, x._6)).toSeq
+      assert(g === exp, s"lang $lang RAKE keywords diverged")
+    }
+  }
+
+  test("eval_kendall_tau_daily ≡ brute-force pair counting in plain Scala") {
+    val daily = graft.io.Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("day"), r.getAs[Long]("c")))
+    val types = daily.map(_._1).distinct.sorted
+    val byType = daily.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val got = SparkEntry.queries("eval_kendall_tau_daily")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("nc"), r.getAs[Long]("nd"), r.getAs[Long]("nt"))).toMap
+    for (t1 <- types; t2 <- types if t1 < t2) {
+      val shared = (byType(t1).keySet intersect byType(t2).keySet).toSeq.sorted
+      var (nc, nd, nt) = (0L, 0L, 0L)
+      for (i <- shared.indices; j <- i + 1 until shared.length) {
+        val p = (byType(t1)(shared(j)) - byType(t1)(shared(i))) *
+          (byType(t2)(shared(j)) - byType(t2)(shared(i)))
+        if (p > 0) nc += 1 else if (p < 0) nd += 1 else nt += 1
+      }
+      val np = shared.length.toLong * (shared.length - 1) / 2
+      assert(got((t1, t2)) === ((np, nc, nd, nt)), s"pair ($t1, $t2)")
+    }
+  }
+
+  test("ts_dft_energy: Fourier sums recompute exactly from the tabulated integer trig") {
+    val daily = graft.io.Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("day"), r.getAs[Long]("c")))
+    def tab(period: Int, f: Double => Double): IndexedSeq[Long] =
+      (0 until period).map(k => math.floor(
+        f(2.0 * math.Pi * k / period) * 1000.0).toLong)
+    val (c7, s7, c30, s30) = (tab(7, math.cos), tab(7, math.sin),
+      tab(30, math.cos), tab(30, math.sin))
+    val expected = daily.groupBy(_._1).view.mapValues { rows =>
+      val a7 = rows.map(r => r._3 * c7((r._2 % 7).toInt)).sum
+      val b7 = rows.map(r => r._3 * s7((r._2 % 7).toInt)).sum
+      val a30 = rows.map(r => r._3 * c30((r._2 % 30).toInt)).sum
+      val b30 = rows.map(r => r._3 * s30((r._2 % 30).toInt)).sum
+      (rows.size.toLong, a7, b7, a7 * a7 + b7 * b7, a30, b30, a30 * a30 + b30 * b30)
+    }.toMap
+    val got = SparkEntry.queries("ts_dft_energy")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_days"), r.getAs[Long]("a7"),
+        r.getAs[Long]("b7"), r.getAs[Long]("e7"), r.getAs[Long]("a30"),
+        r.getAs[Long]("b30"), r.getAs[Long]("e30"))).toMap
+    expected.foreach { case (t, e) => assert(got(t) === e, s"type $t") }
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
