@@ -94,6 +94,40 @@ object BitGraphOps {
         .select("src", "hop", "n_nodes").orderBy("src", "hop")
     }),
 
+    // One Borůvka MST round over the co-purchase graph with
+    // deterministic md5 edge weights: every node selects its
+    // minimum-weight incident edge (exact integer weights — no float
+    // ties; tie on weight breaks by neighbor id via the min-struct),
+    // the selected edges dedup to their canonical orientation, and the
+    // resulting component forest is summarized per component (rep =
+    // smallest member). THE parallel-MST building block: each round is
+    // one node-keyed argmin aggregate + one CC pass, components at
+    // least halve per round ⇒ O(log V) rounds at any scale. CC takes
+    // the size-gated driver union-find (selected edges ≤ |V| by
+    // construction) with the distributed hook+compress twin proven
+    // under dedup_cluster_cc_dist.
+    "graph_mst_boruvka_step" -> ((s, d) => {
+      val es = GraphOps.edges(s, d)
+      val weighted = es.withColumn("w", graft.api.Sampling.hashDecode24(
+        concat(least(col("u"), col("v")), lit(":"), greatest(col("u"), col("v")))))
+      val sel = weighted
+        .groupBy("u")
+        .agg(min(struct(col("w"), col("v").as("nb"))).as("m"))
+        .select(least(col("u"), col("m.nb")).as("a"),
+          greatest(col("u"), col("m.nb")).as("b"), col("m.w").as("w"))
+        .distinct()
+        .localCheckpoint() // ≤|V| rows; feeds CC + the weight rollup
+      val cc = graft.ops.TrainOps.connectedComponents(
+        sel.select(col("a").as("src"), col("b").as("dst")))
+      val sizes = cc.groupBy(col("cluster_rep").as("rep"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val edgeAgg = sel
+        .join(cc.select(col("node").as("a"), col("cluster_rep").as("rep")), "a")
+        .groupBy("rep")
+        .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("sum_w"))
+      sizes.join(edgeAgg, Seq("rep")).orderBy("rep")
+    }),
+
     // k-hop Brandes betweenness (sources 1–4, paths truncated at 4
     // hops — the standard bounded variant for graphs whose full Brandes
     // is O(V·E)): forward BFS accumulates per-(src, node) shortest-path
@@ -247,6 +281,31 @@ object BitGraphOps {
         |$hops
         |$rows
         |ORDER BY src, hop""".stripMargin
+    },
+
+    "graph_mst_boruvka_step" -> {
+      val hv = graft.api.Sampling.hexDecodeSql(
+        "md5(CAST(least(u, v) AS VARCHAR) || ':' || CAST(greatest(u, v) AS VARCHAR))")
+      s"""WITH RECURSIVE ${GraphOps.edgesSql},
+        |wts AS MATERIALIZED (SELECT u, v, $hv AS w FROM e),
+        |mn AS (SELECT u, v, w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY u ORDER BY w, v) AS rk
+        |    FROM wts) WHERE rk = 1),
+        |sel AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b, w
+        |  FROM mn),
+        |eb AS (SELECT a AS src, b AS dst FROM sel
+        |  UNION ALL SELECT b, a FROM sel),
+        |r(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM eb
+        |  UNION
+        |  SELECT e2.dst, r.lbl FROM r JOIN eb e2 ON r.node = e2.src),
+        |ccm AS (SELECT node, min(lbl) AS rep FROM r GROUP BY node),
+        |sizes AS (SELECT rep, count(*) AS n_nodes FROM ccm GROUP BY rep),
+        |ea AS (SELECT ccm.rep, count(*) AS n_edges,
+        |    CAST(sum(sel.w) AS BIGINT) AS sum_w
+        |  FROM sel JOIN ccm ON sel.a = ccm.node GROUP BY ccm.rep)
+        |SELECT s.rep, s.n_nodes, ea.n_edges, ea.sum_w
+        |FROM sizes s JOIN ea USING (rep) ORDER BY rep""".stripMargin
     },
 
     "graph_betweenness_khop" ->

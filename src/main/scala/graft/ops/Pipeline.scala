@@ -389,6 +389,54 @@ object Pipeline {
         .orderBy("qid", "rk")
     }),
 
+    // IVF nprobe tuning sweep: the recall/cost curve an operator reads
+    // before fixing nprobe on a 100 TB index. For nprobe ∈ {1,2,3} each
+    // query probes its np nearest cells; per nprobe the sweep reports
+    // rows scanned (the cost axis) and recall@5 against the exact
+    // brute-force truth (the quality axis). Cells and candidates reuse
+    // the ann_ivf_topk machinery; the candidate relation carries an `np`
+    // column so ONE plan evaluates the whole curve (no per-setting
+    // re-scan of the index structure).
+    "ann_ivf_nprobe_sweep" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val emb = Tables.embeddings(s, d)
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("centroid"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cells = queries.crossJoin(broadcast(cent))
+        .withColumn("cdist", sqDist(col("qe"), col("centroid")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cdist"), col("label"))))
+        .filter(col("crk") <= 3)
+        .select(col("qid"), col("qe"), col("label").as("cell"), col("crk"))
+      val probes = cells
+        .withColumn("np", explode(sequence(lit(1L), lit(3L))))
+        .filter(col("crk") <= col("np"))
+      val cand = emb.join(broadcast(probes),
+          col("label") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("dist", sqDist(col("embedding"), col("qe")))
+        .localCheckpoint() // consumed by the scan count AND the top-k
+      val scanned = cand.groupBy("np").agg(count(lit(1)).as("n_scanned"))
+      val top = cand
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("np", "qid").orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rk") <= 5)
+      val truth = LlmOps.queries("vec_knn_brute")(s, d)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+      val hits = top.join(truth.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+        .groupBy("np").agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      scanned.join(hits, Seq("np"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .withColumn("recall_ppm", expr("(n_hits * 1000000) div n_truth"))
+        .select(col("np"), col("n_scanned"), col("n_hits"), col("recall_ppm"))
+        .orderBy("np")
+    }),
+
     // IVF-PQ with re-rank: the full production ANN pipeline in one plan.
     // (1) Coarse quantizer: Voronoi cells of the 8 seed vectors — unlike
     // ann_ivf_topk's label blocking, cells correlate with proximity
@@ -810,6 +858,47 @@ object Pipeline {
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT v1, v2, CAST(floor(cos * 10000) AS BIGINT) AS cos_c
         |FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin,
+
+    "ann_ivf_nprobe_sweep" ->
+      """WITH cpos AS (SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS cv
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+        |  GROUP BY label, i),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cpos GROUP BY label),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |adist AS (SELECT qid, qe, label,
+        |    list_reduce(list_transform(generate_series(1, len(qe)),
+        |      i -> (CAST(qe[i] AS DOUBLE) - centroid[i]) * (CAST(qe[i] AS DOUBLE) - centroid[i])),
+        |      (x, y) -> x + y) AS cdist
+        |  FROM q, cent),
+        |cells AS (SELECT qid, qe, label AS cell, crk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, label) AS crk
+        |    FROM adist) WHERE crk <= 3),
+        |probes AS (SELECT np, qid, qe, cell FROM cells,
+        |    unnest(generate_series(1, 3)) t(np) WHERE crk <= np),
+        |cand AS (SELECT np, qid, vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> (CAST(embedding[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE)) *
+        |           (CAST(embedding[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE))), (x, y) -> x + y) AS dist
+        |  FROM embeddings JOIN probes ON label = cell AND vec_id <> qid),
+        |scanned AS (SELECT np, count(*) AS n_scanned FROM cand GROUP BY np),
+        |top AS (SELECT np, qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY np, qid ORDER BY dist, vec_id) AS rk
+        |    FROM cand) WHERE rk <= 5),
+        |alld AS (SELECT q.qid, e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)) *
+        |           (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))), (x, y) -> x + y) AS dist
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |truth AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk
+        |    FROM alld) WHERE rk <= 5),
+        |hits AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM top JOIN truth USING (qid, vec_id) GROUP BY np),
+        |tc AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT s.np, s.n_scanned, coalesce(h.n_hits, 0) AS n_hits,
+        |  (coalesce(h.n_hits, 0) * 1000000) // n_truth AS recall_ppm
+        |FROM scanned s LEFT JOIN hits h ON s.np = h.np, tc
+        |ORDER BY s.np""".stripMargin,
 
     "ann_ivf_topk" ->
       """WITH cpos AS (SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS cv

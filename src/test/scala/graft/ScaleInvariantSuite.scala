@@ -38,6 +38,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "tfidf_vectorize",  // × single-row corpus doc-count aggregate
     "dedup_semantic_block", // × k=8 centroid table (kmeans blocking assign)
     "ann_recall_eval",  // composes vec_knn_brute × ann_ivf_topk (both above)
+    "ann_ivf_nprobe_sweep", // × per-label centroid table + 1-row truth count
     "kmeans_train_iters", // × k=8 centroid table, twice (two Lloyd assigns)
     "zonemap_prune",    // × single-row chunks-scanned/total counter pair
     "graph_triangle_count", // × single-row global triangle-count total

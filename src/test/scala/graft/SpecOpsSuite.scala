@@ -298,6 +298,54 @@ class SpecOpsSuite extends AnyFunSuite {
     expected.foreach { case (t, e) => assert(got(t) === e, s"type $t") }
   }
 
+  test("ann_ivf_nprobe_sweep: cost and recall are monotone in nprobe") {
+    val rows = SparkEntry.queries("ann_ivf_nprobe_sweep")(spark, d).collect()
+      .map(r => (r.getAs[Long]("np"), r.getAs[Long]("n_scanned"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 > a._2, "probing more cells must scan more rows")
+        assert(b._3 >= a._3, "recall must be monotone non-decreasing in nprobe")
+      case _ =>
+    }
+    assert(rows.last._4 > 0, "np=3 must recover some true neighbors")
+  }
+
+  test("graph_mst_boruvka_step ≡ brute-force min-edge selection + union-find") {
+    val edges = graft.ops.GraphOps.edges(spark, d).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")))
+    def md5hex6(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString, 16)
+    def w(a: Long, b: Long): Long = md5hex6(s"${math.min(a, b)}:${math.max(a, b)}")
+    val sel = edges.groupBy(_._1).values.map { inc =>
+      val (u, v) = inc.minBy { case (a, b) => (w(a, b), b) }
+      (math.min(u, v), math.max(u, v), w(u, v))
+    }.toSet
+    // union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x; while (c != r) { val n = parent(c); parent(c) = r; c = n }; r
+    }
+    sel.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = sel.flatMap(e => Seq(e._1, e._2))
+    val comps = nodes.groupBy(find)
+    val expected = comps.map { case (rep, members) =>
+      val es = sel.filter(e => find(e._1) == rep)
+      rep -> (members.size.toLong, es.size.toLong, es.map(_._3).sum)
+    }
+    val got = SparkEntry.queries("graph_mst_boruvka_step")(spark, d).collect()
+      .map(r => r.getAs[Long]("rep") -> (r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_edges"), r.getAs[Long]("sum_w"))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (rep, e) => assert(got(rep) === e, s"component $rep") }
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
