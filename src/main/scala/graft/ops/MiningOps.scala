@@ -226,6 +226,38 @@ object MiningOps {
         .orderBy(desc("support"), col("p1"), col("p2")).limit(20)
     }),
 
+    // 3-itemset support (the Apriori step after basket_pair_support):
+    // triple generation stays ORDER-LOCAL (items³ within each order's
+    // distinct set — never a global self-join), counts are one
+    // map-side-combinable aggregate, and the global cut is a
+    // TakeOrderedAndProject. The lift denominator uses the singleton
+    // counts (independence baseline c1·c2·c3/n²).
+    "basket_triple_support" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val itemCnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
+      val nOrders = li.select(countDistinct(col("ok")).as("no"))
+      val a = li.select(col("ok"), col("pk").as("p1"))
+      val b = li.select(col("ok"), col("pk").as("p2"))
+      val c3 = li.select(col("ok"), col("pk").as("p3"))
+      a.join(b, "ok").filter(col("p1") < col("p2"))
+        .join(c3, "ok").filter(col("p2") < col("p3"))
+        .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2) // Apriori cut before the expensive joins
+        .join(itemCnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
+        .join(itemCnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
+        .join(itemCnt.select(col("pk").as("p3"), col("c").as("c3")), "p3")
+        .crossJoin(broadcast(nOrders))
+        // double-exact lift: every product stays ≤ 2^53 (int64 ppm math
+        // would overflow at support·n²·10⁶), identical parse tree in the
+        // oracle
+        .withColumn("lift_ppm",
+          expr("CAST(floor(CAST(support AS DOUBLE) * no * no " +
+            "/ (c1 * c2 * c3) * 1000000) AS BIGINT)"))
+        .select(col("p1"), col("p2"), col("p3"), col("support"), col("lift_ppm"))
+        .orderBy(desc("support"), col("p1"), col("p2"), col("p3")).limit(20)
+    }),
+
     // Curation-funnel observability: per source, how many docs survive
     // each quality gate (language, char-length band, token-count band)
     // and all of them — the "where did my data go" report every
@@ -366,6 +398,21 @@ object MiningOps {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(sum(CASE WHEN nf.nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
         |FROM f JOIN nf USING (fp) GROUP BY fold ORDER BY fold""".stripMargin,
+
+    "basket_triple_support" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ic AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
+        |no AS (SELECT count(DISTINCT ok) AS no FROM li),
+        |s AS (SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3, count(*) AS support
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        JOIN li c ON b.ok = c.ok AND b.pk < c.pk
+        |      GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT p1, p2, p3, CAST(support AS BIGINT) AS support,
+        |  CAST(floor(CAST(support AS DOUBLE) * no.no * no.no
+        |    / (ca.c * cb.c * cc.c) * 1000000) AS BIGINT) AS lift_ppm
+        |FROM s JOIN ic ca ON s.p1 = ca.pk JOIN ic cb ON s.p2 = cb.pk
+        |  JOIN ic cc ON s.p3 = cc.pk, no
+        |ORDER BY support DESC, p1, p2, p3 LIMIT 20""".stripMargin,
 
     "basket_pair_support" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

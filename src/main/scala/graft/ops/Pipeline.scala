@@ -240,6 +240,44 @@ object Pipeline {
         .orderBy("d_new", "d_old")
     }),
 
+    // Weighted (multiset) Jaccard dedup: J_w = Σ min(tf₁,tf₂) / Σ max —
+    // token FREQUENCIES matter, so a doc repeating one phrase ten times
+    // no longer matches a doc mentioning it once (the set-Jaccard blind
+    // spot). Identity Σmax = T₁ + T₂ − Σ_∩min means only the shared-token
+    // min-sum is ever computed: candidates from (lang, total-token-band)
+    // blocking, then ONE pair×token equi-join on (doc, token) — bounded
+    // by the banding, never all-pairs, and the token relation shuffles
+    // keyed on doc_id like any fact join.
+    "dedup_weighted_jaccard" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tk"))
+        .groupBy("doc_id", "lang", "tk").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // reused: totals + both pair sides
+      val dtot = tok.groupBy("doc_id", "lang").agg(sum("tf").as("t"))
+      val a = dtot.select(col("doc_id").as("d1"), col("lang").as("l1"),
+          col("t").as("t1"))
+        .withColumn("cb1", floor(col("t1") / 20))
+      val b = dtot.select(col("doc_id").as("d2"), col("lang").as("l2"),
+          col("t").as("t2"))
+        .withColumn("cb2", explode(array(floor(col("t2") / 20) - 1,
+          floor(col("t2") / 20), floor(col("t2") / 20) + 1)))
+      val cand = a.join(b, col("l1") === col("l2") && col("cb1") === col("cb2") &&
+          col("d1") < col("d2") && abs(col("t1") - col("t2")) <= 20)
+        .select("d1", "d2", "t1", "t2")
+      cand
+        .join(tok.select(col("doc_id").as("d1"), col("tk"), col("tf").as("tf1")), "d1")
+        .join(tok.select(col("doc_id").as("d2"), col("tk"), col("tf").as("tf2")),
+          Seq("d2", "tk"))
+        .groupBy("d1", "d2", "t1", "t2")
+        .agg(sum(least(col("tf1"), col("tf2"))).as("smin"))
+        .filter(col("smin") * lit(1.0) / (col("t1") + col("t2") - col("smin")) >= 0.4)
+        .select(col("d1"), col("d2"),
+          canon(col("smin") * lit(1.0) / (col("t1") + col("t2") - col("smin")))
+            .as("wj_c"))
+        .orderBy("d1", "d2")
+    }),
+
     // SimHash: 16-bit fingerprint from per-bit majority votes of token md5
     // hex parity; candidates from 4-bit chunk buckets (pigeonhole: any two
     // fingerprints within Hamming 3 agree on ≥1 of 4 chunks); pairs kept
@@ -778,6 +816,25 @@ object Pipeline {
         |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
         |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    "dedup_weighted_jaccard" ->
+      """WITH tok AS (SELECT doc_id, lang, tk, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+        |        FROM documents) GROUP BY 1, 2, 3),
+        |dt AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS t
+        |  FROM tok GROUP BY 1, 2),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.t AS t1, b.t AS t2
+        |  FROM dt a JOIN dt b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.t - b.t) <= 20),
+        |sm AS (SELECT c.d1, c.d2, c.t1, c.t2,
+        |    CAST(sum(least(x.tf, y.tf)) AS BIGINT) AS smin
+        |  FROM cand c JOIN tok x ON x.doc_id = c.d1
+        |    JOIN tok y ON y.doc_id = c.d2 AND y.tk = x.tk
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d1, d2,
+        |  CAST(floor((smin * 1.0 / (t1 + t2 - smin)) * 10000) AS BIGINT) AS wj_c
+        |FROM sm WHERE smin * 1.0 / (t1 + t2 - smin) >= 0.4
+        |ORDER BY d1, d2""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk

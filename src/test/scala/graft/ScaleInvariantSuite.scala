@@ -44,6 +44,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "graph_triangle_count", // × single-row global triangle-count total
     "vec_prefix_rerank_topk", // × |queries| ≤ 5 (matryoshka staged retrieval)
     "basket_pair_support",  // × single-row distinct-order count
+    "basket_triple_support", // × single-row distinct-order count
     "bpe_merge_step",       // × LIMIT-1 winning-pair relation
     "knn_classify_eval",    // × bounded probe panel (vec_id < 1000)
     "sketch_kmv_intersect", // × |types|-row KMV estimate table (pair gen)

@@ -346,6 +346,53 @@ class SpecOpsSuite extends AnyFunSuite {
     expected.foreach { case (rep, e) => assert(got(rep) === e, s"component $rep") }
   }
 
+  test("dedup_weighted_jaccard ≡ brute-force multiset Jaccard in plain Scala") {
+    val docs = graft.io.Tables.documents(spark, d)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bag(t: String): Map[String, Long] =
+      t.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bags = docs.map { case (id, l, t) => (id, l, bag(t)) }
+    val expected = (for {
+      (d1, l1, b1) <- bags; (d2, l2, b2) <- bags
+      if d1 < d2 && l1 == l2
+      t1 = b1.values.sum; t2 = b2.values.sum
+      if math.abs(t1 - t2) <= 20
+      smin = (b1.keySet intersect b2.keySet).toSeq
+        .map(k => math.min(b1(k), b2(k))).sum
+      if smin > 0 && smin * 1.0 / (t1 + t2 - smin) >= 0.4
+    } yield (d1, d2,
+      math.floor(smin * 1.0 / (t1 + t2 - smin) * 10000).toLong)).toSet
+    val got = SparkEntry.queries("dedup_weighted_jaccard")(spark, d).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("wj_c"))).toSet
+    assert(got === expected)
+  }
+
+  test("basket_triple_support ≡ brute-force 3-itemset counting in plain Scala") {
+    val li = graft.io.Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val orders = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val ic = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val no = orders.size.toLong
+    val support = scala.collection.mutable.Map[(Long, Long, Long), Long]().withDefaultValue(0L)
+    orders.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length; k <- j + 1 until ps.length)
+        support((ps(i), ps(j), ps(k))) += 1
+    }
+    val expected = support.filter(_._2 >= 2).toSeq
+      .map { case ((p1, p2, p3), sup) =>
+        val lift = math.floor(sup.toDouble * no * no /
+          (ic(p1) * ic(p2) * ic(p3)) * 1000000).toLong
+        (p1, p2, p3, sup, lift)
+      }
+      .sortBy { case (p1, p2, p3, sup, _) => (-sup, p1, p2, p3) }.take(20)
+    val got = SparkEntry.queries("basket_triple_support")(spark, d).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"), r.getAs[Long]("p3"),
+        r.getAs[Long]("support"), r.getAs[Long]("lift_ppm"))).toSeq
+    assert(got === expected)
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
