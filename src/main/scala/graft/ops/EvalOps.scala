@@ -85,6 +85,37 @@ object EvalOps {
           canon(max(col("v"))).as("max_c"))
         .orderBy("pos")),
 
+    // Embedding covariance structure: the 20 dimension pairs with the
+    // largest |scaled covariance| — correlated dimensions are what PCA /
+    // whitening / OPQ rotation exploit, and the diagnostic that says an
+    // encoder wastes capacity. Scaled covariance n·Σxy − Σx·Σy over
+    // QUANTIZED components is exact int64 (every term ≤ ~8·10¹⁶ at
+    // fixture scale), so the ranking has no float ties. Cross-products
+    // accumulate per (i, j) via one vec-keyed self-join of the component
+    // relation — 64·65/2 pairs per vector, map-side combined; the dim
+    // sums are a 64-row broadcast.
+    "emb_covariance_topk" -> ((s, d) => {
+      val comp = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          floor(col("v").cast("double") * 100000).cast("long").as("q"))
+        .localCheckpoint() // reused: dim sums + both self-join sides
+      val sums = comp.groupBy("pos").agg(sum(col("q")).as("sx"))
+      val nRow = comp.agg((count(lit(1)) / lit(64)).cast("long").as("n"))
+      comp.select(col("vec_id"), col("pos").as("di"), col("q").as("qi"))
+        .join(comp.select(col("vec_id"), col("pos").as("dj"), col("q").as("qj")),
+          "vec_id")
+        .where(col("di") <= col("dj"))
+        .groupBy("di", "dj").agg(sum(col("qi") * col("qj")).as("sxy"))
+        .join(broadcast(sums.select(col("pos").as("di"), col("sx").as("sxi"))), "di")
+        .join(broadcast(sums.select(col("pos").as("dj"), col("sx").as("sxj"))), "dj")
+        .crossJoin(broadcast(nRow))
+        .withColumn("cov_s", col("n") * col("sxy") - col("sxi") * col("sxj"))
+        .orderBy(abs(col("cov_s")).desc, col("di"), col("dj")).limit(20)
+        .select(col("di"), col("dj"), col("cov_s"))
+        .orderBy(abs(col("cov_s")).desc, col("di"), col("dj"))
+    }),
+
     // Wide→long reshape of the lineitem measures (the melt feeding a
     // generic metric store). stack() is a map-side generator: 4× rows,
     // no shuffle before the deterministic output order.
@@ -309,6 +340,20 @@ object EvalOps {
         |        FROM runs GROUP BY 1)
         |SELECT res.doc_id, top.w1, top.w2, res.n_merges
         |FROM res, top ORDER BY res.doc_id""".stripMargin,
+
+    "emb_covariance_topk" ->
+      """WITH c AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 100000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+        |sums AS (SELECT pos, CAST(sum(q) AS BIGINT) AS sx FROM c GROUP BY pos),
+        |n AS (SELECT count(DISTINCT vec_id) AS n FROM c),
+        |p AS (SELECT a.pos AS di, b.pos AS dj, CAST(sum(a.q * b.q) AS BIGINT) AS sxy
+        |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |  GROUP BY 1, 2),
+        |cov AS (SELECT di, dj, n.n * sxy - si.sx * sj.sx AS cov_s
+        |  FROM p JOIN sums si ON p.di = si.pos JOIN sums sj ON p.dj = sj.pos, n)
+        |SELECT di, dj, cov_s FROM cov
+        |ORDER BY abs(cov_s) DESC, di, dj LIMIT 20""".stripMargin,
 
     "emb_dim_stats" ->
       """WITH p AS (SELECT CAST(i - 1 AS BIGINT) AS pos,

@@ -188,6 +188,31 @@ object GraphOps {
         .orderBy("deg")
     }),
 
+    // Core decomposition by h-index iteration (Lü et al.): c₀ = degree;
+    // each round replaces every node's value with the H-INDEX of its
+    // neighbors' values (the largest h with ≥ h neighbors valued ≥ h) —
+    // monotonically decreasing and converging to exact coreness, here
+    // fixed at 4 rounds (operator semantics; the fixture converges).
+    // Versus the k-core peel this needs NO sequential peel rounds per k:
+    // one |E|-relation pass per iteration, every h-index from a
+    // u-partitioned window — the node-centric shape Pregel systems use
+    // for coreness at scale. All-integer, so any engine reproduces it.
+    "graph_coreness_hindex" -> ((s, d) => {
+      val es = edges(s, d)
+      var c = adjacency(s, d).select(col("u"), col("deg").as("cv"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val w = Window.partitionBy("u").orderBy(col("cv").desc)
+        c = es.join(c.select(col("u").as("v"), col("cv")), "v")
+          .select(col("u"), col("cv"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy("u").agg(max(least(col("rn"), col("cv"))).as("cv"))
+          .localCheckpoint() // next round re-reads values, not lineage
+      }
+      c.groupBy(col("cv").as("coreness")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("coreness")
+    }),
+
     // Triangle participation per node (top-30) + the global triangle
     // count carried alongside, both derived from the shared per-edge
     // common-neighbor relation: Σ_edge cn = 3·T (each triangle has 3
@@ -455,6 +480,24 @@ object GraphOps {
         |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u)
         |SELECT deg, count(*) AS n_nodes FROM dg
         |GROUP BY deg ORDER BY deg""".stripMargin,
+
+    "graph_coreness_hindex" -> {
+      def round(prev: String, next: String): String =
+        s"""$next AS MATERIALIZED (SELECT u, CAST(max(least(rn, cv)) AS BIGINT) AS cv
+           |  FROM (SELECT e.u, p.cv,
+           |      row_number() OVER (PARTITION BY e.u ORDER BY p.cv DESC) AS rn
+           |    FROM e JOIN $prev p ON e.v = p.u) t
+           |  GROUP BY u)""".stripMargin
+      s"""WITH $edgesSql,
+        |h0 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS cv
+        |  FROM e GROUP BY u),
+        |${round("h0", "h1")},
+        |${round("h1", "h2")},
+        |${round("h2", "h3")},
+        |${round("h3", "h4")}
+        |SELECT cv AS coreness, count(*) AS n_nodes FROM h4
+        |GROUP BY cv ORDER BY cv""".stripMargin
+    },
 
     "graph_triangle_count" ->
       s"""WITH $edgesSql,

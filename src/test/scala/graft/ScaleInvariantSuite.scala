@@ -67,7 +67,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "sketch_bloom_fpr",     // × 1-row FP counters + 128-word filter relation
     "eval_pr_auc",          // × value-bounded score-bucket histogram grid
     "feature_target_encode", // × single-row global prior
-    "feed_manifest_merkle"  // × single-row Merkle root digest
+    "feed_manifest_merkle", // × single-row Merkle root digest
+    "emb_covariance_topk"   // × single-row vector count (n for n·Σxy − ΣxΣy)
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a

@@ -393,6 +393,45 @@ class SpecOpsSuite extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("emb_covariance_topk ≡ brute-force scaled covariance in plain Scala") {
+    val vecs = graft.io.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100000).toLong).toArray)
+    val n = vecs.length.toLong
+    val dims = vecs.head.length
+    val sx = (0 until dims).map(i => vecs.map(_(i)).sum)
+    val expected = (for {
+      i <- 0 until dims; j <- i until dims
+      sxy = vecs.map(v => v(i) * v(j)).sum
+    } yield (i.toLong, j.toLong, n * sxy - sx(i) * sx(j)))
+      .sortBy { case (i, j, c) => (-math.abs(c), i, j) }.take(20)
+    val got = SparkEntry.queries("emb_covariance_topk")(spark, d).collect()
+      .map(r => (r.getAs[Long]("di"), r.getAs[Long]("dj"), r.getAs[Long]("cov_s"))).toSeq
+    assert(got === expected)
+  }
+
+  test("graph_coreness_hindex ≡ brute-force 4-round h-index iteration; bounded by degree") {
+    val edges = graft.ops.GraphOps.edges(spark, d).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var c: Map[Long, Long] = adj.view.mapValues(_.length.toLong).toMap
+    val deg = c
+    def hIndex(vals: Seq[Long]): Long = {
+      val sorted = vals.sorted(Ordering[Long].reverse)
+      sorted.zipWithIndex.map { case (v, k) => math.min(v, k + 1L) }.max
+    }
+    for (_ <- 1 to 4)
+      c = adj.map { case (u, nbrs) => u -> hIndex(nbrs.map(c)) }
+    c.foreach { case (u, cv) =>
+      assert(cv <= deg(u), "coreness estimate can never exceed degree")
+    }
+    val expected = c.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("graph_coreness_hindex")(spark, d).collect()
+      .map(r => r.getAs[Long]("coreness") -> r.getAs[Long]("n_nodes")).toMap
+    assert(got === expected)
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
