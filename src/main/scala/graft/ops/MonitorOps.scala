@@ -145,6 +145,38 @@ object MonitorOps {
         .orderBy("event_type")
     }),
 
+    // SAX-style symbolization of each type's daily-count series (the
+    // symbolic form motif/anomaly miners index): alphabet-4 symbols by
+    // RANK quartile (exact integer rank, not normal-curve breakpoints —
+    // no z-normalization float enters any compared value), then PAA
+    // into 8 equal day-span segments, each reporting its day count,
+    // mean level (×100 integer), and dominant symbol (mode, ties to the
+    // lower symbol via the min-struct trick). Windows are per-type over
+    // the calendar-sized daily relation only.
+    "ts_sax_symbolize" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wT = Window.partitionBy("event_type")
+      val sym = daily
+        .withColumn("r", row_number().over(
+          Window.partitionBy("event_type").orderBy("c", "day")).cast("long"))
+        .withColumn("n", count(lit(1)).over(wT))
+        .withColumn("mnd", min("day").over(wT))
+        .withColumn("mxd", max("day").over(wT))
+        .withColumn("symbol", expr("((r - 1) * 4) div n"))
+        .withColumn("seg", expr("((day - mnd) * 8) div (mxd - mnd + 1)"))
+      sym.groupBy("event_type", "seg", "symbol")
+        .agg(count(lit(1)).as("sc"), sum("c").as("csum"))
+        .groupBy("event_type", "seg")
+        .agg(sum("sc").as("n_days"), sum("csum").as("ctot"),
+          max(struct(col("sc"), (-col("symbol")).as("ns"))).as("m"))
+        .select(col("event_type"), col("seg"),
+          col("n_days"), expr("(ctot * 100) div n_days").as("mean_c100"),
+          (-col("m.ns")).as("dom_symbol"))
+        .orderBy("event_type", "seg")
+    }),
+
     // Naive seasonal forecast evaluation: forecast(day) = count(day−7)
     // per type; report days evaluated and the MAE in count units ×100
     // (integer). The baseline every real forecaster must beat.
@@ -256,6 +288,31 @@ object MonitorOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_sax_symbolize" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS r,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    min(day) OVER (PARTITION BY event_type) AS mnd,
+        |    max(day) OVER (PARTITION BY event_type) AS mxd
+        |  FROM daily),
+        |sym AS (SELECT event_type, day, c,
+        |    ((r - 1) * 4) // n AS symbol,
+        |    ((day - mnd) * 8) // (mxd - mnd + 1) AS seg
+        |  FROM rk),
+        |sc AS (SELECT event_type, seg, symbol, count(*) AS sc,
+        |    CAST(sum(c) AS BIGINT) AS csum
+        |  FROM sym GROUP BY 1, 2, 3),
+        |agg AS (SELECT event_type, seg,
+        |    CAST(sum(sc) AS BIGINT) AS n_days, CAST(sum(csum) AS BIGINT) AS ctot,
+        |    first(symbol ORDER BY sc DESC, symbol) AS dom_symbol
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT event_type, seg, n_days, (ctot * 100) // n_days AS mean_c100,
+        |  dom_symbol
+        |FROM agg ORDER BY event_type, seg""".stripMargin,
+
     "ts_dft_energy" -> {
       def litList(period: Int, f: Double => Double): String =
         (0 until period).map(k => math.floor(

@@ -107,6 +107,31 @@ object SpecOps {
       l1.crossJoin(broadcast(root)).orderBy("bucket")
     }),
 
+    // Deletion-latency audit (spec DELETE method + compaction,
+    // `README.md:180-267`): for every subject that was tombstoned
+    // (event_type='error' ≙ DELETE in the fixture mapping), the gap
+    // between its last state-bearing event and the tombstone — the
+    // "right-to-be-forgotten" lag a compliance review reads — plus
+    // subjects whose tombstone arrived with no prior state. Two keyed
+    // aggregates and one join; exact integer microseconds.
+    "feed_delete_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstDel = ev.filter(col("event_type") === "error")
+        .groupBy("user_id").agg(min("ts_us").as("terr"))
+      val lastPut = ev.filter(col("event_type") =!= "error")
+        .join(firstDel, "user_id")
+        .filter(col("ts_us") < col("terr"))
+        .groupBy("user_id").agg(max("ts_us").as("tput"))
+      firstDel.join(lastPut, Seq("user_id"), "left")
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n_deleted"),
+          sum(when(col("tput").isNull, 1L).otherwise(0L)).as("n_no_prior"),
+          sum(col("terr") - col("tput")).as("sum_latency_us"),
+          min(col("terr") - col("tput")).as("min_latency_us"),
+          max(col("terr") - col("tput")).as("max_latency_us"))
+        .orderBy("user_bucket")
+    }),
+
     // Equi-depth backfill partition plan for the DSv2 source: split the
     // feed's id space into 8 cursor ranges carrying ~equal EVENT counts
     // (not equal id spans — skewed feeds balance by depth), derived from
@@ -198,6 +223,22 @@ object SpecOps {
         |r AS (SELECT md5(string_agg(digest1, ',' ORDER BY bucket)) AS root FROM l1)
         |SELECT bucket, n_pages, n_events, digest1, root
         |FROM l1, r ORDER BY bucket""".stripMargin,
+
+    "feed_delete_latency" ->
+      """WITH fd AS (SELECT user_id, min(epoch_us(ts)) AS terr
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id),
+        |lp AS (SELECT e.user_id, max(epoch_us(e.ts)) AS tput
+        |  FROM events e JOIN fd ON e.user_id = fd.user_id
+        |  WHERE e.event_type <> 'error' AND epoch_us(e.ts) < fd.terr
+        |  GROUP BY e.user_id)
+        |SELECT fd.user_id % 10 AS user_bucket, count(*) AS n_deleted,
+        |  CAST(sum(CASE WHEN lp.tput IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_prior,
+        |  CAST(sum(fd.terr - lp.tput) AS BIGINT) AS sum_latency_us,
+        |  min(fd.terr - lp.tput) AS min_latency_us,
+        |  max(fd.terr - lp.tput) AS max_latency_us
+        |FROM fd LEFT JOIN lp ON fd.user_id = lp.user_id
+        |GROUP BY 1 ORDER BY user_bucket""".stripMargin,
 
     "feed_backfill_partition_plan" ->
       """WITH p AS (SELECT event_id // 100 AS page, count(*) AS n,

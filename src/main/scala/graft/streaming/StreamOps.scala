@@ -611,6 +611,47 @@ object StreamOps {
         .orderBy("event_type")
     }),
 
+    // Streaming count-min sketch maintenance (batch twin:
+    // heavy_hitters_cms' grid): the 4×256 CMS cell grid kept as
+    // streaming aggregation state — each event increments its 4
+    // md5-derived cells, update mode re-emits grown cells, and the
+    // final grid is the per-cell monotone MAX. Probe users (< 20) are
+    // then estimated from the grid: est = min over the 4 cells, with
+    // the one-sided guarantee est ≥ exact. State is the GRID (1024
+    // cells), never per-key — the fixed-memory frequency shape for an
+    // unbounded stream.
+    "stream_cms_state" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      val cells = ms.toDF()
+        .select(col("user_id"), explode(sequence(lit(0L), lit(3L))).as("seed"))
+        .withColumn("bucket", substring(md5(concat(col("seed").cast("string"),
+          lit(":"), col("user_id").cast("string"))), 1, 2))
+        .groupBy("seed", "bucket").agg(count(lit(1)).as("c"))
+      val emitted = runToMemory(s, cells, freshName("cms_stream"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable() // cells keep counting across the boundary
+        ms.addData(b2.toSeq)
+      }
+      val fin = emitted.groupBy("seed", "bucket").agg(max("c").as("cell"))
+      val exact = Tables.events(s, d)
+        .filter(col("event_id") < ReplayBound && col("user_id") < 20)
+        .groupBy("user_id").agg(count(lit(1)).as("exact"))
+      exact
+        .select(col("user_id"), col("exact"),
+          explode(sequence(lit(0L), lit(3L))).as("seed"))
+        .withColumn("bucket", substring(md5(concat(col("seed").cast("string"),
+          lit(":"), col("user_id").cast("string"))), 1, 2))
+        .join(fin, Seq("seed", "bucket"))
+        .groupBy("user_id")
+        .agg(max("exact").as("exact"), min("cell").as("est"))
+        .withColumn("overcount", col("est") - col("exact"))
+        .orderBy("user_id")
+    }),
+
     // Streaming Merkle manifest maintenance (batch twin:
     // feed_manifest_merkle): per-page id sets kept as streaming
     // aggregation state, update mode re-emitting only pages the
@@ -1683,6 +1724,21 @@ object StreamOps {
 
     // the batch quantile_hist oracle bounded to the replay window — the
     // streaming state's final sketch must land the identical histogram
+    "stream_cms_state" ->
+      """WITH w AS (SELECT user_id FROM events WHERE event_id < 20000),
+        |tc AS (SELECT user_id, count(*) AS c FROM w GROUP BY 1),
+        |g AS (SELECT tc.user_id, tc.c, t.s,
+        |    substr(md5(CAST(t.s AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+        |      1, 2) AS b
+        |  FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) t),
+        |cells AS (SELECT s, b, sum(c) AS cell FROM g GROUP BY 1, 2),
+        |est AS (SELECT g.user_id, g.c, min(cells.cell) AS est
+        |  FROM g JOIN cells ON g.s = cells.s AND g.b = cells.b
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(c AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+        |  CAST(est - c AS BIGINT) AS overcount
+        |FROM est WHERE user_id < 20 ORDER BY user_id""".stripMargin,
+
     // identical to feed_manifest_merkle (the streaming maintenance must
     // land exactly the batch manifest over the same replay window)
     "stream_manifest_merkle" ->

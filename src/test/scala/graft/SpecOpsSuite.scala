@@ -432,6 +432,73 @@ class SpecOpsSuite extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("feed_delete_latency ≡ brute-force tombstone-lag audit in plain Scala") {
+    val ev = graft.io.Tables.events(spark, d)
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val perUser = byUser.flatMap { case (u, rows) =>
+      val errs = rows.filter(_._2 == "error").map(_._3)
+      if (errs.isEmpty) None
+      else {
+        val terr = errs.min
+        val puts = rows.filter(r => r._2 != "error" && r._3 < terr).map(_._3)
+        Some((u, terr, puts.maxOption))
+      }
+    }
+    val expected = perUser.groupBy(_._1 % 10).view.mapValues { us =>
+      val lats = us.toSeq.collect { case (_, terr, Some(tput)) => terr - tput }
+      (us.size.toLong, us.count(_._3.isEmpty).toLong,
+        if (lats.isEmpty) None else Some((lats.sum, lats.min, lats.max)))
+    }.toMap
+    val got = SparkEntry.queries("feed_delete_latency")(spark, d).collect()
+      .map(r => r.getAs[Long]("user_bucket") -> r).toMap
+    expected.foreach { case (b, (n, noPrior, lat)) =>
+      val r = got(b)
+      assert(r.getAs[Long]("n_deleted") === n)
+      assert(r.getAs[Long]("n_no_prior") === noPrior)
+      lat.foreach { case (s, mn, mx) =>
+        assert(r.getAs[Long]("sum_latency_us") === s)
+        assert(r.getAs[Long]("min_latency_us") === mn)
+        assert(r.getAs[Long]("max_latency_us") === mx)
+      }
+    }
+  }
+
+  test("ts_sax_symbolize ≡ brute-force rank-quartile SAX in plain Scala") {
+    val daily = graft.io.Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("day"), r.getAs[Long]("c")))
+    val expected = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val n = rows.length.toLong
+      val (mnd, mxd) = (rows.map(_._2).min, rows.map(_._2).max)
+      val ranked = rows.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case ((_, day, c), i) => (day, c, (i.toLong * 4) / n) }
+      ranked.groupBy { case (day, _, _) => (day - mnd) * 8 / (mxd - mnd + 1) }
+        .map { case (seg, ds) =>
+          val dom = ds.groupBy(_._3).view.mapValues(_.size).toSeq
+            .minBy { case (sym, cnt) => (-cnt, sym) }._1
+          (t, seg, ds.length.toLong, ds.map(_._2).sum * 100 / ds.length, dom)
+        }
+    }.toSet
+    val got = SparkEntry.queries("ts_sax_symbolize")(spark, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("seg"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("mean_c100"), r.getAs[Long]("dom_symbol"))).toSet
+    assert(got === expected)
+  }
+
+  test("stream_cms_state: one-sided error and exact totals for every probe") {
+    val rows = SparkEntry.queries("stream_cms_state")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        "count-min must never undercount")
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("est") - r.getAs[Long]("exact"))
+    }
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
