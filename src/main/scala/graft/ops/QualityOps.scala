@@ -231,10 +231,100 @@ object QualityOps {
         .withColumn("mean_x100_ratio", expr("(cnt * 100 * nkeys) div total"))
         .select("l_partkey", "cnt", "mean_x100_ratio")
         .orderBy(col("cnt").desc, col("l_partkey"))
+    }),
+
+    // Functional-dependency audit (the data-profiling step schema
+    // discovery and DQ monitors run): for candidate A→B dependencies,
+    // how many A-values exist, how many VIOLATE (map to >1 distinct B),
+    // and the worst fan-out. One keyed countDistinct per dependency —
+    // each relation is \|distinct A\|-sized, never row-sized.
+    "dq_functional_deps" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      def fd(name: String, lhs: Column, rhs: Column): DataFrame =
+        p.groupBy(lhs.as("l")).agg(countDistinct(rhs).as("nr"))
+          .agg(lit(name).as("fd"), count(lit(1)).as("n_lhs"),
+            sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("nr")).as("max_rhs_per_lhs"))
+      fd("brand_to_type", col("p_brand"), col("p_type"))
+        .unionByName(fd("type_to_size", col("p_type"), col("p_size")))
+        .unionByName(fd("name_to_brand", col("p_name"), col("p_brand")))
+        .orderBy("fd")
+    }),
+
+    // Histogram selectivity probe (the optimizer estimator made
+    // first-class): an equi-width 256-bucket histogram on lineitem
+    // price estimates the selectivity of three range predicates
+    // (x < mn + k/8 of the span, k ∈ {1,3,5}) by full buckets + a
+    // linearly-interpolated partial bucket — ALL integer arithmetic —
+    // and each estimate is scored against the exact count as err_ppm.
+    // What a cost-based planner would do with the footer histogram; the
+    // probe relation is 3 rows × the 256-cell histogram.
+    "stats_selectivity_probe" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice")).cast("long").as("x"))
+      val st = li.agg(min("x").as("mn"), max("x").as("mx"),
+        count(lit(1)).as("n")).localCheckpoint()
+      val hist = li.crossJoin(broadcast(st))
+        .withColumn("b", expr("((x - mn) * 256) div (mx - mn + 1)"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+      val ks = st.select(col("mn"), col("mx"), col("n"),
+          explode(array(lit(1L), lit(3L), lit(5L))).as("k"))
+        .withColumn("t", expr("mn + ((mx - mn) * k) div 8"))
+        .withColumn("bt", expr("((t - mn) * 256) div (mx - mn + 1)"))
+        .withColumn("lo", expr("mn + (bt * (mx - mn + 1)) div 256"))
+        .withColumn("hi", expr("mn + ((bt + 1) * (mx - mn + 1)) div 256"))
+      val est = ks.join(broadcast(hist), col("b") <= col("bt"))
+        .groupBy("k", "t", "bt", "lo", "hi", "n")
+        .agg(sum(when(col("b") < col("bt"), col("c")).otherwise(0L)).as("full"),
+          sum(when(col("b") === col("bt"), col("c")).otherwise(0L)).as("cb"))
+        .withColumn("est", col("full") + expr("(cb * (t - lo)) div (hi - lo)"))
+      val actual = li.crossJoin(broadcast(ks.select(col("k").as("k2"), col("t").as("t2"))))
+        .filter(col("x") < col("t2"))
+        .groupBy("k2").agg(count(lit(1)).as("actual"))
+      est.join(actual, col("k") === col("k2"))
+        .withColumn("err_ppm", expr("(abs(est - actual) * 1000000) div n"))
+        .select(col("k"), col("t"), col("est"), col("actual"), col("err_ppm"))
+        .orderBy("k")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "dq_functional_deps" -> {
+      def fd(name: String, lhs: String, rhs: String): String =
+        s"""SELECT '$name' AS fd, count(*) AS n_lhs,
+           |  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |  max(nr) AS max_rhs_per_lhs
+           |FROM (SELECT $lhs AS l, CAST(count(DISTINCT $rhs) AS BIGINT) AS nr
+           |      FROM part GROUP BY 1) t""".stripMargin
+      s"""${fd("brand_to_type", "p_brand", "p_type")}
+        |UNION ALL
+        |${fd("type_to_size", "p_type", "p_size")}
+        |UNION ALL
+        |${fd("name_to_brand", "p_name", "p_brand")}
+        |ORDER BY fd""".stripMargin
+    },
+
+    "stats_selectivity_probe" ->
+      """WITH li AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS x FROM lineitem),
+        |st AS (SELECT min(x) AS mn, max(x) AS mx, count(*) AS n FROM li),
+        |hist AS (SELECT ((x - mn) * 256) // (mx - mn + 1) AS b, count(*) AS c
+        |  FROM li, st GROUP BY 1),
+        |ks AS (SELECT mn, mx, n, k,
+        |    mn + ((mx - mn) * k) // 8 AS t
+        |  FROM st, unnest(generate_series(1, 5, 2)) g(k)),
+        |kb AS (SELECT *, ((t - mn) * 256) // (mx - mn + 1) AS bt FROM ks),
+        |kl AS (SELECT *, mn + (bt * (mx - mn + 1)) // 256 AS lo,
+        |    mn + ((bt + 1) * (mx - mn + 1)) // 256 AS hi FROM kb),
+        |est AS (SELECT k, t, n,
+        |    CAST(sum(CASE WHEN b < bt THEN c ELSE 0 END) AS BIGINT)
+        |      + (CAST(sum(CASE WHEN b = bt THEN c ELSE 0 END) AS BIGINT)
+        |        * (t - lo)) // (hi - lo) AS est
+        |  FROM kl JOIN hist ON b <= bt GROUP BY k, t, n, lo, hi),
+        |act AS (SELECT k, count(*) AS actual FROM li, kl WHERE x < t GROUP BY k)
+        |SELECT est.k, est.t, est.est, act.actual,
+        |  (abs(est.est - act.actual) * 1000000) // est.n AS err_ppm
+        |FROM est JOIN act ON est.k = act.k ORDER BY est.k""".stripMargin,
+
     "table_column_stats" -> {
       def block(n: String, v: String, canon: Boolean) = {
         val mn = if (canon) s"CAST(CAST(floor(min($v) * 10000) AS BIGINT) AS VARCHAR)"

@@ -68,7 +68,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "eval_pr_auc",          // × value-bounded score-bucket histogram grid
     "feature_target_encode", // × single-row global prior
     "feed_manifest_merkle", // × single-row Merkle root digest
-    "emb_covariance_topk"   // × single-row vector count (n for n·Σxy − ΣxΣy)
+    "emb_covariance_topk",  // × single-row vector count (n for n·Σxy − ΣxΣy)
+    "stats_selectivity_probe" // × 1-row stats + 3-row probe panel + 256-cell hist
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a

@@ -499,6 +499,34 @@ class SpecOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("dq_functional_deps: brute-force FD audit and the name-key sanity law") {
+    val p = graft.io.Tables.part(spark, d)
+      .select("p_name", "p_brand", "p_type", "p_size").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    def audit[L, R](pairs: Seq[(L, R)]): (Long, Long, Long) = {
+      val g = pairs.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong)
+      (g.size.toLong, g.values.count(_ > 1).toLong, g.values.max)
+    }
+    val expected = Map(
+      "brand_to_type" -> audit(p.map(r => (r._2, r._3)).toSeq),
+      "type_to_size" -> audit(p.map(r => (r._3, r._4)).toSeq),
+      "name_to_brand" -> audit(p.map(r => (r._1, r._2)).toSeq))
+    val got = SparkEntry.queries("dq_functional_deps")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_lhs"),
+        r.getAs[Long]("n_violating"), r.getAs[Long]("max_rhs_per_lhs"))).toMap
+    assert(got === expected)
+  }
+
+  test("stats_selectivity_probe: estimates within 1% of actual on this distribution") {
+    val rows = SparkEntry.queries("stats_selectivity_probe")(spark, d).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("err_ppm") <= 10000,
+        s"k=${r.getAs[Long]("k")} histogram estimate off by ${r.getAs[Long]("err_ppm")} ppm")
+      assert(r.getAs[Long]("est") >= 0 && r.getAs[Long]("actual") >= 0)
+    }
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
