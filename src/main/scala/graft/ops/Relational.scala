@@ -157,6 +157,45 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // INTERPOLATED as-of join (sensor-fusion / mark-to-market shape):
+    // each purchase is valued at the LINEAR INTERPOLATION between the
+    // same user's bracketing view readings — backward and forward as-of
+    // in one single-shuffle union-tag pass (two windows over the same
+    // per-user order), then row-local arithmetic. The one float is the
+    // interpolation ratio, evaluated with the identical parse tree both
+    // engines (cast-BEFORE-multiply: the value×Δt product overflows
+    // int64 at µs timescales) and floored. Probes with no bracket on a
+    // side fall back to the reading they do have.
+    "join_asof_interpolated" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+          floor(col("value") * 10000).cast("long").as("vc"))
+      val reading = when(col("event_type") === "view",
+        struct(col("ts_us").as("rt"), col("vc").as("rv")))
+      val wB = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wF = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev
+        .withColumn("p", last(reading, ignoreNulls = true).over(wB))
+        .withColumn("nx", first(reading, ignoreNulls = true).over(wF))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("p").isNotNull && col("nx").isNotNull &&
+              col("nx.rt") =!= col("p.rt"), // same-µs bracket ⇒ no slope
+            col("p.rv") + floor(
+              (col("nx.rv") - col("p.rv")).cast("double") *
+                (col("ts_us") - col("p.rt")).cast("double") /
+                (col("nx.rt") - col("p.rt")).cast("double")).cast("long"))
+            .otherwise(coalesce(col("p.rv"), col("nx.rv"))).as("interp_c"),
+          when(col("p").isNotNull && col("nx").isNotNull &&
+            col("nx.rt") =!= col("p.rt"), lit("interp"))
+            .when(col("p").isNotNull, lit("prev_only"))
+            .when(col("nx").isNotNull, lit("next_only"))
+            .otherwise(lit("none")).as("mode"))
+        .orderBy("event_id")
+    }),
+
     // NEAREST as-of join: for each purchase, the click closest in TIME —
     // before or after — by the same user (ties → the earlier/backward
     // click). Same single-shuffle union-tag shape as join_asof, with a
@@ -338,6 +377,33 @@ object Relational {
         |FROM lineitem JOIN orders
         |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_asof_interpolated" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vc
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'view'
+        |        THEN struct_pack(rt := us, rv := vc) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+        |    first_value(CASE WHEN event_type = 'view'
+        |        THEN struct_pack(rt := us, rv := vc) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM ev)
+        |SELECT event_id, user_id, us AS ts_us,
+        |  CASE WHEN p IS NOT NULL AND nx IS NOT NULL AND (nx).rt <> (p).rt
+        |    THEN (p).rv + CAST(floor(CAST((nx).rv - (p).rv AS DOUBLE)
+        |      * CAST(us - (p).rt AS DOUBLE)
+        |      / CAST((nx).rt - (p).rt AS DOUBLE)) AS BIGINT)
+        |    ELSE coalesce((p).rv, (nx).rv) END AS interp_c,
+        |  CASE WHEN p IS NOT NULL AND nx IS NOT NULL AND (nx).rt <> (p).rt
+        |      THEN 'interp'
+        |    WHEN p IS NOT NULL THEN 'prev_only'
+        |    WHEN nx IS NOT NULL THEN 'next_only'
+        |    ELSE 'none' END AS mode
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "join_asof" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,

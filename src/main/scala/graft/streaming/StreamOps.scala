@@ -133,6 +133,10 @@ object StreamOps {
   }
 
   /** Last marketing touch carried per user across micro-batches. */
+  /** stream_delete_latency_state: per-subject tombstone-lag tracking. */
+  case class DelState(lastPut: Long, done: Boolean)
+  case class DelOut(user_id: Long, terr: Long, tput: Option[Long])
+
   case class Touch(channel: String, ts_us: Long, event_id: Long)
 
   /** A purchase credited to its most recent prior touch channel. */
@@ -609,6 +613,53 @@ object StreamOps {
           (col("mn") + expr("(b95 * (mx - mn + 1)) div 256")).as("est95_c"),
           (col("mn") + expr("(b99 * (mx - mn + 1)) div 256")).as("est99_c"))
         .orderBy("event_type")
+    }),
+
+    // Streaming deletion-latency audit (batch twin feed_delete_latency,
+    // over the replay window): ValueState per subject carries the last
+    // state-bearing timestamp ACROSS micro-batches; the first tombstone
+    // emits (terr, last-put) once and freezes the subject — state is one
+    // tiny row per live subject, the right-to-be-forgotten monitor shape
+    // for an unbounded feed. Per-batch rows replay in event-time order
+    // inside the handler (at-least-once arrival is unordered).
+    "stream_delete_latency_state" -> ((s, d) => {
+      import s.implicits._
+      val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      def update(u: Long, it: Iterator[Ev],
+                 state: GroupState[DelState]): Iterator[DelOut] = {
+        var st = state.getOption.getOrElse(DelState(-1L, done = false))
+        val out = scala.collection.mutable.Buffer[DelOut]()
+        it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          if (!st.done) {
+            if (e.event_type == "error") {
+              out += DelOut(u, e.ts_us,
+                if (st.lastPut >= 0) Some(st.lastPut) else None)
+              st = st.copy(done = true)
+            } else st = st.copy(lastPut = e.ts_us)
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
+      val lat = ms.toDS().groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(update)
+      val emitted = runToMemory(s, lat.toDF(), freshName("del_latency"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable() // last-put state carries across the boundary
+        ms.addData(b2.toSeq)
+      }
+      emitted
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n_deleted"),
+          sum(when(col("tput").isNull, 1L).otherwise(0L)).as("n_no_prior"),
+          sum(col("terr") - col("tput")).as("sum_latency_us"),
+          min(col("terr") - col("tput")).as("min_latency_us"),
+          max(col("terr") - col("tput")).as("max_latency_us"))
+        .orderBy("user_bucket")
     }),
 
     // Streaming count-min sketch maintenance (batch twin:
@@ -1724,6 +1775,24 @@ object StreamOps {
 
     // the batch quantile_hist oracle bounded to the replay window — the
     // streaming state's final sketch must land the identical histogram
+    "stream_delete_latency_state" ->
+      """WITH w AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_id < 20000),
+        |fd AS (SELECT user_id, min(us) AS terr FROM w
+        |  WHERE event_type = 'error' GROUP BY user_id),
+        |lp AS (SELECT w.user_id, max(w.us) AS tput
+        |  FROM w JOIN fd ON w.user_id = fd.user_id
+        |  WHERE w.event_type <> 'error' AND w.us < fd.terr
+        |  GROUP BY w.user_id)
+        |SELECT fd.user_id % 10 AS user_bucket, count(*) AS n_deleted,
+        |  CAST(sum(CASE WHEN lp.tput IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_prior,
+        |  CAST(sum(fd.terr - lp.tput) AS BIGINT) AS sum_latency_us,
+        |  min(fd.terr - lp.tput) AS min_latency_us,
+        |  max(fd.terr - lp.tput) AS max_latency_us
+        |FROM fd LEFT JOIN lp ON fd.user_id = lp.user_id
+        |GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
     "stream_cms_state" ->
       """WITH w AS (SELECT user_id FROM events WHERE event_id < 20000),
         |tc AS (SELECT user_id, count(*) AS c FROM w GROUP BY 1),

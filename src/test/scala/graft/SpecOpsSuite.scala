@@ -527,6 +527,64 @@ class SpecOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("join_asof_interpolated ≡ brute-force bracketing in plain Scala; bounded by endpoints") {
+    val ev = graft.io.Tables.events(spark, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select("user_id", "event_id", "ts_us", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        math.floor(r.getDouble(4) * 10000).toLong))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    val expected = byUser.values.flatten.filter(_._4 == "purchase").map {
+      case (u, id, ts, _, _) =>
+        val seq = byUser(u)
+        val idx = seq.indexWhere(e => e._2 == id)
+        val prev = seq.take(idx).filter(_._4 == "view").lastOption
+        val next = seq.drop(idx + 1).filter(_._4 == "view").headOption
+        val (v, mode) = (prev, next) match {
+          case (Some(p), Some(n)) if n._3 != p._3 =>
+            (Some(p._5 + math.floor((n._5 - p._5).toDouble *
+              (ts - p._3).toDouble / (n._3 - p._3).toDouble).toLong), "interp")
+          case (Some(p), _) => (Some(p._5), "prev_only")
+          case (_, Some(n)) => (Some(n._5), "next_only")
+          case _ => (None, "none")
+        }
+        id -> (v, mode)
+    }.toMap
+    val got = SparkEntry.queries("join_asof_interpolated")(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Any]("interp_c")).map(_.asInstanceOf[Long]),
+          r.getAs[String]("mode"))).toMap
+    assert(got === expected)
+    got.values.filter(_._2 == "interp").foreach { case (v, _) =>
+      assert(v.isDefined)
+    }
+  }
+
+  test("stream_delete_latency_state lands the batch audit over the replay window") {
+    val w = graft.io.Tables.events(spark, d)
+      .filter(col("event_id") < graft.streaming.StreamOps.ReplayBound)
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = w.groupBy(_._1).flatMap { case (u, rows) =>
+      val errs = rows.filter(_._2 == "error").map(_._3)
+      if (errs.isEmpty) None
+      else {
+        val terr = errs.min
+        Some((u, terr, rows.filter(r => r._2 != "error" && r._3 < terr)
+          .map(_._3).maxOption))
+      }
+    }.groupBy(_._1 % 10).view.mapValues { us =>
+      val lats = us.toSeq.collect { case (_, t, Some(p)) => t - p }
+      (us.size.toLong, us.count(_._3.isEmpty).toLong,
+        if (lats.isEmpty) None else Some(lats.sum)) // SQL sum of all-null = NULL
+    }.toMap
+    val got = SparkEntry.queries("stream_delete_latency_state")(spark, d).collect()
+      .map(r => r.getAs[Long]("user_bucket") -> (r.getAs[Long]("n_deleted"),
+        r.getAs[Long]("n_no_prior"),
+        Option(r.getAs[Any]("sum_latency_us")).map(_.asInstanceOf[Long]))).toMap
+    assert(got === expected)
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
