@@ -94,6 +94,39 @@ object BitGraphOps {
         .select("src", "hop", "n_nodes").orderBy("src", "hop")
     }),
 
+    // Deterministic random-walk sampling (the DeepWalk/node2vec corpus
+    // stage with md5 in place of a PRNG): 16 walks × 3 steps from each
+    // seed node; at every step the next hop is the neighbor at index
+    // md5(src:walk:step:cur) mod degree in the node's SORTED adjacency
+    // array — reproducible in any engine, restart-safe, and shardable
+    // by walk id at 100 TB. Visit counts over all steps feed the
+    // skip-gram trainer; the walk frontier is walks-sized (64 rows) and
+    // each step is one join against the pinned adjacency cache.
+    "graph_random_walk_counts" -> ((s, d) => {
+      val adj = GraphOps.adjacency(s, d) // (u, vs sorted, deg)
+      val seeds = adj.select(col("u"))
+        .filter(col("u").isin(1L, 2L, 3L, 4L))
+        .select(col("u").as("src"),
+          explode(sequence(lit(0L), lit(15L))).as("w"))
+      var frontier = seeds.withColumn("cur", col("src"))
+      val visits = scala.collection.mutable.Buffer[DataFrame]()
+      for (t <- 1 to 3) {
+        frontier = frontier
+          .join(adj.select(col("u").as("cur"), col("vs"), col("deg")), "cur")
+          .withColumn("idx", pmod(graft.api.Sampling.hashDecode24(
+            concat(col("src"), lit(":"), col("w"), lit(":"), lit(t),
+              lit(":"), col("cur"))), col("deg")))
+          .select(col("src"), col("w"),
+            element_at(col("vs"), (col("idx") + 1).cast("int")).as("cur"))
+          .localCheckpoint() // 64 rows; next step joins adjacency again
+        visits += frontier.select(col("cur").as("node"))
+      }
+      visits.reduce(_ unionByName _)
+        .groupBy("node").agg(count(lit(1)).as("visits"))
+        .orderBy(col("visits").desc, col("node")).limit(30)
+        .orderBy(col("visits").desc, col("node"))
+    }),
+
     // One Borůvka MST round over the co-purchase graph with
     // deterministic md5 edge weights: every node selects its
     // minimum-weight incident edge (exact integer weights — no float
@@ -281,6 +314,31 @@ object BitGraphOps {
         |$hops
         |$rows
         |ORDER BY src, hop""".stripMargin
+    },
+
+    "graph_random_walk_counts" -> {
+      def step(prev: String, next: String, t: Int): String = {
+        val hv = graft.api.Sampling.hexDecodeSql(
+          s"md5(CAST(src AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':' || " +
+            s"'$t' || ':' || CAST(cur AS VARCHAR))")
+        s"""$next AS MATERIALIZED (SELECT src, w,
+           |    vs[CAST(($hv) % deg AS INT) + 1] AS cur
+           |  FROM $prev JOIN adj ON adj.u = $prev.cur)""".stripMargin
+      }
+      s"""WITH ${GraphOps.edgesSql},
+        |adj AS MATERIALIZED (SELECT u, list(v ORDER BY v) AS vs,
+        |    CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+        |s0 AS (SELECT t.u AS src, g.w, t.u AS cur
+        |  FROM (SELECT DISTINCT u FROM e WHERE u IN (1, 2, 3, 4)) t,
+        |       unnest(generate_series(0, 15)) g(w)),
+        |${step("s0", "s1", 1)},
+        |${step("s1", "s2", 2)},
+        |${step("s2", "s3", 3)}
+        |SELECT node, count(*) AS visits FROM (
+        |  SELECT cur AS node FROM s1
+        |  UNION ALL SELECT cur FROM s2
+        |  UNION ALL SELECT cur FROM s3) v
+        |GROUP BY node ORDER BY visits DESC, node LIMIT 30""".stripMargin
     },
 
     "graph_mst_boruvka_step" -> {

@@ -50,6 +50,29 @@ object ViewOps {
         .orderBy("o_custkey")
     }),
 
+    // Incremental view maintenance for a JOIN view (the delta-join rule
+    // ΔV = ΔF ⋈ D every IVM engine applies to fact-dimension views):
+    // the materialized revenue-by-nation view absorbs a delta batch of
+    // new orders by joining ONLY the delta against the dimension and
+    // merging partial aggregates — the old fact rows are never re-read.
+    // At 100 TB this is the difference between touching a day's ingest
+    // and re-scanning the fact table; the oracle recomputes from
+    // scratch, so merge ≡ recompute is the checked law.
+    "ivm_join_delta" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      def view(df: DataFrame) = df
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+      val o = Tables.orders(s, d)
+      view(o.filter(col("o_orderkey") % 7 =!= 0))
+        .unionByName(view(o.filter(col("o_orderkey") % 7 === 0)))
+        .groupBy("c_nationkey")
+        .agg(sum("n").as("n_orders"), sum("rev").as("rev_c"))
+        .orderBy("c_nationkey")
+    }),
+
     // Null-safe equality join (<=>): customer and supplier nation keys
     // with nation 13 deterministically nullified on both sides — the
     // null bucket genuinely joins (null <=> null is TRUE), unlike = which
@@ -108,6 +131,13 @@ object ViewOps {
   def oracles: Map[String, String] = Map(
     // full recompute — the differential claim is that base-view + delta
     // merge lands the identical view
+    // full recompute — the merge ≡ recompute law IS the oracle
+    "ivm_join_delta" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
     "ivm_agg_merge" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev

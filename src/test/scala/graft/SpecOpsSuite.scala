@@ -585,6 +585,41 @@ class SpecOpsSuite extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("graph_random_walk_counts ≡ brute-force md5 walks in plain Scala") {
+    val adj = graft.ops.GraphOps.adjacency(spark, d)
+      .select("u", "vs").collect()
+      .map(r => r.getAs[Long]("u") -> r.getSeq[Long](1).toIndexedSeq).toMap
+    def decode24(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString, 16)
+    val visits = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (src <- Seq(1L, 2L, 3L, 4L) if adj.contains(src); w <- 0L to 15L) {
+      var cur = src
+      for (t <- 1 to 3) {
+        val vs = adj(cur)
+        cur = vs((decode24(s"$src:$w:$t:$cur") % vs.length).toInt)
+        visits(cur) += 1
+      }
+    }
+    val expected = visits.toSeq.sortBy { case (n, c) => (-c, n) }.take(30)
+    val got = SparkEntry.queries("graph_random_walk_counts")(spark, d).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("visits"))).toSeq
+    assert(got === expected)
+  }
+
+  test("ivm_join_delta: merged partials equal a from-scratch recompute") {
+    val full = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .collect().map(r => (r.getInt(0), r.getAs[Long](1), r.getAs[Long](2))).toSet
+    val got = SparkEntry.queries("ivm_join_delta")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getAs[Long](1), r.getAs[Long](2))).toSet
+    assert(got === full, "delta-join merge must equal the full recompute")
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
