@@ -142,10 +142,130 @@ object TpchTailOps {
         .orderBy(col("n_orders").desc, col("s_suppkey")).limit(20)
         .select("s_suppkey", "s_name", "n_orders")
         .orderBy("s_suppkey")
+    }),
+
+    // Q13 shape: customer order-count distribution — how many customers
+    // placed k orders, INCLUDING k = 0 (the left outer join every
+    // "engagement histogram" needs); two cascaded aggregates.
+    "q13_custdist" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q15 shape: top supplier(s) by revenue over the 1997-Q1 ship
+    // window — the revenue "view" is one keyed aggregate; the max joins
+    // back as a single-row broadcast (the VIEW + WHERE total = max
+    // composition).
+    "q15_top_supplier" -> ((s, d) => {
+      val win = Tables.lineitem(s, d)
+        .withColumn("ym", expr("(year(cast(l_shipdate as timestamp)) * 100 + " +
+          "month(cast(l_shipdate as timestamp)))").cast("long"))
+        .filter(col("ym") >= 199701L && col("ym") <= 199703L)
+      val revenue = win.groupBy(col("l_suppkey"))
+        .agg(sum(rev).as("total_rev_c"))
+      val top = revenue.agg(max("total_rev_c").as("mx"))
+      revenue.crossJoin(broadcast(top))
+        .filter(col("total_rev_c") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Q17 shape: revenue impact of small-quantity orders for one brand —
+    // lines with quantity below 20% of their part's average. The
+    // fractional-average comparison cross-multiplies to stay integral
+    // (5·q·n < Σq), so no float threshold exists anywhere; the per-part
+    // stats relation is part-sized and broadcasts back.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#13").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), floor(col("l_quantity")).cast("long").as("q"),
+          rev.as("rc"))
+      val stats = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      li.join(stats, "l_partkey")
+        .filter(col("q") * 5 * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("rc")).as("rev_c"),
+          expr("CAST(sum(rc) div 7 AS BIGINT)").as("avg_yearly_c"))
+    }),
+
+    // Q22 shape: LAPSED high-balance customers — above the
+    // positive-balance average (cross-multiplied: bal·n > Σbal, no
+    // float threshold) with no order since 1997 (anti join against the
+    // recent-order window) — grouped by nation. The global average is a
+    // single-row broadcast.
+    "q22_idle_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val avgRow = cust.filter(col("bal_c") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum("bal_c").as("sum_pos"))
+      val recent = Tables.orders(s, d)
+        .filter(expr("year(cast(o_orderdate as timestamp))") >= 1997)
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgRow))
+        .filter(col("bal_c") * col("n_pos") > col("sum_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
+        .orderBy("c_nationkey")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q13_custdist" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM co
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH win AS (SELECT l_suppkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS rc
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) * 100 + month(l_shipdate) BETWEEN 199701 AND 199703),
+        |rev AS (SELECT l_suppkey, CAST(sum(rc) AS BIGINT) AS total_rev_c
+        |  FROM win GROUP BY 1),
+        |mx AS (SELECT max(total_rev_c) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, total_rev_c
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey, mx
+        |WHERE total_rev_c = mx.mx ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS rc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |st AS (SELECT l_partkey, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq
+        |  FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small, CAST(sum(rc) AS BIGINT) AS rev_c,
+        |  CAST(sum(rc) AS BIGINT) // 7 AS avg_yearly_c
+        |FROM li JOIN st ON li.l_partkey = st.l_partkey
+        |WHERE q * 5 * n < sq""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |a AS (SELECT count(*) AS n_pos, CAST(sum(bal_c) AS BIGINT) AS sum_pos
+        |  FROM c WHERE bal_c > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM c, a
+        |WHERE bal_c * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c.c_custkey AND year(o_orderdate) >= 1997)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "q4_late_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

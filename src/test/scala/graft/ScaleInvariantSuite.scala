@@ -69,7 +69,9 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "feature_target_encode", // × single-row global prior
     "feed_manifest_merkle", // × single-row Merkle root digest
     "emb_covariance_topk",  // × single-row vector count (n for n·Σxy − ΣxΣy)
-    "stats_selectivity_probe" // × 1-row stats + 3-row probe panel + 256-cell hist
+    "stats_selectivity_probe", // × 1-row stats + 3-row probe panel + 256-cell hist
+    "q15_top_supplier",  // × single-row max-revenue bound
+    "q22_idle_customers" // × single-row positive-balance average
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a

@@ -620,6 +620,24 @@ class SpecOpsSuite extends AnyFunSuite {
     assert(got === full, "delta-join merge must equal the full recompute")
   }
 
+  test("TPC-H tail additions: distribution totals, max uniqueness, threshold laws") {
+    val nCust = graft.io.Tables.customer(spark, d).count()
+    val q13 = SparkEntry.queries("q13_custdist")(spark, d).collect()
+    assert(q13.map(_.getAs[Long]("custdist")).sum === nCust,
+      "q13 distribution must cover every customer exactly once")
+    val q15 = SparkEntry.queries("q15_top_supplier")(spark, d).collect()
+    assert(q15.nonEmpty)
+    assert(q15.map(_.getAs[Long]("total_rev_c")).distinct.length === 1,
+      "q15 rows must all carry the single maximal revenue")
+    val q17 = SparkEntry.queries("q17_small_qty_revenue")(spark, d).collect().head
+    assert(q17.getAs[Long]("avg_yearly_c") === q17.getAs[Long]("rev_c") / 7)
+    // q22: every reported nation group is above-average balance by law of
+    // construction; just assert schema + non-negative aggregates
+    SparkEntry.queries("q22_idle_customers")(spark, d).collect().foreach { r =>
+      assert(r.getAs[Long]("numcust") > 0 && r.getAs[Long]("totacctbal_c") > 0)
+    }
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
