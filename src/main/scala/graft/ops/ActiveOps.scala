@@ -127,6 +127,38 @@ object ActiveOps {
         .orderBy("event_type")
     }),
 
+    // Entropy rate of the user-journey Markov chain: per FROM-state the
+    // transition entropy H_i = Σ_j −p_ij·ln p_ij (the predictability of
+    // the next step), each term floor-quantized to 1e-9 BEFORE the
+    // integer sum (the JS-divergence discipline), alongside the
+    // stationary weight after one power-iteration step from uniform —
+    // the π_i·H_i pieces of the chain's entropy rate Σπ_iH_i, the
+    // journey-predictability number a personalization team tracks. The
+    // ln ratio is CAST-to-double (never a bare 1.0 literal: DECIMAL
+    // division rounds differently); transition tables are |types|².
+    "events_markov_entropy" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tm = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("j"))
+        .withColumn("i", lag(col("j"), 1).over(w))
+        .filter(col("i").isNotNull)
+        .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      val rowTot = tm.groupBy("i").agg(sum("c").as("ci"))
+      val m = tm.join(rowTot, "i").localCheckpoint() // H terms + π step
+      val p = col("c").cast("double") / col("ci").cast("double")
+      val hRows = m
+        .withColumn("h_term",
+          floor(-p * log(p) * lit(1000000000.0)).cast("long"))
+        .groupBy(col("i").as("event_type"))
+        .agg(max(col("ci")).as("n_out"), sum(col("h_term")).as("h_c"))
+      val k = m.select("i").distinct().count()
+      val pi1 = m
+        .select(col("j"), expr(s"((1000000 div $k) * c) div ci").as("term"))
+        .groupBy(col("j").as("event_type")).agg(sum("term").as("pi1_ppm"))
+      hRows.join(pi1, Seq("event_type")).orderBy("event_type")
+    }),
+
     // Schema evolution on read: two parquet file generations (v2 adds a
     // column) read together with mergeSchema — v1 rows surface NULL for
     // the new column, and the per-generation aggregates must equal the
@@ -234,6 +266,27 @@ object ActiveOps {
         |      sqrt(CAST(nw*sxx - sx*sx AS DOUBLE)) * 100.0) AS BIGINT)
         |    ELSE NULL END AS z_c
         |FROM m ORDER BY event_type, day""".stripMargin,
+
+    "events_markov_entropy" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type AS j
+        |  FROM events),
+        |l AS (SELECT *, lag(j) OVER (PARTITION BY user_id ORDER BY us, event_id) AS i
+        |  FROM e),
+        |tm AS (SELECT i, j, count(*) AS c FROM l WHERE i IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT i, CAST(sum(c) AS BIGINT) AS ci FROM tm GROUP BY 1),
+        |m AS (SELECT tm.i, tm.j, tm.c, rt.ci FROM tm JOIN rt ON tm.i = rt.i),
+        |k AS (SELECT count(DISTINCT i) AS k FROM m),
+        |h AS (SELECT i AS event_type, max(ci) AS n_out,
+        |    CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(ci AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(ci AS DOUBLE)) * 1000000000.0)
+        |      AS BIGINT)) AS BIGINT) AS h_c
+        |  FROM m GROUP BY 1),
+        |p1 AS (SELECT j AS event_type,
+        |    CAST(sum(((1000000 // k) * c) // ci) AS BIGINT) AS pi1_ppm
+        |  FROM m, k GROUP BY 1)
+        |SELECT h.event_type, h.n_out, h.h_c, p1.pi1_ppm
+        |FROM h JOIN p1 ON h.event_type = p1.event_type
+        |ORDER BY h.event_type""".stripMargin,
 
     "markov_stationary_step" -> {
       val steps = (1 to 4).map { k =>

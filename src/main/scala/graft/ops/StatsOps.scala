@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.api.{Layout, Relevance, Sketches}
@@ -143,6 +143,52 @@ object StatsOps {
           sum(when(col("bloom_pass") && col("in_build").isNull, 1L)
             .otherwise(0L)).as("n_fp"))
         .orderBy("c_nationkey")
+    }),
+
+    // RLE-friendliness of two physical layouts, measured: within each
+    // layout's ~1024 chunks, the number of ADJACENT equal-value pairs
+    // for the two secondary columns — the quantity run-length /
+    // dictionary encoders actually compress. Natural (insertion) order
+    // keeps l_orderkey runs but scatters part/supp keys; Z-order
+    // clusters both — this op puts the number behind the layout choice
+    // next to zorder_prune_gain's scan-pruning view. Windows are
+    // chunk-partitioned (never global over data rows); chunks come from
+    // key ranges, not global row numbers.
+    "layout_rle_runs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      val m = li.agg(max("l_partkey").as("mp"), max("l_suppkey").as("ms"),
+        max("l_orderkey").as("mo"))
+      val sc = li.crossJoin(broadcast(m))
+        .withColumn("x",
+          floor(col("l_partkey") * lit(256.0) / (col("mp") + 1)).cast("long"))
+        .withColumn("y",
+          floor(col("l_suppkey") * lit(256.0) / (col("ms") + 1)).cast("long"))
+        .withColumn("zval", Layout.zValue(col("x"), col("y")))
+        .withColumn("zchunk", expr("zval div 64"))
+        .withColumn("nchunk", expr("l_orderkey div ((mo div 1024) + 1)"))
+        .localCheckpoint() // both layout passes read the same scaled rows
+      def runs(chunk: String, ord: Seq[Column], layout: String) = {
+        val w = Window.partitionBy(chunk).orderBy(ord: _*)
+        sc.withColumn("ppk", lag(col("l_partkey"), 1).over(w))
+          .withColumn("psk", lag(col("l_suppkey"), 1).over(w))
+          .agg(lit(layout).as("layout"),
+            countDistinct(col(chunk)).as("n_chunks"),
+            sum(when(col("l_partkey") === col("ppk"), 1L).otherwise(0L))
+              .as("adj_pk"),
+            sum(when(col("l_suppkey") === col("psk"), 1L).otherwise(0L))
+              .as("adj_sk"))
+      }
+      // the fixture reuses (orderkey, linenumber) — the value columns
+      // join the sort key so the lag sequence is total (ties that
+      // remain are identical value pairs, adjacency-invariant)
+      runs("nchunk", Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")), "natural")
+        .unionByName(
+          runs("zchunk", Seq(col("zval"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")), "zorder"))
+        .orderBy("layout")
     }),
 
     // Bigram-LM quality scoring (per-language add-one model trained on
@@ -499,6 +545,43 @@ object StatsOps {
         |  CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
         |  CAST(sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
         |FROM probe GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "layout_rle_runs" -> {
+      val z = zTermsSql("x", "y")
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |  FROM lineitem),
+        |m AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms,
+        |    max(l_orderkey) AS mo FROM li),
+        |sc AS (SELECT li.*,
+        |    CAST(floor(l_partkey * 256.0 / (m.mp + 1)) AS BIGINT) AS x,
+        |    CAST(floor(l_suppkey * 256.0 / (m.ms + 1)) AS BIGINT) AS y,
+        |    m.mo FROM li, m),
+        |zz AS (SELECT *, ($z) AS zval, ($z) // 64 AS zchunk,
+        |    l_orderkey // ((mo // 1024) + 1) AS nchunk FROM sc),
+        |natl AS (SELECT nchunk, l_partkey, l_suppkey,
+        |    lag(l_partkey) OVER
+        |      (PARTITION BY nchunk ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS ppk,
+        |    lag(l_suppkey) OVER
+        |      (PARTITION BY nchunk ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS psk
+        |  FROM zz),
+        |nat AS (SELECT 'natural' AS layout,
+        |    CAST(count(DISTINCT nchunk) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN l_partkey = ppk THEN 1 ELSE 0 END) AS BIGINT) AS adj_pk,
+        |    CAST(sum(CASE WHEN l_suppkey = psk THEN 1 ELSE 0 END) AS BIGINT) AS adj_sk
+        |  FROM natl),
+        |zol AS (SELECT zchunk, l_partkey, l_suppkey,
+        |    lag(l_partkey) OVER
+        |      (PARTITION BY zchunk ORDER BY zval, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS ppk,
+        |    lag(l_suppkey) OVER
+        |      (PARTITION BY zchunk ORDER BY zval, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS psk
+        |  FROM zz),
+        |zo AS (SELECT 'zorder' AS layout,
+        |    CAST(count(DISTINCT zchunk) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN l_partkey = ppk THEN 1 ELSE 0 END) AS BIGINT) AS adj_pk,
+        |    CAST(sum(CASE WHEN l_suppkey = psk THEN 1 ELSE 0 END) AS BIGINT) AS adj_sk
+        |  FROM zol)
+        |SELECT * FROM nat UNION ALL SELECT * FROM zo ORDER BY layout""".stripMargin
+    },
 
     "lm_jelinek_mercer" ->
       """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),

@@ -638,6 +638,43 @@ class SpecOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("layout_rle_runs: Z-order clusters the secondary keys far better than natural order") {
+    val rows = SparkEntry.queries("layout_rle_runs")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("adj_pk"), r.getAs[Long]("adj_sk"))).toMap
+    assert(rows.keySet === Set("natural", "zorder"))
+    assert(rows("zorder")._1 > rows("natural")._1,
+      "Z-order must improve part-key adjacency")
+    assert(rows("zorder")._2 > rows("natural")._2,
+      "Z-order must improve supp-key adjacency")
+  }
+
+  test("events_markov_entropy ≡ brute-force chain entropy in plain Scala") {
+    val ev = graft.io.Tables.events(spark, d)
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    val cij = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ci = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val k = ci.size
+    val expected = ci.keys.map { i =>
+      val h = cij.collect { case ((`i`, _), c) =>
+        val p = c.toDouble / ci(i)
+        math.floor(-p * math.log(p) * 1e9).toLong
+      }.sum
+      val pi1 = cij.collect { case ((ii, j), c) if j == i =>
+        (1000000L / k) * c / ci(ii)
+      }.sum
+      i -> (ci(i), h, pi1)
+    }.toMap
+    val got = SparkEntry.queries("events_markov_entropy")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_out"), r.getAs[Long]("h_c"),
+        r.getAs[Long]("pi1_ppm"))).toMap
+    assert(got === expected)
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
