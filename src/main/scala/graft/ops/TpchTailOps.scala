@@ -200,7 +200,7 @@ object TpchTailOps {
 
     // Q22 shape: LAPSED high-balance customers — above the
     // positive-balance average (cross-multiplied: bal·n > Σbal, no
-    // float threshold) with no order since 1997 (anti join against the
+    // float threshold) with no order since 1999 (anti join against the
     // recent-order window) — grouped by nation. The global average is a
     // single-row broadcast.
     "q22_idle_customers" -> ((s, d) => {
@@ -210,7 +210,7 @@ object TpchTailOps {
       val avgRow = cust.filter(col("bal_c") > 0)
         .agg(count(lit(1)).as("n_pos"), sum("bal_c").as("sum_pos"))
       val recent = Tables.orders(s, d)
-        .filter(expr("year(cast(o_orderdate as timestamp))") >= 1997)
+        .filter(expr("year(cast(o_orderdate as timestamp))") >= 1999)
         .select(col("o_custkey"))
       cust.crossJoin(broadcast(avgRow))
         .filter(col("bal_c") * col("n_pos") > col("sum_pos"))
@@ -263,7 +263,7 @@ object TpchTailOps {
         |FROM c, a
         |WHERE bal_c * n_pos > sum_pos
         |  AND NOT EXISTS (SELECT 1 FROM orders
-        |    WHERE o_custkey = c.c_custkey AND year(o_orderdate) >= 1997)
+        |    WHERE o_custkey = c.c_custkey AND year(o_orderdate) >= 1999)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q4_late_exists" ->
