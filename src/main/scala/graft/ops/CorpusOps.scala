@@ -228,6 +228,37 @@ object CorpusOps {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Zipf-law fit per language: regress ln(freq) on ln(rank) over the
+    // rank-frequency table and report the exponent (a healthy natural
+    // corpus sits near −1; synthetic/templated text drifts off — a
+    // corpus-forensics number). Both log terms floor-quantize at 1e3
+    // per VOCAB ROW before the integer moment sums (quantize-before-
+    // sum; n·Σxy − ΣxΣy stays ≤ ~10¹⁶), and the slope is one
+    // floor-of-double-ratio. Ranks come from a language-partitioned
+    // window over the VOCABULARY-sized count table.
+    "text_zipf_fit" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tk"))
+        .groupBy("lang", "tk").agg(count(lit(1)).as("f"))
+      val wR = Window.partitionBy("lang").orderBy(col("f").desc, col("tk"))
+      val pts = tf
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .withColumn("x", floor(log(col("rk").cast("double")) * 1000).cast("long"))
+        .withColumn("y", floor(log(col("f").cast("double")) * 1000).cast("long"))
+      pts.groupBy("lang")
+        .agg(count(lit(1)).as("n_vocab"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_c", floor(
+          (col("n_vocab") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") * lit(10000.0) /
+            (col("n_vocab") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .cast("long"))
+        .select(col("lang"), col("n_vocab"), col("slope_c"))
+        .orderBy("lang")
+    }),
+
     // RAKE keyword extraction (Rapid Automatic Keyword Extraction),
     // regex-free: candidate phrases are the maximal stopword-delimited
     // token runs (gaps-and-islands over a cumulative stopword flag —
@@ -307,6 +338,25 @@ object CorpusOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_zipf_fit" ->
+      """WITH tf AS (SELECT lang, tk, count(*) AS f
+        |  FROM (SELECT lang, unnest(str_split(text, ' ')) AS tk FROM documents)
+        |  GROUP BY 1, 2),
+        |pts AS (SELECT lang,
+        |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000) AS BIGINT) AS y
+        |  FROM (SELECT lang, f,
+        |      row_number() OVER (PARTITION BY lang ORDER BY f DESC, tk) AS rk
+        |    FROM tf) r),
+        |m AS (SELECT lang, count(*) AS n_vocab,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT lang, n_vocab,
+        |  CAST(floor(CAST(n_vocab * sxy - sx * sy AS DOUBLE) * 10000.0
+        |    / CAST(n_vocab * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_c
+        |FROM m ORDER BY lang""".stripMargin,
+
     "text_rake_keywords" ->
       """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
         |p AS (SELECT doc_id, lang, i AS pos, toks[i] AS tk,

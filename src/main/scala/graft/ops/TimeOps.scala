@@ -175,6 +175,34 @@ object TimeOps {
         .orderBy("user_id", "sid")
     }),
 
+    // Top user journeys: each 30-min-gap session reduced to its first-3
+    // event-type path, the 20 most common paths ranked — the "what do
+    // sessions actually look like" report next to the Markov pair view
+    // (event_path_transitions sees edges; this sees whole openings).
+    // Same gaps-and-islands sessionization as sessionize_ids; paths
+    // assemble via struct-sorted collect (no cross-engine string_agg
+    // ordering ambiguity); all windows user-/session-partitioned.
+    "session_path_topk" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess", when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wS = Window.partitionBy("user_id", "sid")
+        .orderBy(col("ts_us"), col("event_id"))
+      sess.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id", "sid")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type").as("t")))),
+          x => x.getField("t")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+        .orderBy(col("n_sessions").desc, col("path"))
+    }),
+
     // Theil–Sen robust trend per event type: the MEDIAN of all pairwise
     // slopes over the daily-count series — outlier-days can't drag the
     // fit the way least squares lets them. The pair relation is
@@ -214,6 +242,22 @@ object TimeOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "session_path_topk" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS ns FROM l),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |    ORDER BY us, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
     "ts_theil_sen_trend" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    count(*) AS c

@@ -675,6 +675,45 @@ class SpecOpsSuite extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("text_zipf_fit ≡ brute-force log-log regression; slope negative") {
+    val tf = graft.io.Tables.documents(spark, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("lang", "tk").agg(count(lit(1)).as("f")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("f")))
+    val expected = tf.groupBy(_._1).view.mapValues { rows =>
+      val ranked = rows.sortBy(r => (-r._3, r._2)).zipWithIndex
+      val pts = ranked.map { case ((_, _, f), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1000).toLong,
+          math.floor(math.log(f.toDouble) * 1000).toLong)
+      }
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      (n, math.floor((n * sxy - sx * sy).toDouble * 10000.0 /
+        (n * sxx - sx * sx).toDouble).toLong)
+    }.toMap
+    val got = SparkEntry.queries("text_zipf_fit")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_vocab"),
+        r.getAs[Long]("slope_c"))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, slope) =>
+      assert(slope < 0, "Zipf exponent must be negative")
+    }
+  }
+
+  test("session_path_topk: path multiset consistent with sessionize_ids session count") {
+    val sessions = SparkEntry.queries("sessionize_ids")(spark, d).count()
+    val paths = SparkEntry.queries("session_path_topk")(spark, d).collect()
+    assert(paths.nonEmpty && paths.length <= 20)
+    assert(paths.map(_.getAs[Long]("n_sessions")).sum <= sessions,
+      "top-20 path counts cannot exceed the total session count")
+    paths.foreach { r =>
+      val p = r.getString(0)
+      assert(p.split(">").length >= 1 && p.split(">").length <= 3)
+    }
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
