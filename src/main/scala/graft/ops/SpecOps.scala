@@ -132,6 +132,28 @@ object SpecOps {
         .orderBy("user_bucket")
     }),
 
+    // Feed-ordering conformance audit (README.md:9, 150-151: responses
+    // chronological, ids strongly ordered): per feed, walk the id order
+    // and count timestamp INVERSIONS (an event whose time precedes an
+    // earlier id's time) and the worst backwards jump — the continuous
+    // monitor a consumer runs to detect a producer violating the
+    // ordering contract (clock skew, buggy sequencer). Windows are
+    // per-feed (partitioned by type); exact integer µs.
+    "feed_order_violation_audit" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+        .withColumn("pmax", max(col("ts_us"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("ts_us") < col("pmax"), 1L).otherwise(0L))
+            .as("n_inversions"),
+          max(when(col("ts_us") < col("pmax"), col("pmax") - col("ts_us")))
+            .as("max_back_us"))
+        .orderBy("event_type")
+    }),
+
     // Equi-depth backfill partition plan for the DSv2 source: split the
     // feed's id space into 8 cursor ranges carrying ~equal EVENT counts
     // (not equal id spans — skewed feeds balance by depth), derived from
@@ -239,6 +261,17 @@ object SpecOps {
         |  max(fd.terr - lp.tput) AS max_latency_us
         |FROM fd LEFT JOIN lp ON fd.user_id = lp.user_id
         |GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "feed_order_violation_audit" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT *, max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN us < pmax THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inversions,
+        |  max(CASE WHEN us < pmax THEN pmax - us END) AS max_back_us
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "feed_backfill_partition_plan" ->
       """WITH p AS (SELECT event_id // 100 AS page, count(*) AS n,

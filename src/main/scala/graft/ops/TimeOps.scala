@@ -175,6 +175,33 @@ object TimeOps {
         .orderBy("user_id", "sid")
     }),
 
+    // Interval-union coverage: treat each event as a 5-minute activity
+    // interval and measure, per user, the UNION length of those
+    // overlapping intervals plus the island count — the dedup-then-sum
+    // every billing/engagement meter needs (naively summing intervals
+    // double-counts overlap). Islands via gaps-and-islands on the
+    // running max end; all windows user-partitioned, all integers µs.
+    "ts_interval_union_coverage" -> ((s, d) => {
+      val len = 300000000L // 5 min in µs
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val runMaxPrev = max(col("ts_us") + len)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val marked = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("pmax", runMaxPrev)
+        .withColumn("new_island",
+          when(col("pmax").isNull || col("ts_us") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("iid", sum(col("new_island"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marked.groupBy("user_id", "iid")
+        .agg(min(col("ts_us")).as("is_start"),
+          max(col("ts_us") + len).as("is_end"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("is_end") - col("is_start")).as("covered_us"))
+        .orderBy("user_id")
+    }),
+
     // Top user journeys: each 30-min-gap session reduced to its first-3
     // event-type path, the 20 most common paths ranked — the "what do
     // sessions actually look like" report next to the Markov pair view
@@ -242,6 +269,23 @@ object TimeOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_interval_union_coverage" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |m AS (SELECT *, max(us + 300000000) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN pmax IS NULL OR us > pmax THEN 1 ELSE 0 END
+        |    AS ni FROM m),
+        |s AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid FROM f),
+        |isl AS (SELECT user_id, iid, min(us) AS is_start,
+        |    max(us + 300000000) AS is_end
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(is_end - is_start) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "session_path_topk" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
         |  FROM events),

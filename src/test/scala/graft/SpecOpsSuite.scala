@@ -714,6 +714,54 @@ class SpecOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("ts_interval_union_coverage ≡ brute-force interval union in plain Scala") {
+    val len = 300000000L
+    val ev = graft.io.Tables.events(spark, d)
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).view.mapValues { rows =>
+      val starts = rows.map(_._2).sorted
+      var islands = List.empty[(Long, Long)] // (start, end) desc
+      starts.foreach { s =>
+        islands match {
+          case (a, e) :: t if s <= e => islands = (a, math.max(e, s + len)) :: t
+          case _ => islands = (s, s + len) :: islands
+        }
+      }
+      (islands.size.toLong, islands.map { case (a, e) => e - a }.sum)
+    }.toMap
+    val got = SparkEntry.queries("ts_interval_union_coverage")(spark, d).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("covered_us"))).toMap
+    assert(got === expected)
+    // the union law: covered time never exceeds n·len and never
+    // undershoots a single interval
+    got.values.foreach { case (n, cov) => assert(cov >= len && cov <= n * 10000 * len) }
+  }
+
+  test("feed_order_violation_audit ≡ brute-force inversion scan in plain Scala") {
+    val ev = graft.io.Tables.events(spark, d)
+      .select("event_type", "event_id", "ts_us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).view.mapValues { rows =>
+      val s = rows.sortBy(_._2).map(_._3)
+      var (mx, inv, worst) = (Long.MinValue, 0L, Option.empty[Long])
+      s.foreach { t =>
+        if (mx != Long.MinValue && t < mx) {
+          inv += 1
+          worst = Some(math.max(worst.getOrElse(0L), mx - t))
+        }
+        mx = math.max(mx, t)
+      }
+      (rows.size.toLong, inv, worst)
+    }.toMap
+    val got = SparkEntry.queries("feed_order_violation_audit")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_inversions"),
+        Option(r.getAs[Any]("max_back_us")).map(_.asInstanceOf[Long]))).toMap
+    assert(got === expected)
+  }
+
   test("vec_random_projection: exact Scala re-projection and JL concentration") {
     val emb = graft.io.Tables.embeddings(spark, d)
       .select("vec_id", "embedding").limit(10)
