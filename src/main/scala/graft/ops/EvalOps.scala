@@ -101,7 +101,7 @@ object EvalOps {
           floor(col("v").cast("double") * 100000).cast("long").as("q"))
         .localCheckpoint() // reused: dim sums + both self-join sides
       val sums = comp.groupBy("pos").agg(sum(col("q")).as("sx"))
-      val nRow = comp.agg((count(lit(1)) / lit(64)).cast("long").as("n"))
+      val nRow = comp.agg(countDistinct(col("vec_id")).as("n"))
       comp.select(col("vec_id"), col("pos").as("di"), col("q").as("qi"))
         .join(comp.select(col("vec_id"), col("pos").as("dj"), col("q").as("qj")),
           "vec_id")

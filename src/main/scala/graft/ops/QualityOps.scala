@@ -277,7 +277,10 @@ object QualityOps {
         .groupBy("k", "t", "bt", "lo", "hi", "n")
         .agg(sum(when(col("b") < col("bt"), col("c")).otherwise(0L)).as("full"),
           sum(when(col("b") === col("bt"), col("c")).otherwise(0L)).as("cb"))
-        .withColumn("est", col("full") + expr("(cb * (t - lo)) div (hi - lo)"))
+        // Zero-width partial bucket (span < 256 values ⇒ hi == lo) must
+        // contribute 0, not divide by zero — degenerate-input guard.
+        .withColumn("est", col("full") +
+          when(col("hi") > col("lo"), expr("(cb * (t - lo)) div (hi - lo)")).otherwise(0L))
       val actual = li.crossJoin(broadcast(ks.select(col("k").as("k2"), col("t").as("t2"))))
         .filter(col("x") < col("t2"))
         .groupBy("k2").agg(count(lit(1)).as("actual"))
@@ -317,8 +320,9 @@ object QualityOps {
         |    mn + ((bt + 1) * (mx - mn + 1)) // 256 AS hi FROM kb),
         |est AS (SELECT k, t, n,
         |    CAST(sum(CASE WHEN b < bt THEN c ELSE 0 END) AS BIGINT)
-        |      + (CAST(sum(CASE WHEN b = bt THEN c ELSE 0 END) AS BIGINT)
-        |        * (t - lo)) // (hi - lo) AS est
+        |      + CASE WHEN hi > lo THEN
+        |          (CAST(sum(CASE WHEN b = bt THEN c ELSE 0 END) AS BIGINT)
+        |            * (t - lo)) // (hi - lo) ELSE 0 END AS est
         |  FROM kl JOIN hist ON b <= bt GROUP BY k, t, n, lo, hi),
         |act AS (SELECT k, count(*) AS actual FROM li, kl WHERE x < t GROUP BY k)
         |SELECT est.k, est.t, est.est, act.actual,

@@ -40,7 +40,7 @@ object Uuid6 {
       hexw(shiftright(greg, 28), 8),
       hexw(shiftright(greg, 12).bitwiseAND(lit(0xFFFFL)), 4),
       concat(lit("6"), hexw(greg.bitwiseAND(lit(0xFFFL)), 3)),
-      hexw(lit(0x8000L).bitwiseOR(clockSeq.cast("long")), 4),
+      hexw(lit(0x8000L).bitwiseOR(clockSeq.cast("long").bitwiseAND(lit(0x3FFFL))), 4),
       node)
   }
 
