@@ -68,30 +68,34 @@ object BitGraphOps {
     }),
 
     // Multi-source BFS: hop-distance layer sizes from part keys
-    // {1, 2, 3} over the co-purchase graph, 3 unrolled hops — each hop
-    // one frontier⋈edges expansion, dedup, anti-join against visited.
+    // {1, 2, 3} over the co-purchase graph, 3 unrolled hops. For a
+    // TRUNCATED k-hop BFS the visited anti-join is not needed for
+    // correctness: expand each frontier with a per-hop `distinct`
+    // (which alone bounds every frontier by |reachable V| per source —
+    // the scale guard), then assign each node its min hop at the end.
+    // Re-expanding an already-visited node costs ≤ one extra
+    // |frontier|⋈edges row set per hop (bounded, k=3), and in exchange
+    // the whole query is ONE declarative job — no per-hop driver
+    // round-trips, anti-joins, or localCheckpoint materializations,
+    // which made the loop shape pay ~12 scheduling latencies on a
+    // loaded box. (Unbounded-depth BFS should keep the anti-join —
+    // there visited ≫ frontier and pruning wins; see the k-core peel.)
     "graph_bfs_layers" -> ((s, d) => {
       val es = GraphOps.edges(s, d)
       val srcs = GraphOps.adjacency(s, d).select(col("u"))
         .filter(col("u").isin(1L, 2L, 3L))
-        .select(col("u").as("src"), col("u")).localCheckpoint()
-      var visited = srcs
-      var frontier = srcs
-      val layers = scala.collection.mutable.Buffer(
-        srcs.groupBy("src").agg(count(lit(1)).as("n_nodes"))
-          .withColumn("hop", lit(0L)))
-      for (h <- 1 to 3) {
-        val next = frontier.join(es, "u")
-          .select(col("src"), col("v").as("u")).distinct()
-          .join(visited, Seq("src", "u"), "left_anti")
-          .localCheckpoint() // truncate per-hop lineage (k-core pattern)
-        layers += next.groupBy("src").agg(count(lit(1)).as("n_nodes"))
-          .withColumn("hop", lit(h.toLong))
-        visited = visited.unionByName(next).localCheckpoint()
-        frontier = next
-      }
-      layers.reduce(_ unionByName _)
-        .select("src", "hop", "n_nodes").orderBy("src", "hop")
+        .select(col("u").as("src"), col("u"))
+      def hopOut(f: DataFrame): DataFrame =
+        f.join(es, "u").select(col("src"), col("v").as("u")).distinct()
+      val f1 = hopOut(srcs)
+      val f2 = hopOut(f1)
+      val f3 = hopOut(f2)
+      Seq(srcs -> 0L, f1 -> 1L, f2 -> 2L, f3 -> 3L)
+        .map { case (f, h) => f.withColumn("hop", lit(h)) }
+        .reduce(_ unionByName _)
+        .groupBy("src", "u").agg(min("hop").as("hop"))
+        .groupBy("src", "hop").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("src", "hop")
     }),
 
     // Deterministic random-walk sampling (the DeepWalk/node2vec corpus
@@ -178,31 +182,50 @@ object BitGraphOps {
       val srcs = GraphOps.adjacency(s, d).select(col("u"))
         .filter(col("u").isin(1L, 2L, 3L, 4L))
         .select(col("u").as("src"), col("u").as("v")).localCheckpoint()
-      var frontier = srcs.withColumn("sigma", lit(1L)).localCheckpoint()
+      var frontier = srcs.withColumn("sigma", lit(1L))
       var visited = srcs
       val lay = scala.collection.mutable.Buffer(frontier)
+      // expands(l) = layer-l frontier ⋈ edges, i.e. (src, v∈layer l,
+      // w neighbor, σv). Checkpointed because it is read TWICE: the
+      // forward pass derives the next layer from it, and the backward
+      // pass reuses it as the (v→w) successor relation — the old shape
+      // re-joined the full |E|-row edge cache per backward layer.
+      val expands = scala.collection.mutable.Buffer[DataFrame]()
       for (l <- 1 to 3) {
-        val next = frontier.select(col("src"), col("v").as("u"), col("sigma"))
-          .join(es, "u")
-          .select(col("src"), col("v"), col("sigma"))
-          .join(visited, Seq("src", "v"), "left_anti")
+        val expand0 = frontier.select(col("src"), col("v"), col("sigma").as("sv"))
+          .join(es.select(col("u").as("v"), col("v").as("w")), "v")
+        // layer-0's expand is read only once (the backward fold stops at
+        // layer 1), so materializing it would be a pure cost
+        val expand = if (l == 1) expand0 else expand0.localCheckpoint()
+        expands += expand
+        val next = expand.select(col("src"), col("w").as("v"), col("sv").as("sigma"))
+          .join(visited.hint("shuffle_hash"), Seq("src", "v"), "left_anti")
           .groupBy("src", "v").agg(sum("sigma").as("sigma"))
           .localCheckpoint()
         lay += next
-        visited = visited.unionByName(next.select("src", "v")).localCheckpoint()
+        // union of already-checkpointed frames — lineage stays shallow
+        // without a checkpoint of its own
+        visited = visited.unionByName(next.select("src", "v"))
         frontier = next
       }
-      var deltaNext = lay(3).select(col("src"), col("v"), lit(0L).as("dq"))
       val bcParts = scala.collection.mutable.Buffer[DataFrame]()
+      var deltaNext: DataFrame = null
       for (l <- 2 to 1 by -1) {
-        val wSide = lay(l + 1)
+        // deepest layer: δ ≡ 0, so the delta join is an identity — feed
+        // σw straight from the layer relation
+        val wSide = if (l == 2)
+          lay(3).select(col("src"), col("v").as("w"), col("sigma").as("sw"),
+            lit(0L).as("dq"))
+        else lay(l + 1)
           .select(col("src"), col("v").as("w"), col("sigma").as("sw"))
           .join(deltaNext.select(col("src"), col("v").as("w"), col("dq")),
             Seq("src", "w"), "left")
           .na.fill(0L, Seq("dq"))
-        val contrib = lay(l).select(col("src"), col("v"), col("sigma").as("sv"))
-          .join(es.select(col("u").as("v"), col("v").as("w")), "v")
-          .join(wSide, Seq("src", "w"))
+        // successor edges (v ∈ layer l → w ∈ layer l+1): the inner join
+        // with wSide keeps exactly the expand rows whose w survived the
+        // forward anti-join — layer-sized, not |E|-sized
+        val contrib = expands(l)
+          .join(wSide.hint("shuffle_hash"), Seq("src", "w"))
           .withColumn("c", expr("(sv * (1000000 + dq)) div sw"))
           .groupBy("src", "v").agg(sum("c").as("dq"))
           .localCheckpoint()
