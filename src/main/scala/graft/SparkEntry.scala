@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_prefix",  // forced All-Pairs prefix + PPJoin path
     "dedup_ngram_jaccard_shuffle", // forced non-broadcast (shuffled) bitset join
     "dedup_minhash_shuffle",       // forced non-broadcast (shuffled) MinHash verify
+    "dedup_weighted_jaccard_shuffle", // forced non-broadcast weighted-Jaccard verify
     "dedup_cluster_cc_dist",       // forced distributed hook+compress CC
     "graph_kcore_shuffle",         // forced non-broadcast (shuffled) k-core peel
     "join_inner_merge"             // forced sort-merge twin of join_inner_hash

@@ -70,6 +70,38 @@ object Bitsets {
     acc
   }
 
+  /** Σ min(tf₁, tf₂) over the shared keys of two SORTED packed
+    * (key, frequency) arrays — the multiset-intersection mass of
+    * weighted Jaccard, by the same two-pointer merge as
+    * [[sortedIntersectCount]]. Each element packs a dictionary id and
+    * its term frequency as `id << 20 | tf` (tf < 2^20 — a per-document
+    * term count), so ascending array order is ascending id order and
+    * the whole verify is one allocation-free pass of
+    * O(|terms₁| + |terms₂|). Inputs must be sorted ascending, null-free,
+    * and carry at most one element per id. */
+  def packedTfMinOverlap(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      val kx = x >>> 20
+      val ky = y >>> 20
+      if (kx == ky) {
+        val tx = x & 0xFFFFFL
+        val ty = y & 0xFFFFFL
+        acc += (if (tx < ty) tx else ty)
+        i += 1; j += 1
+      }
+      else if (kx < ky) i += 1
+      else j += 1
+    }
+    acc
+  }
+
   /** Bitset directly from token STRINGS via a hashed dictionary — the
     * zero-shuffle encode path: when the dictionary is small enough to sit
     * in the plan as a map literal, per-doc sets become bitsets in a single
@@ -227,6 +259,35 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "sorted_intersect_count"
+}
+
+/** `packed_tf_min_overlap(a, b)`: Σ min(tf) over shared ids of two sorted
+  * `id << 20 | tf`-packed arrays (see [[Bitsets.packedTfMinOverlap]]). */
+case class PackedTfMinOverlapExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two non-null array<bigint> sorted packed arrays, got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitsets.packedTfMinOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.catalyst.Bitsets.packedTfMinOverlap($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackedTfMinOverlapExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "packed_tf_min_overlap"
 }
 
 /** `word_bigrams(text)`: consecutive space-separated word bigrams (see

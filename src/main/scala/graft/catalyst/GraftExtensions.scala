@@ -44,6 +44,9 @@ object GraftExtensions {
     descriptor("sorted_intersect_count", classOf[SortedIntersectCountExpr]) {
       children => SortedIntersectCountExpr(children(0), children(1))
     },
+    descriptor("packed_tf_min_overlap", classOf[PackedTfMinOverlapExpr]) {
+      children => PackedTfMinOverlapExpr(children(0), children(1))
+    },
     descriptor("ngram_shingles", classOf[NgramShinglesExpr]) {
       children => NgramShinglesExpr(children(0), children(1))
     },

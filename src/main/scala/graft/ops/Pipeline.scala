@@ -148,6 +148,74 @@ object Pipeline {
     }
   }
 
+  /** Shared oracle for `dedup_weighted_jaccard` and its forced-shuffle
+    * verify twin. */
+  private val weightedJaccardSql: String =
+    """WITH tok AS (SELECT doc_id, lang, tk, count(*) AS tf
+      |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+      |        FROM documents) GROUP BY 1, 2, 3),
+      |dt AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS t
+      |  FROM tok GROUP BY 1, 2),
+      |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.t AS t1, b.t AS t2
+      |  FROM dt a JOIN dt b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |    AND abs(a.t - b.t) <= 20),
+      |sm AS (SELECT c.d1, c.d2, c.t1, c.t2,
+      |    CAST(sum(least(x.tf, y.tf)) AS BIGINT) AS smin
+      |  FROM cand c JOIN tok x ON x.doc_id = c.d1
+      |    JOIN tok y ON y.doc_id = c.d2 AND y.tk = x.tk
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT d1, d2,
+      |  CAST(floor((smin * 1.0 / (t1 + t2 - smin)) * 10000) AS BIGINT) AS wj_c
+      |FROM sm WHERE smin * 1.0 / (t1 + t2 - smin) >= 0.4
+      |ORDER BY d1, d2""".stripMargin
+
+  /** Weighted-Jaccard near-dup pairs (see the `dedup_weighted_jaccard`
+    * entry for the full design note). Every document is encoded ONCE as
+    * a sorted `tid << 20 | tf` packed array (tids dense in global rarity
+    * order via the 2-pass histogram rank; tf < 2^20 bounds any real
+    * per-document term count), so the exact Σmin verify is a codegen'd
+    * merge over two doc-sized arrays instead of a (pair × token) shuffle.
+    * The banded pair join broadcasts the doc-sized build side only when
+    * provably bounded (≤500k docs — band blocking presumes a corpus
+    * partitioned by (lang, length band) anyway at larger scale);
+    * `forceShuffle` pins the unbounded shuffled plan for the verify-only
+    * twin. */
+  private def weightedJaccard(s: SparkSession, d: String,
+                              forceShuffle: Boolean): DataFrame = {
+    graft.catalyst.GraftExtensions.install(s)
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tk"))
+      .groupBy("doc_id", "lang", "tk").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // reused: dictionary build + packed encode
+    val dict = graft.api.Curation.rarityRank(
+      tok.groupBy("tk").agg(count(lit(1)).as("df")))
+    val packed = tok.join(dict.select("tk", "tid"), "tk")
+      .select(col("doc_id"), col("lang"),
+        (shiftleft(col("tid"), 20) + col("tf")).as("ptf"), col("tf"))
+      .groupBy("doc_id", "lang")
+      .agg(sort_array(collect_list(col("ptf"))).as("ptfs"), sum("tf").as("t"))
+      .localCheckpoint() // one row per document; feeds both pair sides
+    val a = packed.select(col("doc_id").as("d1"), col("lang").as("l1"),
+        col("t").as("t1"), col("ptfs").as("pa"))
+      .withColumn("cb1", floor(col("t1") / 20))
+    val b = packed.select(col("doc_id").as("d2"), col("lang").as("l2"),
+        col("t").as("t2"), col("ptfs").as("pb"))
+      .withColumn("cb2", explode(array(floor(col("t2") / 20) - 1,
+        floor(col("t2") / 20), floor(col("t2") / 20) + 1)))
+    val bounded = !forceShuffle &&
+      packed.limit(500001).count() <= 500000L
+    val bSide = if (bounded) broadcast(b) else b.hint("shuffle_hash")
+    a.join(bSide, col("l1") === col("l2") && col("cb1") === col("cb2") &&
+        col("d1") < col("d2") && abs(col("t1") - col("t2")) <= 20)
+      .withColumn("smin", call_function("packed_tf_min_overlap", col("pa"), col("pb")))
+      .filter(col("smin") * lit(1.0) / (col("t1") + col("t2") - col("smin")) >= 0.4)
+      .select(col("d1"), col("d2"),
+        canon(col("smin") * lit(1.0) / (col("t1") + col("t2") - col("smin")))
+          .as("wj_c"))
+      .orderBy("d1", "d2")
+  }
+
   /** Cross-set MinHash near-dup kernel: pairs `(d_new, d_old, jac)` of
     * `newDocs` × `corpus` with exact Jaccard ≥ `tau` — candidates come
     * only from new×old band collisions (never old×old), so the work of
@@ -244,39 +312,20 @@ object Pipeline {
     // token FREQUENCIES matter, so a doc repeating one phrase ten times
     // no longer matches a doc mentioning it once (the set-Jaccard blind
     // spot). Identity Σmax = T₁ + T₂ − Σ_∩min means only the shared-token
-    // min-sum is ever computed: candidates from (lang, total-token-band)
-    // blocking, then ONE pair×token equi-join on (doc, token) — bounded
-    // by the banding, never all-pairs, and the token relation shuffles
-    // keyed on doc_id like any fact join.
-    "dedup_weighted_jaccard" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("tk"))
-        .groupBy("doc_id", "lang", "tk").agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // reused: totals + both pair sides
-      val dtot = tok.groupBy("doc_id", "lang").agg(sum("tf").as("t"))
-      val a = dtot.select(col("doc_id").as("d1"), col("lang").as("l1"),
-          col("t").as("t1"))
-        .withColumn("cb1", floor(col("t1") / 20))
-      val b = dtot.select(col("doc_id").as("d2"), col("lang").as("l2"),
-          col("t").as("t2"))
-        .withColumn("cb2", explode(array(floor(col("t2") / 20) - 1,
-          floor(col("t2") / 20), floor(col("t2") / 20) + 1)))
-      val cand = a.join(b, col("l1") === col("l2") && col("cb1") === col("cb2") &&
-          col("d1") < col("d2") && abs(col("t1") - col("t2")) <= 20)
-        .select("d1", "d2", "t1", "t2")
-      cand
-        .join(tok.select(col("doc_id").as("d1"), col("tk"), col("tf").as("tf1")), "d1")
-        .join(tok.select(col("doc_id").as("d2"), col("tk"), col("tf").as("tf2")),
-          Seq("d2", "tk"))
-        .groupBy("d1", "d2", "t1", "t2")
-        .agg(sum(least(col("tf1"), col("tf2"))).as("smin"))
-        .filter(col("smin") * lit(1.0) / (col("t1") + col("t2") - col("smin")) >= 0.4)
-        .select(col("d1"), col("d2"),
-          canon(col("smin") * lit(1.0) / (col("t1") + col("t2") - col("smin")))
-            .as("wj_c"))
-        .orderBy("d1", "d2")
-    }),
+    // min-sum is ever computed. The verify never expands candidate pairs
+    // into (pair × token) rows: each document's term-frequency vector is
+    // dictionary-encoded once into ONE sorted `tid << 20 | tf` packed
+    // array, candidates come from (lang, total-token-band) blocking over
+    // the doc-sized relation, and Σmin per pair is a codegen'd two-pointer
+    // merge (`packed_tf_min_overlap`) — O(|terms₁|+|terms₂|) with zero
+    // per-pair shuffle rows. (A probabilistic MinHash prescreen cannot be
+    // used here: qualifying pairs reach set-Jaccard 1/3, below any LSH
+    // collision guarantee, and the operator is exact.) The doc-sized
+    // build side broadcasts only when provably bounded; the `_shuffle`
+    // verify-only twin pins the unbounded-corpus plan under the same
+    // oracle.
+    "dedup_weighted_jaccard" -> ((s, d) => weightedJaccard(s, d, forceShuffle = false)),
+    "dedup_weighted_jaccard_shuffle" -> ((s, d) => weightedJaccard(s, d, forceShuffle = true)),
 
     // SimHash: 16-bit fingerprint from per-bit majority votes of token md5
     // hex parity; candidates from 4-bit chunk buckets (pigeonhole: any two
@@ -817,24 +866,9 @@ object Pipeline {
         |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
 
-    "dedup_weighted_jaccard" ->
-      """WITH tok AS (SELECT doc_id, lang, tk, count(*) AS tf
-        |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tk
-        |        FROM documents) GROUP BY 1, 2, 3),
-        |dt AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS t
-        |  FROM tok GROUP BY 1, 2),
-        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.t AS t1, b.t AS t2
-        |  FROM dt a JOIN dt b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |    AND abs(a.t - b.t) <= 20),
-        |sm AS (SELECT c.d1, c.d2, c.t1, c.t2,
-        |    CAST(sum(least(x.tf, y.tf)) AS BIGINT) AS smin
-        |  FROM cand c JOIN tok x ON x.doc_id = c.d1
-        |    JOIN tok y ON y.doc_id = c.d2 AND y.tk = x.tk
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT d1, d2,
-        |  CAST(floor((smin * 1.0 / (t1 + t2 - smin)) * 10000) AS BIGINT) AS wj_c
-        |FROM sm WHERE smin * 1.0 / (t1 + t2 - smin) >= 0.4
-        |ORDER BY d1, d2""".stripMargin,
+    "dedup_weighted_jaccard" -> weightedJaccardSql,
+    // forced-shuffle twin: identical semantics, identical oracle
+    "dedup_weighted_jaccard_shuffle" -> weightedJaccardSql,
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk

@@ -368,6 +368,20 @@ class SpecOpsSuite extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("packed_tf_min_overlap: merge edge cases (empty, disjoint, shared, bounds)") {
+    graft.catalyst.GraftExtensions.install(spark)
+    def pack(pairs: (Long, Long)*): String =
+      pairs.map { case (id, tf) => (id << 20) | tf }.sorted.mkString("array(", "L,", "L)")
+    def eval(a: String, b: String): Long = spark.sql(
+      s"SELECT packed_tf_min_overlap(${a.replace("array()", "array_remove(array(0L), 0L)")}, " +
+        s"${b.replace("array()", "array_remove(array(0L), 0L)")}) v").head().getLong(0)
+    assert(eval("array()", pack(1L -> 3L)) === 0L)          // empty side
+    assert(eval(pack(1L -> 2L), pack(2L -> 2L)) === 0L)     // disjoint ids
+    assert(eval(pack(1L -> 2L, 2L -> 5L, 9L -> 1L),
+                pack(2L -> 3L, 9L -> 4L, 11L -> 7L)) === 3L + 1L) // min per shared id
+    assert(eval(pack(7L -> 0xFFFFFL), pack(7L -> 1L)) === 1L)     // tf at packing bound
+  }
+
   test("basket_triple_support ≡ brute-force 3-itemset counting in plain Scala") {
     val li = graft.io.Tables.lineitem(spark, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
