@@ -218,10 +218,29 @@ class HttpFeedPartitionReader(p: HttpFeedInputPartition)
     // only a MISSING field takes the spec default (README.md:315)
     val ct = Option[Any](str(n, "datacontenttype"))
       .getOrElse(UTF8String.fromString("application/json"))
+    // extension attributes (README.md:318): every envelope key that is not
+    // a core attribute survives the wire verbatim as a string entry, in
+    // wire order — `traceparent`, `partitionkey`, … Non-textual extension
+    // values ride as their compact-JSON rendering.
+    val fields = n.fields()
+    val extKeys = scala.collection.mutable.ArrayBuffer[Any]()
+    val extVals = scala.collection.mutable.ArrayBuffer[Any]()
+    while (fields.hasNext) {
+      val e = fields.next()
+      if (!HttpFeedPartitionReader.CoreAttributes.contains(e.getKey)) {
+        extKeys += UTF8String.fromString(e.getKey)
+        extVals += (if (e.getValue.isNull) null
+          else UTF8String.fromString(
+            if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString))
+      }
+    }
+    val ext = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(extKeys.toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(extVals.toArray))
     new GenericInternalRow(Array[Any](
       str(n, "specversion"), str(n, "id"), str(n, "type"), str(n, "source"),
       timeUs.map(Long.box).orNull, str(n, "subject"), str(n, "method"),
-      ct, str(n, "data")))
+      ct, str(n, "data"), ext))
   }
 
   override def next(): Boolean = {
@@ -251,4 +270,13 @@ class HttpFeedPartitionReader(p: HttpFeedInputPartition)
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+object HttpFeedPartitionReader {
+  /** Core envelope attributes (README.md:306-316 plus the engine's
+    * `time_us` metadata twin of `time`); everything else is an extension
+    * attribute (README.md:318). */
+  private[connector] val CoreAttributes: Set[String] = Set(
+    "specversion", "id", "type", "source", "time", "time_us",
+    "subject", "method", "datacontenttype", "data")
 }

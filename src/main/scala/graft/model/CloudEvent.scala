@@ -21,7 +21,14 @@ case class CloudEvent(
     subject: Option[String],          // README.md:313 — aggregate key
     method: Option[String],           // README.md:314 — PUT | DELETE
     datacontenttype: Option[String],  // README.md:315
-    data: Option[String]              // README.md:316 — raw JSON payload
+    data: Option[String],             // README.md:316 — raw JSON payload
+    /** CloudEvents extension attributes (README.md:318: "Further metadata
+      * may be added, e.g. for traceability"): every envelope key that is
+      * not a core attribute rides here verbatim as a string — a
+      * distributed-tracing `traceparent` or a routing `partitionkey`
+      * survives the wire unmodified. Defaulted so the 9-field
+      * constructors (fixtures, state zero values) stay source-compatible. */
+    extensions: Map[String, String] = Map.empty
 )
 
 object CloudEvent {
@@ -40,7 +47,11 @@ object CloudEvent {
                    * default — a wire-fed relation passes its own column
                    * through instead (non-JSON envelopes ride verbatim). */
                  contentType: org.apache.spark.sql.Column =
-                   org.apache.spark.sql.functions.lit("application/json"))
+                   org.apache.spark.sql.functions.lit("application/json"),
+                 /** Extension attributes (README.md:318); the fixture table
+                   * carries none, so the default is the empty map. */
+                 extensions: org.apache.spark.sql.Column =
+                   org.apache.spark.sql.functions.typedLit(Map.empty[String, String]))
       : org.apache.spark.sql.Dataset[CloudEvent] = {
     import org.apache.spark.sql.functions._
     val spark = ev.sparkSession
@@ -54,7 +65,8 @@ object CloudEvent {
       col("user_id").cast("string").as("subject"),
       when(col("event_type") === "error", DELETE).otherwise(PUT).as("method"),
       contentType.as("datacontenttype"),
-      col("props").as("data")
+      col("props").as("data"),
+      extensions.as("extensions")
     ).as[CloudEvent]
   }
 }

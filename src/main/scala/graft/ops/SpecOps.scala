@@ -57,6 +57,39 @@ object SpecOps {
         .orderBy("event_type")
     }),
 
+    // CloudEvents extension attributes (README.md:318: "Further metadata
+    // may be added, e.g. for traceability"): envelopes carry a W3C-style
+    // `traceparent` (on ~2/3 of events — absence exercises the missing-key
+    // path) and a `partitionkey` in the model's `extensions` map; the
+    // relation round-trips through the TYPED Dataset[CloudEvent] surface
+    // (proving the map survives the product encoder exactly like it
+    // survives the DSv2 wire — HttpSourceSuite covers the wire half),
+    // then per event type: trace coverage, distinct traces, the
+    // lexicographically first trace id, and partition-key cardinality.
+    // All extension values are md5-derived strings — deterministic in any
+    // engine.
+    "feed_trace_extension" -> ((s, d) => {
+      val tp = concat(lit("00-"), md5(col("event_id").cast("string")), lit("-"),
+        substring(md5(concat(lit("span:"), col("event_id").cast("string"))), 1, 16),
+        lit("-01"))
+      val ext = map_filter(
+        map(lit("partitionkey"), col("user_id").cast("string"),
+          lit("traceparent"), when(col("event_id") % 3 =!= 0, tp)),
+        (_, v) => v.isNotNull)
+      graft.model.CloudEvent.fromEvents(Tables.events(s, d), extensions = ext)
+        .toDF()
+        .select(col("type"),
+          element_at(col("extensions"), "traceparent").as("tp"),
+          element_at(col("extensions"), "partitionkey").as("pk"))
+        .groupBy("type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("tp")).as("n_traced"),
+          countDistinct(col("tp")).as("n_traces"),
+          min(col("tp")).as("min_trace"),
+          countDistinct(col("pk")).as("n_partitions"))
+        .orderBy("type")
+    }),
+
     // Non-JSON datacontenttype (README.md:315): a mixed feed where some
     // envelopes carry binary payloads (base64 data, octet-stream media
     // type) or plain text instead of the JSON default; route by media
@@ -181,6 +214,20 @@ object SpecOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "feed_trace_extension" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 3 <> 0 THEN
+        |      '00-' || md5(CAST(event_id AS VARCHAR)) || '-' ||
+        |      substr(md5('span:' || CAST(event_id AS VARCHAR)), 1, 16) || '-01'
+        |    END AS tp
+        |  FROM events)
+        |SELECT event_type AS type, count(*) AS n_events,
+        |  count(tp) AS n_traced,
+        |  CAST(count(DISTINCT tp) AS BIGINT) AS n_traces,
+        |  min(tp) AS min_trace,
+        |  CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT) AS n_partitions
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "uuid6_time_order" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id % 3 AS writer,
         |             event_type,

@@ -28,7 +28,12 @@ object CloudEventsParse {
     StructField("subject", StringType),
     StructField("method", StringType),
     StructField("datacontenttype", StringType),
-    StructField("data", StringType)))
+    StructField("data", StringType),
+    // extension attributes (README.md:318) — unmatched envelope keys as
+    // strings; `from_json` cannot fold unknown keys into a map, so the
+    // batch parse path leaves this null and the DSv2 connector (which
+    // walks the raw JSON) populates it
+    StructField("extensions", MapType(StringType, StringType))))
 
   val pageSchema: ArrayType = ArrayType(envelopeSchema)
 

@@ -40,6 +40,34 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("extension attributes survive the wire verbatim (README.md:318)") {
+    // one envelope with traceability extensions, one without any
+    val id1 = SeqId.encodeFn(1L, "u0001")
+    val json1 =
+      s"""{"specversion":"1.0","id":"$id1","type":"t.example","source":"srv",
+         |"time_us":1700000000000000,"subject":"s1","method":"PUT",
+         |"datacontenttype":"application/json","data":"{\\"v\\":1}",
+         |"traceparent":"00-4bf92f3577b34da6a3ce929d0e0e4736-00f067aa0ba902b7-01",
+         |"partitionkey":"s1","sequence":42}""".stripMargin.replace("\n", "")
+    val (id2, json2) = envelopeJson(2, "s2")
+    val server = new TestFeedServer(Seq((id1, json1), (id2, json2)), pageSize = 10)
+    try {
+      val rows = spark.read.format("http-feed").option("url", server.url).load()
+        .orderBy("id").collect()
+      assert(rows.length === 2)
+      val ext1 = rows(0).getAs[Map[String, String]]("extensions")
+      assert(ext1 === Map(
+        "traceparent" -> "00-4bf92f3577b34da6a3ce929d0e0e4736-00f067aa0ba902b7-01",
+        "partitionkey" -> "s1",
+        "sequence" -> "42")) // non-textual extension rides as its JSON text
+      // core attributes are untouched by the extension walk
+      assert(rows(0).getAs[String]("data") === """{"v":1}""")
+      assert(rows(0).getAs[String]("subject") === "s1")
+      // an envelope with no extension keys yields an EMPTY map, not null
+      assert(rows(1).getAs[Map[String, String]]("extensions") === Map.empty)
+    } finally server.stop()
+  }
+
   test("batch read replays the full feed (bounded replay, README.md:95-109)") {
     val events = (1L to 45L).map(i => envelopeJson(i, s"s$i"))
     val server = new TestFeedServer(events, pageSize = 10)
