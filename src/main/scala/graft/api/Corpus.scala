@@ -106,9 +106,13 @@ object Corpus {
     val keyed = df.filter(id.isNotNull)
       .withColumn("_graft_skey", md5(id.cast("string")))
       .withColumn("_graft_bkt", substring(col("_graft_skey"), 1, bucketChars))
-    val wHist = Window.orderBy("_graft_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy("_graft_bkt").agg(count(lit(1)).as("_graft_cb"))
-      .withColumn("_graft_off", coalesce(sum("_graft_cb").over(wHist), lit(0L)))
+    // the hex bucket decodes to a dense integer, so the cumulative offsets
+    // fold through the range-partitioned histogram helper — no
+    // unpartitioned window even over the 16^bucketChars bucket relation
+    val offsets = Histograms.cumulativeFold(
+        keyed.groupBy("_graft_bkt").agg(count(lit(1)).as("_graft_cb")),
+        conv(col("_graft_bkt"), 16, 10),
+        Seq(Histograms.CumSpec(col("_graft_cb"), "_graft_off")))
       .select("_graft_bkt", "_graft_off")
     val wIn = Window.partitionBy("_graft_bkt").orderBy(col("_graft_skey"), id)
     keyed.join(broadcast(offsets), "_graft_bkt")

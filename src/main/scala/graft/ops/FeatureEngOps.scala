@@ -83,9 +83,8 @@ object FeatureEngOps {
       val hist = Tables.orders(s, d)
         .select(expr("CAST(floor(o_totalprice) AS BIGINT) div 1000").as("kv"))
         .groupBy("kv").agg(count(lit(1)).as("nb"))
-      val w = Window.orderBy("kv").rowsBetween(Window.unboundedPreceding, -1)
-      hist.withColumn("cumb", coalesce(sum("nb").over(w), lit(0L)))
-        .withColumn("n", sum("nb").over(Window.partitionBy()))
+      graft.api.Histograms.cumulativeFold(hist, col("kv"),
+          Seq(graft.api.Histograms.CumSpec(col("nb"), "cumb", Some("n"))))
         .withColumn("bin", least(expr("(cumb * 10) div n"), lit(9L)))
         .groupBy("bin")
         .agg(sum("nb").as("n_orders"), min("kv").as("lo_k"), max("kv").as("hi_k"))

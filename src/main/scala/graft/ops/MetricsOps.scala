@@ -52,17 +52,18 @@ object MetricsOps {
           .cast("long").as("score_c"),
         col("label").cast("long").as("label"))
       val hist = scored.groupBy("score_c").agg(count(lit(1)).as("nb"))
-      val wS = Window.orderBy("score_c")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = hist.withColumn("r2",
-        lit(2L) * coalesce(sum("nb").over(wS), lit(0L)) + col("nb") + lit(1L))
+      // range-partitioned histogram fold (api/Histograms): cum_lt without
+      // any unpartitioned window, even over the histogram
+      val ranked = graft.api.Histograms.cumulativeFold(hist, col("score_c"),
+          Seq(graft.api.Histograms.CumSpec(col("nb"), "cum_lt")))
+        .withColumn("r2", lit(2L) * col("cum_lt") + col("nb") + lit(1L))
       val perBL = scored.groupBy("score_c", "label").agg(count(lit(1)).as("c"))
       val contrib = perBL.join(ranked.select("score_c", "r2"), "score_c")
-      // total row count = Σ n_pos over the |labels|-sized aggregate (every
-      // row has exactly one label) — a window over ≤10 rows, no extra job
+      // total row count from a 1-row broadcast aggregate (every row has
+      // exactly one label)
       contrib.groupBy("label")
         .agg(sum("c").as("n_pos"), sum(col("c") * col("r2")).as("sum_r2"))
-        .withColumn("tot", sum("n_pos").over(Window.partitionBy()))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("tot"))))
         .withColumn("u2",
           col("sum_r2") - col("n_pos") * (col("n_pos") + lit(1L)))
         .withColumn("auc_ppm",

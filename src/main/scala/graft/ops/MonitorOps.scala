@@ -245,13 +245,11 @@ object MonitorOps {
         .groupBy("o_custkey")
         .agg(sum(floor(col("o_totalprice")).cast("long")).as("r"))
       val hist = rev.groupBy("r").agg(count(lit(1)).as("c"))
-      val wDesc = Window.orderBy(col("r").desc)
-      val wAll = Window.partitionBy()
-      val cum = hist
-        .withColumn("cum_rev", sum(col("r") * col("c")).over(wDesc))
-        .withColumn("cum_cust", sum("c").over(wDesc))
-        .withColumn("tot_rev", sum(col("r") * col("c")).over(wAll))
-        .withColumn("tot_cust", sum("c").over(wAll))
+      val cum = graft.api.Histograms.cumulativeFold(hist, col("r"),
+        Seq(
+          graft.api.Histograms.CumSpec(col("r") * col("c"), "cum_rev", Some("tot_rev")),
+          graft.api.Histograms.CumSpec(col("c"), "cum_cust", Some("tot_cust"))),
+        ascending = false, inclusive = true)
       def need(p: Int) = cum
         .filter(col("cum_rev") * 100 >= col("tot_rev") * p)
         .agg(lit(p.toLong).as("threshold_pct"),

@@ -46,11 +46,10 @@ object RobustOps {
       // inside int64 where the uncentered N⁴ cross terms overflow.
       def midranks(c: String): DataFrame = {
         val h = rows.groupBy(c).agg(count(lit(1)).as("nb"))
-        val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
-        h.withColumn("ntot", sum("nb").over(Window.partitionBy()))
+        graft.api.Histograms.cumulativeFold(h, col(c),
+            Seq(graft.api.Histograms.CumSpec(col("nb"), "cum_lt", Some("ntot"))))
           .withColumn(s"r2$c",
-            lit(2L) * coalesce(sum("nb").over(w), lit(0L)) + col("nb")
-              - col("ntot"))
+            lit(2L) * col("cum_lt") + col("nb") - col("ntot"))
           .select(col(c), col(s"r2$c"))
       }
       rows.join(broadcast(midranks("x")), "x")

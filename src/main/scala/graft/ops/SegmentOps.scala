@@ -147,12 +147,9 @@ object SegmentOps {
       // ABC rank via the 2-pass VALUE-histogram (cume over distinct
       // revenue values, value-bounded) — never a data-sized global window
       val hist = parts.groupBy("sx").agg(count(lit(1)).as("c"))
-      val wDesc = Window.orderBy(col("sx").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      val ranked = hist
-        .withColumn("cum_ge", sum("c").over(wDesc))
-        .withColumn("np", sum("c").over(wAll))
+      val ranked = graft.api.Histograms.cumulativeFold(hist, col("sx"),
+          Seq(graft.api.Histograms.CumSpec(col("c"), "cum_ge", Some("np"))),
+          ascending = false, inclusive = true)
         .select(col("sx"), expr("(cum_ge * 1000000) div np").as("rank_ppm"))
       val perPart = parts.join(ranked, "sx")
         .withColumn("abc", when(col("rank_ppm") <= 200000, "A")
@@ -179,12 +176,8 @@ object SegmentOps {
           expr("(size(array_distinct(tks)) * 1000000) div size(tks)"))
         .select("doc_id", "score")
       val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
-      val wc = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wt = Window.partitionBy()
-      val ranked = hist
-        .withColumn("cum_lt", coalesce(sum("c").over(wc), lit(0L)))
-        .withColumn("n", sum("c").over(wt))
+      val ranked = graft.api.Histograms.cumulativeFold(hist, col("score"),
+        Seq(graft.api.Histograms.CumSpec(col("c"), "cum_lt", Some("n"))))
       scored.join(ranked.select("score", "cum_lt", "n"), "score")
         .withColumn("pctl_ppm",
           expr("(cum_lt * 1000000) div (n - 1)"))

@@ -70,6 +70,12 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "feed_manifest_merkle", // × single-row Merkle root digest
     "emb_covariance_topk",  // × single-row vector count (n for n·Σxy − ΣxΣy)
     "stats_selectivity_probe", // × 1-row stats + 3-row probe panel + 256-cell hist
+    // range-partitioned histogram folds (api/Histograms.cumulativeFold):
+    // 1-row stats/total broadcasts + the bounded (<=1024-row)
+    // superbucket boundary self-join
+    "auc_eval", "score_percentile_norm", "orders_value_pareto",
+    "abc_xyz_matrix", "feature_bin_quantile", "corr_spearman",
+    "corpus_shuffle_order", "train_shard_manifest", "quality_pipeline_e2e",
     "q15_top_supplier",  // × single-row max-revenue bound
     "q22_idle_customers" // × single-row positive-balance average
   )
@@ -80,32 +86,23 @@ class ScaleInvariantSuite extends AnyFunSuite {
   private val globalWindowByDesign = Set(
     "win_ntile_dense",      // value-range histogram
     "corpus_mix_weights",   // (lang, length-bucket) relation
-    "corpus_shuffle_order", // 4096-bucket key histogram
-    "train_shard_manifest", // same histogram via its shuffleOrder stage
     "feed_gap_detect",      // bucket min/max summary relation only
-    "quality_pipeline_e2e", // same histogram via its shuffleOrder stage
     "dedup_ngram_jaccard_prefix", // (df, prefix-bucket) histogram offsets only
     "dedup_containment",    // (df, prefix-bucket) histogram offsets only
     "rank_fusion_rrf",      // rank windows over ≤50-row LIMITed top-k arms
     "chisq_independence",   // |status|×|priority| contingency-cell relation
-    "auc_eval",             // score-bucket histogram + |labels|-row total
     "k_anonymity_check",    // quasi-identifier combo relation only
     "retention_sweep_plan", // calendar-sized daily relation only
     "drift_l1_buckets",     // value-bounded feature-band relation only
     "stump_split_gain",     // n_chars-band histogram only
     "rfm_segments",         // |users|-keyed aggregate; global max over it
-    "score_percentile_norm" // score-bucket histogram only
   ) ++ Set(
     "stats_histogram_grid", // |bands|×|cents| grid relation only
     "dq_benford_digits",    // 9-digit histogram only
     "ab_test_lift",         // 2-row arm relation only
-    "orders_value_pareto",  // customer-revenue value histogram only
-    "abc_xyz_matrix",       // part-revenue value histogram only
     "order_size_histogram", // ≤|max lines|-row histogram only
     "lm_kneser_ney",        // vocabulary-sized continuation-count relation
     "orders_backlog_daily", // calendar-day histogram only
-    "corr_spearman",        // value-bounded midrank histograms only
-    "feature_bin_quantile", // k$ value histogram only
     "ts_rolling_correlation", // calendar-day series only
     "feed_backfill_partition_plan" // page-histogram relation only
   )
