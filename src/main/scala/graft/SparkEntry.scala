@@ -54,6 +54,7 @@ object SparkEntry {
       (ExportOps.queries, ExportOps.oracles),
       (ExtOps.queries, ExtOps.oracles),
       (TpchTailOps.queries, TpchTailOps.oracles),
+      (TpchFullOps.queries, TpchFullOps.oracles),
       (FlowOps.queries, FlowOps.oracles),
       (BitGraphOps.queries, BitGraphOps.oracles),
       (ApproxOps.queries, ApproxOps.oracles),

@@ -336,6 +336,30 @@ object StatsOps {
         .orderBy("c_mktsegment")
     }),
 
+    // Skew-salted two-stage aggregation (the agg twin of
+    // join_skew_salted): stage 1 pre-aggregates on (key, salt) — the
+    // 16-way md5 salt splits any hot key's rows across reducers — and
+    // stage 2 combines the ≤16 partials per key. Count and integer sums
+    // are merge-decomposable, so the result is byte-identical to the
+    // direct groupBy (the oracle IS the unsalted SQL). Spark's own
+    // partial aggregation covers this when upstream partitions are
+    // balanced; the explicit salt stage is the shape for inputs arriving
+    // pre-partitioned BY the hot key (post-join fan-in, sorted feeds),
+    // where map-side combine sees one key per task and stops helping.
+    "agg_skew_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 2), 16, 10) " +
+            "AS BIGINT) % 16").as("salt"),
+          col("value"))
+      ev.groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(floor(col("value") * lit(10000.0)).cast("long")).as("pv"))
+        .groupBy("event_type")
+        .agg(sum("pn").as("n_ev"), sum("pv").as("value_c"))
+        .orderBy("event_type")
+    }),
+
     // Held-out LM evaluation: the add-one bigram model's counts come from
     // the TRAIN split (doc_id % 100 ≠ 0) only; held-out docs
     // (doc_id % 100 = 0) are scored against them — unseen bigrams and
@@ -690,6 +714,13 @@ object StatsOps {
         |  (n_hit * 1000000) // n_chunks AS scan_ppm
         |FROM u ORDER BY layout""".stripMargin
     },
+
+    // the oracle is the DIRECT (unsalted) aggregate — the salted
+    // two-stage plan must be byte-identical to it
+    "agg_skew_salted" ->
+      """SELECT event_type, count(*) AS n_ev,
+        |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n_ev,

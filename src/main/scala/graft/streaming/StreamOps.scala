@@ -35,6 +35,11 @@ object StreamOps {
   /** Plain document row for the streaming-admission fixture. */
   case class Doc(doc_id: Long, lang: String, text: String)
 
+  /** Merged-interval state for `stream_interval_union_state`: parallel
+    * sorted start/end arrays (disjoint islands) + events-seen counter. */
+  case class IvState(starts: Seq[Long], ends: Seq[Long], n: Long)
+  case class IvOut(user_id: Long, n_islands: Long, covered_us: Long, n_seen: Long)
+
   /** Read-model state output row (envelope projection). */
   case class StateOut(subject: Long, id: String, event_type: String, method: String)
 
@@ -1237,6 +1242,57 @@ object StreamOps {
         .orderBy("d_new", "d_old")
     }),
 
+    // STREAMING interval-union coverage (batch twin
+    // ts_interval_union_coverage, same oracle bounds): per-user MERGED
+    // disjoint-interval state — each event contributes [ts, ts+5min],
+    // inserted with in-place merge so the state size is the number of
+    // ISLANDS (bounded by coverage/gap structure, not event count), the
+    // fixed-memory form a billing/engagement meter needs on an unbounded
+    // stream. Emissions carry the per-user events-seen counter
+    // (monotone), so the final answer is the max-counter emission per
+    // user — islands themselves can merge (decrease) across batches.
+    "stream_interval_union_state" -> ((s, d) => {
+      import s.implicits._
+      val len = 300000000L // 5 min in µs
+      val rows = evRowsCollected(s, d).sortBy(_.event_id)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Ev](s)
+      def update(user: Long, it: Iterator[Ev],
+                 state: GroupState[IvState]): Iterator[IvOut] = {
+        val st0 = state.getOption.getOrElse(IvState(Nil, Nil, 0L))
+        var iv: List[(Long, Long)] = st0.starts.zip(st0.ends).toList
+        var n = st0.n
+        it.foreach { e =>
+          val (a, b) = (e.ts_us, e.ts_us + len)
+          val (before, rest) = iv.span(_._2 < a) // end < start: disjoint left
+          val (overl, after) = rest.span(_._1 <= b) // start ≤ end: merges
+          val merged =
+            if (overl.isEmpty) (a, b)
+            else (math.min(a, overl.head._1), math.max(b, overl.map(_._2).max))
+          iv = before ::: (merged :: after)
+          n += 1
+        }
+        state.update(IvState(iv.map(_._1), iv.map(_._2), n))
+        Iterator.single(IvOut(user, iv.size.toLong,
+          iv.map(t => t._2 - t._1).sum, n))
+      }
+      val model = ms.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      val emitted = runToMemory(s, model.toDF(), freshName("ivunion"),
+          OutputMode.Update) { q =>
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()          // batch boundary: intervals carry
+        ms.addData(b2.toSeq)
+      }
+      emitted.groupBy("user_id")
+        .agg(max(struct(col("n_seen"), col("n_islands"), col("covered_us")))
+          .as("m"))
+        .select(col("user_id"), col("m.n_islands").as("n_islands"),
+          col("m.covered_us").as("covered_us"))
+        .orderBy("user_id")
+    }),
+
     // Streaming heavy hitters as aggregation state: per (type, user)
     // count + canon value sum maintained across micro-batches in Update
     // mode (both monotone — values are non-negative — so the final state
@@ -1965,6 +2021,24 @@ object StreamOps {
 
     // the table_fingerprint algebra over the bounded replay window —
     // live aggregation state must land the batch checksum
+    "stream_interval_union_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |  WHERE event_id < 20000),
+        |m AS (SELECT *, max(us + 300000000) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN pmax IS NULL OR us > pmax THEN 1 ELSE 0 END
+        |    AS ni FROM m),
+        |s AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid FROM f),
+        |isl AS (SELECT user_id, iid, min(us) AS is_start,
+        |    max(us + 300000000) AS is_end
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(is_end - is_start) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "stream_fingerprint_state" -> {
       val hv = graft.api.Sampling.hexDecodeSql(
         "md5(CAST(event_id AS VARCHAR) || '|' || event_type)")

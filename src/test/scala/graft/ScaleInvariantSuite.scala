@@ -77,7 +77,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "abc_xyz_matrix", "feature_bin_quantile", "corr_spearman",
     "corpus_shuffle_order", "train_shard_manifest", "quality_pipeline_e2e",
     "q15_top_supplier",  // × single-row max-revenue bound
-    "q22_idle_customers" // × single-row positive-balance average
+    "q22_idle_customers", // × single-row positive-balance average
+    "q11_important_stock" // × single-row global shipped-value total
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a

@@ -802,4 +802,130 @@ class SpecOpsSuite extends AnyFunSuite {
     assert(ratios.head >= 500 && ratios.last <= 60000,
       s"JL ratio range [${ratios.head}, ${ratios.last}]")
   }
+
+  // ---- driver-round-9 batch: TPC-H completion + skew agg + stream state ----
+
+  test("q11_important_stock ≡ brute-force share filter in plain Scala") {
+    val li = graft.io.Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * (1.0 - r.getDouble(2)) * 100.0).toLong))
+    val perPart = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tot = perPart.values.sum
+    val np = perPart.size.toLong
+    val expected = perPart.filter { case (_, v) => v * np * 5L > tot * 6L }
+    val got = SparkEntry.queries("q11_important_stock")(spark, d).collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("value_c")).toMap
+    assert(got === expected)
+  }
+
+  test("q12_ship_priority_mix ≡ brute-force conditional counts in plain Scala") {
+    val orders = graft.io.Tables.orders(spark, d)
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+        col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val hi = Set("1-URGENT", "2-HIGH")
+    val cls = Array("AIR", "SHIP", "TRUCK")
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    graft.io.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("sd_us"))
+      .collect().foreach { r =>
+        val (odUs, prio) = orders(r.getLong(0))
+        if (r.getLong(2) - odUs >= 45L * 86400000000L) {
+          val c = cls((r.getLong(1) % 3).toInt)
+          val (h, l) = acc(c)
+          acc(c) = if (hi(prio)) (h + 1, l) else (h, l + 1)
+        }
+      }
+    val got = SparkEntry.queries("q12_ship_priority_mix")(spark, d).collect()
+      .map(r => r.getAs[String]("ship_class") ->
+        (r.getAs[Long]("high_line_count"), r.getAs[Long]("low_line_count"))).toMap
+    assert(got === acc.toMap)
+  }
+
+  test("q20_promo_excess ≡ brute-force threshold semi-join in plain Scala") {
+    val econ = graft.io.Tables.part(spark, d).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val shipped = graft.io.Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        year(col("l_shipdate")).as("sy")).collect()
+      .filter(r => econ(r.getLong(0)) && r.getInt(3) == 1998)
+      .map(r => ((r.getLong(0), r.getLong(1)), math.floor(r.getDouble(2)).toLong))
+    val bySuppPart = shipped.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byPart = bySuppPart.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val excess = bySuppPart.collect {
+      case ((pk, sk), q) if q * 2 > byPart(pk) => sk
+    }.toSet
+    val got = SparkEntry.queries("q20_promo_excess")(spark, d).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    assert(got === excess)
+  }
+
+  test("q9_product_profit ≡ brute-force nation-year profit in plain Scala") {
+    val promo = graft.io.Tables.part(spark, d).filter(col("p_type") === "PROMO")
+      .select("p_partkey", "p_retailprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nation = graft.io.Tables.nation(spark, d).select("n_nationkey", "n_name")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val supp = graft.io.Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+      .collect().map(r => r.getLong(0) -> nation(r.getInt(1))).toMap
+    val oyear = graft.io.Tables.orders(spark, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("oy"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val acc = scala.collection.mutable.Map[(String, Long), Long]().withDefaultValue(0L)
+    graft.io.Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount").collect().foreach { r =>
+        promo.get(r.getLong(1)).foreach { retail =>
+          val rev = math.floor(r.getDouble(4) * (1.0 - r.getDouble(5)) * 100.0).toLong
+          val cost = math.floor(retail * r.getDouble(3) * 60.0).toLong
+          acc((supp(r.getLong(2)), oyear(r.getLong(0)))) += rev - cost
+        }
+      }
+    val got = SparkEntry.queries("q9_product_profit")(spark, d).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year")) ->
+        r.getAs[Long]("profit_c")).toMap
+    assert(got === acc.toMap)
+  }
+
+  test("agg_skew_salted ≡ direct unsalted aggregate in plain Scala") {
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    graft.io.Tables.events(spark, d).select("event_type", "value").collect()
+      .foreach { r =>
+        val (n, v) = acc(r.getString(0))
+        acc(r.getString(0)) = (n + 1, v + math.floor(r.getDouble(1) * 10000.0).toLong)
+      }
+    val got = SparkEntry.queries("agg_skew_salted")(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_ev"), r.getAs[Long]("value_c"))).toMap
+    assert(got === acc.toMap)
+  }
+
+  test("stream_interval_union_state ≡ plain-Scala interval merge per user") {
+    val len = 300000000L
+    val ev = graft.io.Tables.events(spark, d).filter(col("event_id") < 20000)
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).view.mapValues { rows =>
+      val ts = rows.map(_._2).sorted
+      var islands = 0L
+      var covered = 0L
+      var curStart = -1L
+      var curEnd = -1L
+      ts.foreach { t =>
+        if (curEnd < 0 || t > curEnd) {
+          if (curEnd >= 0) covered += curEnd - curStart
+          islands += 1; curStart = t; curEnd = t + len
+        } else curEnd = math.max(curEnd, t + len)
+      }
+      covered += curEnd - curStart
+      (islands, covered)
+    }.toMap
+    val got = SparkEntry.queries("stream_interval_union_state")(spark, d).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("covered_us"))).toMap
+    assert(got === expected)
+  }
 }
