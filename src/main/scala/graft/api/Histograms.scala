@@ -26,8 +26,16 @@ import org.apache.spark.sql.functions._
   *
   * No WindowExec in the plan is unpartitioned; the only nested-loop joins
   * broadcast a 1-row stats/total relation or the ≤1024-row superbucket
-  * summary. Every quantity is exact int64 arithmetic, so results are
-  * bit-identical to the single-window form.
+  * summary. The per-bucket boundary relation (lvl2) is NOT statically
+  * bounded the same way — it carries one row per non-empty level-1 bucket
+  * (up to 2²⁰ × the spec count in the worst case), so its join is left
+  * unhinted and AQE picks broadcast vs shuffle from the measured runtime
+  * size; lvl1 already hash-partitions on the bucket id from its window
+  * exchange, so the shuffle fallback reuses that partitioning. Every
+  * quantity is exact int64 arithmetic, so results are bit-identical to
+  * the single-window form. Value spans that would overflow the int64
+  * width arithmetic (mx − mn ≥ 2⁶³) fail loudly via a runtime guard
+  * rather than silently mis-bucketing.
   */
 object Histograms {
 
@@ -60,9 +68,16 @@ object Histograms {
     val h = withW.crossJoin(broadcast(stats))
       .withColumn("_gh_vp",
         if (ascending) col("_gh_v") - col("_gh_mn") else col("_gh_mx") - col("_gh_v"))
-      // adaptive width: ≤ 2^20 level-1 buckets whatever the value span
+      // adaptive width: ≤ 2^20 level-1 buckets whatever the value span.
+      // The guard folds into the width term (coalesce(null,0) when the
+      // span fits) so column pruning cannot drop it: a span ≥ 2^63 would
+      // overflow both `_gh_mx - _gh_mn` and `_gh_v - _gh_mn`.
       .withColumn("_gh_w1",
-        greatest(lit(1L), expr("(_gh_mx - _gh_mn) div 1048576 + 1")))
+        greatest(lit(1L) + coalesce(assert_true(
+            col("_gh_mx").cast("double") / 2 - col("_gh_mn").cast("double") / 2 < lit(4.6e18),
+            lit("cumulativeFold: value span >= 2^63 overflows int64 bucket arithmetic — rescale values before folding")
+          ).cast("long"), lit(0L)),
+          expr("(_gh_mx - _gh_mn) div 1048576 + 1")))
       .withColumn("_gh_b1", expr("_gh_vp div _gh_w1"))
       .withColumn("_gh_b2", expr("_gh_b1 div 1024"))
       .drop("_gh_mn", "_gh_mx", "_gh_w1")
@@ -91,10 +106,14 @@ object Histograms {
       .agg(coalesce(sum(col("_gh_sb0")), lit(0L)).as("_gh_cb0"),
         is.tail.map(i => coalesce(sum(col(s"_gh_sb$i")), lit(0L)).as(s"_gh_cb$i")): _*)
     val totals = aggAll(s2, Seq.empty, i => s"_gh_st$i", i => s"_gh_tt$i")
-    // assemble: boundary(superbucket) + boundary(bucket) + in-bucket
+    // assemble: boundary(superbucket) + boundary(bucket) + in-bucket.
+    // lvl2 (per-bucket boundaries) can reach 2^20 rows × specs, so no
+    // static broadcast hint: AQE broadcasts when the runtime size fits
+    // and falls back to a shuffle join that reuses lvl1's window
+    // partitioning on _gh_b1 when it doesn't.
     val joined = lvl1
-      .join(broadcast(lvl2.select(col("_gh_b1").as("_gh_b1j") +:
-        is.map(i => col(s"_gh_c2$i")): _*)),
+      .join(lvl2.select(col("_gh_b1").as("_gh_b1j") +:
+        is.map(i => col(s"_gh_c2$i")): _*),
         col("_gh_b1") === col("_gh_b1j"))
       .join(broadcast(cum2.withColumnRenamed("_gh_b2", "_gh_b2j")),
         col("_gh_b2") === col("_gh_b2j"))

@@ -380,7 +380,7 @@ object GraphOps {
       val prevN = alive
       alive = deg.filter(col("deg") >= k).select("u").localCheckpoint()
       prevN.agg(count(lit(1)).as("n_prev"))
-        .crossJoin(alive.agg(count(lit(1)).as("n_alive")))
+        .crossJoin(broadcast(alive.agg(count(lit(1)).as("n_alive"))))
         .select(lit(r.toLong).as("round"),
           (col("n_prev") - col("n_alive")).as("n_removed"),
           col("n_alive"))

@@ -172,8 +172,10 @@ object Pipeline {
   /** Weighted-Jaccard near-dup pairs (see the `dedup_weighted_jaccard`
     * entry for the full design note). Every document is encoded ONCE as
     * a sorted `tid << 20 | tf` packed array (tids dense in global rarity
-    * order via the 2-pass histogram rank; tf < 2^20 bounds any real
-    * per-document term count), so the exact Σmin verify is a codegen'd
+    * order via the 2-pass histogram rank; tf < 2^20 is ENFORCED at encode
+    * time — a pathological document repeating one token ≥2^20 times fails
+    * the query loudly instead of silently corrupting the tid bits), so
+    * the exact Σmin verify is a codegen'd
     * merge over two doc-sized arrays instead of a (pair × token) shuffle.
     * The banded pair join broadcasts the doc-sized build side only when
     * provably bounded (≤500k docs — band blocking presumes a corpus
@@ -192,7 +194,12 @@ object Pipeline {
       tok.groupBy("tk").agg(count(lit(1)).as("df")))
     val packed = tok.join(dict.select("tk", "tid"), "tk")
       .select(col("doc_id"), col("lang"),
-        (shiftleft(col("tid"), 20) + col("tf")).as("ptf"), col("tf"))
+        // 20-bit tf contract of Bitsets.packedTfMinOverlap, enforced here
+        (shiftleft(col("tid"), 20) +
+          when(col("tf") < lit(1048576L), col("tf")).otherwise(raise_error(
+            concat(lit("weightedJaccard: tf >= 2^20 breaks tid<<20|tf packing (doc_id="),
+              col("doc_id").cast("string"), lit(")"))))).as("ptf"),
+        col("tf"))
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("ptf"))).as("ptfs"), sum("tf").as("t"))
       .localCheckpoint() // one row per document; feeds both pair sides

@@ -31,14 +31,22 @@ object CloudEventsParse {
     StructField("data", StringType),
     // extension attributes (README.md:318) — unmatched envelope keys as
     // strings; `from_json` cannot fold unknown keys into a map, so the
-    // batch parse path leaves this null and the DSv2 connector (which
-    // walks the raw JSON) populates it
+    // batch parse path only sees an explicit `extensions` JSON object and
+    // the DSv2 connector (which walks the raw JSON) folds loose keys in
     StructField("extensions", MapType(StringType, StringType))))
 
   val pageSchema: ArrayType = ArrayType(envelopeSchema)
 
-  /** Parse a batch page string into an array of envelope structs. */
-  def parsePage(page: Column): Column = from_json(page, pageSchema)
+  /** Parse a batch page string into an array of envelope structs.
+    *
+    * `extensions` is canonicalized to an EMPTY map when the envelope
+    * carries none, matching the DSv2 wire reader (HttpFeedSource), so "no
+    * extensions" has one representation regardless of ingestion path and
+    * downstream equality/fingerprint ops cannot diverge by path. */
+  def parsePage(page: Column): Column =
+    transform(from_json(page, pageSchema), e =>
+      e.withField("extensions", coalesce(e.getField("extensions"),
+        map().cast(MapType(StringType, StringType)))))
 
   /** Explode a batch page string into one envelope struct per row. */
   def explodePage(page: Column): Column = explode(parsePage(page))

@@ -121,6 +121,41 @@ class ScaleInvariantSuite extends AnyFunSuite {
       // distributed stages share vec_cosine_topk's swept shape
       "retrieval_mmr")
 
+  // Histograms.cumulativeFold must not FORCE the per-bucket boundary
+  // relation (lvl2, up to 2^20 rows × specs) into a broadcast: with
+  // size-based broadcasting disabled, any broadcast of an `_gh_b1j`-keyed
+  // relation in the pre-AQE plan can only come from a static hint. The
+  // 70k-bucket histogram also brute-force-checks the fold across >64
+  // superbuckets (the regime the ≤1024-row summary join was designed for).
+  test("cumulativeFold: 70k-bucket histogram is exact and lvl2 is not hint-broadcast") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val n = 70000
+    val hist = spark.range(n)
+      .select((col("id") * 7).as("v"), (col("id") % 13 + 1).as("w"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = graft.api.Histograms.cumulativeFold(hist, col("v"),
+        Seq(graft.api.Histograms.CumSpec(col("w"), "cum", Some("tot"))))
+      val forced = out.queryExecution.sparkPlan.collect {
+        case e: BroadcastExchangeExec if e.output.exists(_.name == "_gh_b1j") => e
+      }
+      assert(forced.isEmpty,
+        "lvl2 (per-bucket boundary relation) is statically hint-broadcast; " +
+          "its size is data-dependent and must be left to AQE")
+      val rows = out.orderBy("v").collect()
+      assert(rows.length == n)
+      val tot = (0 until n).map(i => (i % 13 + 1).toLong).sum
+      var run = 0L
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("cum") == run, s"row $i cumulative")
+        assert(r.getAs[Long]("tot") == tot, s"row $i total")
+        run += (i % 13 + 1).toLong
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot(_._1.startsWith("stream_")) // streaming fixtures return materialized results
     .filterNot { case (n, _) => eagerlyMaterialized(n) }

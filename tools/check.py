@@ -1,16 +1,21 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--expect-all]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB against <sfDir>/*.parquet tables,
 sorts columns by name on both sides, and compares row-by-row.
+
+--expect-all: treat a key with no result directory as FAIL instead of
+not-run. Use for FULL Verify runs, where a missing dir means the run
+crashed or silently skipped a key; the default skip semantics are for
+subset runs (SPARK_GRAFT_ONLY-filtered Verify).
 """
 import json, sys, glob, os
 import duckdb
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, expect_all=False):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     con = duckdb.connect()
@@ -29,8 +34,14 @@ def main(sf_dir, out_dir):
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
             # oracle_sql.json is always the FULL map; a key with no result
-            # dir simply wasn't part of this (subset) Verify run
-            n_skip += 1; continue
+            # dir simply wasn't part of this (subset) Verify run — unless
+            # the caller declared the run full, in which case it's a FAIL
+            if expect_all:
+                print(f"FAIL {name}: no result directory (full run expected)")
+                n_fail += 1
+            else:
+                n_skip += 1
+            continue
         try:
             spark_df = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf()
@@ -66,4 +77,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], "--expect-all" in sys.argv[3:]))
