@@ -38,6 +38,21 @@ object BitGraphOps {
       s"acc + IF(element_at($vec, i + ${lo + 1}) >= 0, " +
       "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
 
+  /** Int64 overflow guard for the betweenness walk-count cascade: walk
+    * counts grow ~deg^l, so on a dense-enough graph the σ·(10⁶+δ)
+    * products could silently wrap int64. The guard rides INSIDE each
+    * product term (cumulativeFold's coalesce pattern,
+    * api/Histograms.scala — column pruning cannot drop it): assert_true
+    * returns null when the double-checked product is under the 8.4e18
+    * headroom (0.8e18 under 2^63, covering double rounding), so the
+    * coalesce contributes 0 to the sum — and a would-be wrap becomes a
+    * loud job failure with this message, never a wrong answer. */
+  private[graft] def sigmaGuard(prod: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(assert_true(prod < lit(8.4e18),
+      lit("graph_betweenness_khop: walk-count sigma*(1e6+delta) product" +
+        " approaches int64 — shrink the delta quantum or the hop depth")
+    ).cast("long"), lit(0L))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-quantized retrieval: 1 sign bit per dimension, Hamming
     // shortlist (top-20 by XOR popcount, ties by id), exact re-rank on
@@ -238,17 +253,22 @@ object BitGraphOps {
       // sig3 (hop-3 claims) is node-sized straight out of the state —
       // AQE broadcasts it into the single edge-pass fold, and the
       // grouping key u needs no |E|-row pre-aggregation anywhere.
+      //
+      // Every σ·(10⁶+δ) product below carries the loud per-row
+      // sigmaGuard (see its doc above) — a dense graph fails the job
+      // with a named message instead of wrapping int64.
       val sig3 = state.filter(anyAt(3))
         .select(col("u").as("w") +: S.map(i =>
           when(col(s"h$i") === 3, col(s"s$i")).otherwise(lit(0L)).as(s"sw$i")): _*)
+      val d2Aggs = S.map(i => sum(when(col(s"h$i") === 2 && col(s"sw$i") > 0L,
+          expr(s"(s$i * 1000000) div sw$i") +
+            sigmaGuard(col(s"s$i").cast("double") * lit(1e6)))
+        .otherwise(lit(0L))).as(s"d$i"))
       val delta2 = es.join(broadcast(state.filter(anyAt(2))), "u")
         .withColumnRenamed("v", "w")
         .join(broadcast(sig3), "w")
         .groupBy("u")
-        .agg(sum(when(col("h0") === 2 && col("sw0") > 0L,
-            expr("(s0 * 1000000) div sw0")).otherwise(lit(0L))).as("d0"),
-          S.tail.map(i => sum(when(col(s"h$i") === 2 && col(s"sw$i") > 0L,
-            expr(s"(s$i * 1000000) div sw$i")).otherwise(lit(0L))).as(s"d$i")): _*)
+        .agg(d2Aggs.head, d2Aggs.tail: _*)
         .localCheckpoint() // read twice: the layer-1 join and the output union
       // layer-1 fold off the tiny hop-1 frontier (~|N(sources)| rows):
       // successors are hop-2 nodes carrying their δ₂
@@ -257,15 +277,17 @@ object BitGraphOps {
           Seq(col(s"h$i").as(s"hw$i"), col(s"s$i").as(s"sw$i"))): _*)
         .join(delta2.select(col("u").as("w") +:
           S.map(i => col(s"d$i").as(s"dw$i")): _*), Seq("w"), "left")
+      val d1Aggs = S.map(i => sum(when(col(s"h$i") === 1 && col(s"hw$i") === 2,
+          expr(s"(s$i * (1000000 + coalesce(dw$i, 0))) div sw$i") +
+            sigmaGuard(col(s"s$i").cast("double") *
+              (lit(1e6) + coalesce(col(s"dw$i"), lit(0L)).cast("double"))))
+        .otherwise(lit(0L))).as(s"d$i"))
       val delta1 = es
         .join(broadcast(state.filter(anyAt(1))), "u")
         .withColumnRenamed("v", "w")
         .join(hop2d, "w")
         .groupBy("u")
-        .agg(sum(when(col("h0") === 1 && col("hw0") === 2,
-            expr("(s0 * (1000000 + coalesce(dw0, 0))) div sw0")).otherwise(lit(0L))).as("d0"),
-          S.tail.map(i => sum(when(col(s"h$i") === 1 && col(s"hw$i") === 2,
-            expr(s"(s$i * (1000000 + coalesce(dw$i, 0))) div sw$i")).otherwise(lit(0L))).as(s"d$i")): _*)
+        .agg(d1Aggs.head, d1Aggs.tail: _*)
       delta2.unionByName(delta1)
         .groupBy(col("u").as("part"))
         .agg(S.map(i => sum(col(s"d$i"))).reduce(_ + _).as("bc_q"))

@@ -194,19 +194,27 @@ object GraphOps {
     // monotonically decreasing and converging to exact coreness, here
     // fixed at 4 rounds (operator semantics; the fixture converges).
     // Versus the k-core peel this needs NO sequential peel rounds per k:
-    // one |E|-relation pass per iteration, every h-index from a
-    // u-partitioned window — the node-centric shape Pregel systems use
-    // for coreness at scale. All-integer, so any engine reproduces it.
+    // one |E|-relation pass per iteration. The h-index itself comes from
+    // a per-(u, value) COUNT HISTOGRAM, not a sort of the |E|-row join:
+    // with ccnt(v) = #neighbors valued ≥ v, h = max over the distinct
+    // values v of min(v, ccnt(v)) — attained at a distinct value because
+    // ccnt is constant between consecutive values, so min(t, ccnt(t)) on
+    // each plateau is maximized at its value endpoint. The only window
+    // runs over the (u, value)-distinct rows (≤ min(deg, max value) per
+    // node, here ≤ ~200 vs ~2.4M join rows at sf0.1) — the node-centric
+    // shape Pregel systems use for coreness at scale. All-integer, so
+    // any engine reproduces it.
     "graph_coreness_hindex" -> ((s, d) => {
       val es = edges(s, d)
-      var c = adjacency(s, d).select(col("u"), col("deg").as("cv"))
+      var c = adjacency(s, d).select(col("u"), col("deg").cast("long").as("cv"))
         .localCheckpoint()
       for (_ <- 1 to 4) {
         val w = Window.partitionBy("u").orderBy(col("cv").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         c = es.join(c.select(col("u").as("v"), col("cv")), "v")
-          .select(col("u"), col("cv"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .groupBy("u").agg(max(least(col("rn"), col("cv"))).as("cv"))
+          .groupBy(col("u"), col("cv")).agg(count(lit(1)).as("cnt"))
+          .withColumn("ccnt", sum("cnt").over(w))
+          .groupBy("u").agg(max(least(col("cv"), col("ccnt"))).as("cv"))
           .localCheckpoint() // next round re-reads values, not lineage
       }
       c.groupBy(col("cv").as("coreness")).agg(count(lit(1)).as("n_nodes"))

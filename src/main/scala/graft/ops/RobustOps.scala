@@ -33,9 +33,11 @@ object RobustOps {
     // (r2 = 2·cum_lt + n_b + 1 — the auc_eval trick, everything BIGINT),
     // then Pearson over the per-row midrank pairs. Both rank maps are
     // value-bounded histograms; the only data-sized work is two
-    // broadcast joins and one moment aggregate. (Midrank products reach
-    // (2N)²·N — promote to DECIMAL(38,0) past ~10⁷ rows per the usual
-    // rule; shape unchanged.)
+    // broadcast joins and one moment aggregate. The moment SUMS run in
+    // DECIMAL(38,0): Σr2'² reaches 4N³ (past int64 from ~1.3M rows —
+    // the sf1 sweep hit exactly this), while each per-row product stays
+    // ≤ (2N)² ≪ 2⁶³ in plain int64 codegen. Decimal cost is confined to
+    // the partial/final aggregate buffers; the final ρ math is double.
     "corr_spearman" -> ((s, d) => {
       val rows = Tables.lineitem(s, d).select(
         floor(col("l_quantity")).cast("long").as("x"),
@@ -55,9 +57,9 @@ object RobustOps {
       rows.join(broadcast(midranks("x")), "x")
         .join(broadcast(midranks("y")), "y")
         .agg(count(lit(1)).as("n"),
-          sum(col("r2x") * col("r2x")).as("sxx"),
-          sum(col("r2y") * col("r2y")).as("syy"),
-          sum(col("r2x") * col("r2y")).as("sxy"))
+          sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"))
         .select(col("n"),
           when(col("sxx") > 0 && col("syy") > 0,
             floor(col("sxy").cast("double") /

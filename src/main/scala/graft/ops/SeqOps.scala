@@ -34,35 +34,42 @@ object SeqOps {
     // most frequent token (by bigram-head count), then 7 steps of
     // "most frequent continuation" (ties lexicographic — a total order,
     // so any engine decodes the identical sequence; cycles are fine and
-    // expected). The chain is 8 driver-side lookups of ONE row each
-    // against the localCheckpointed bigram-type aggregate — bounded by
-    // the step constant, like the MMR greedy; the data-sized work is the
-    // single bigram aggregation. Output (step, token, c); the chain ends
-    // early if a token has no continuation (both engines drop the row).
+    // expected). The data-sized work is the single bigram aggregation;
+    // the per-head argmax rides the SAME aggregate (min over
+    // struct(-c, w2) encodes the c-desc / w2-asc tie order), so the
+    // whole decode is ONE job + ONE vocabulary-sized collect — the
+    // 8-step chain then walks the collected per-head table on the
+    // driver, instead of issuing 8 sequential one-row lookups whose
+    // latency is all scheduling round-trips. Output (step, token, c);
+    // the chain ends early if a token has no continuation (both engines
+    // drop the row).
     "lm_greedy_decode" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(split(col("text"), " ").as("tks"))
         .filter(size(col("tks")) >= 2)
-      val bi = toks.select(explode(expr(
+      val heads = toks.select(explode(expr(
           "transform(sequence(0, size(tks)-2), " +
             "i -> struct(tks[i] as w1, tks[i+1] as w2))")).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-        .localCheckpoint() // probed once per step
-      val first = bi.groupBy("w1").agg(sum("c").as("cu"))
-        .orderBy(col("cu").desc, col("w1")).limit(1)
-        .collect()(0)
+        .groupBy("w1").agg(sum("c").as("cu"),
+          min(struct((-col("c")).as("nc"), col("w2"))).as("best"))
+        .select(col("w1"), col("cu"),
+          col("best.w2").as("nxt"), (-col("best.nc")).as("nc"))
+        .collect() // ≤ |vocab| rows
+      val byHead = heads.map(r =>
+        r.getString(0) -> ((r.getString(2), r.getLong(3)))).toMap
+      val first = heads.minBy(r => (-r.getLong(1), r.getString(0)))
       val out = scala.collection.mutable.Buffer(
         (1L, first.getString(0), first.getLong(1)))
       var cur = first.getString(0)
       var halted = false
       for (step <- 2 to 8 if !halted) {
-        val nxt = bi.filter(col("w1") === cur)
-          .orderBy(col("c").desc, col("w2")).limit(1).collect()
-        if (nxt.isEmpty) halted = true
-        else {
-          cur = nxt(0).getString(1)
-          out += ((step.toLong, cur, nxt(0).getLong(2)))
+        byHead.get(cur) match {
+          case None => halted = true
+          case Some((w2, c)) =>
+            cur = w2
+            out += ((step.toLong, cur, c))
         }
       }
       import s.implicits._

@@ -157,13 +157,12 @@ class SpecOpsSuite extends AnyFunSuite {
     assert(got === expected)
   }
 
-  test("graph_betweenness_khop ≡ brute-force truncated Brandes in plain Scala") {
-    val edges = graft.ops.GraphOps.edges(spark, d).collect()
-      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")))
-    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  /** Truncated Brandes reference: forward layers with path counts,
+    * backward δ-quantized dependency accumulation (inner-join
+    * semantics — only nodes with ≥1 successor appear per fold). */
+  private def bruteBetweenness(adj: Map[Long, Set[Long]]): Seq[(Long, Long)] = {
     val bc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
     for (src <- Seq(1L, 2L, 3L, 4L) if adj.contains(src)) {
-      // forward: layers with path counts
       var layers = Vector(Map(src -> 1L))
       var seen = Set(src)
       for (_ <- 1 to 3) {
@@ -174,7 +173,6 @@ class SpecOpsSuite extends AnyFunSuite {
         layers :+= next.toMap
         seen ++= next.keySet
       }
-      // backward: quantized dependency accumulation
       var delta = layers(3).map { case (v, _) => v -> 0L }
       for (l <- 2 to 1 by -1) {
         val nd = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
@@ -185,15 +183,60 @@ class SpecOpsSuite extends AnyFunSuite {
             }
           }
         }
-        // only nodes with ≥1 successor appear (inner-join semantics)
         delta = nd.toMap
         delta.foreach { case (v, dq) => bc(v) += dq }
       }
     }
-    val expected = bc.toSeq.sortBy { case (v, q) => (-q, v) }.take(20)
+    bc.toSeq.sortBy { case (v, q) => (-q, v) }.take(20)
+  }
+
+  private def adjacencyOf(dir: String): Map[Long, Set[Long]] =
+    graft.ops.GraphOps.edges(spark, dir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("graph_betweenness_khop ≡ brute-force truncated Brandes in plain Scala") {
     val got = SparkEntry.queries("graph_betweenness_khop")(spark, d).collect()
       .map(r => (r.getAs[Long]("part"), r.getAs[Long]("bc_q"))).toSeq
-    assert(got === expected)
+    assert(got === bruteBetweenness(adjacencyOf(d)))
+  }
+
+  test("graph_betweenness_khop: sigma guard — exact on a dense planted clique chain, loud past headroom") {
+    import spark.implicits._
+    // planted clique chain A(1-20)–B(20-40)–C(40-60): sources 1-4 sit in
+    // A, walk counts multiply through the bridges (σ up to ~deg³) — a
+    // DENSE graph that must pass UNDER the guard with exact results
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dense_graph").toString
+    (Seq.tabulate(20)(p => (100L, p + 1L)) ++
+      Seq.tabulate(21)(p => (200L, p + 20L)) ++
+      Seq.tabulate(21)(p => (300L, p + 40L)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = SparkEntry.queries("graph_betweenness_khop")(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("bc_q"))).toSeq
+    assert(got.nonEmpty)
+    assert(got === bruteBetweenness(adjacencyOf(tmp)))
+    // the guard expression itself: 0 inside the headroom, loud past it
+    val ok = Seq(5L).toDF("x")
+      .select((col("x") + graft.ops.BitGraphOps.sigmaGuard(lit(1.0e12))).as("y"))
+      .collect()
+    assert(ok.head.getLong(0) === 5L)
+    val boom = intercept[Throwable] {
+      Seq(1L).toDF("x")
+        .select((col("x") + graft.ops.BitGraphOps.sigmaGuard(lit(9.0e18))).as("y"))
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${chain(t.getCause)}"
+    assert(chain(boom).contains("graph_betweenness_khop"), chain(boom))
+    // and it survives optimization in the real query (the coalesce fold
+    // must keep column pruning from dropping it) — Spark 4 rewrites
+    // assert_true to raise_error(USER_RAISED_EXCEPTION, map(...)), so
+    // match the message in the rendered plan
+    val opt = SparkEntry.queries("graph_betweenness_khop")(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("walk-count sigma"),
+      "sigma overflow guard was pruned from the optimized plan")
   }
 
   test("feed_backfill_partition_plan: full coverage, disjoint ordered ranges, balanced depth") {
