@@ -128,10 +128,14 @@ object DriftOps {
         .select(col("l_partkey"), col("sq").as("q0"), col("unit_c").as("p0"))
       val e1 = eras.filter(col("era") === 1)
         .select(col("l_partkey"), col("unit_c").as("p1"))
+      // p·q per part is exact BIGINT; the corpus-wide Σp·q sums and the
+      // ppm scale-up run in DECIMAL(38,0) — cur·10⁶ passed int64 at the
+      // sf1 sweep (Σ grows with the part count), and div on decimals
+      // still yields the exact integral BIGINT quotient.
       e0.join(e1, "l_partkey")
         .agg(count(lit(1)).as("n_parts"),
-          sum(col("p1") * col("q0")).as("cur"),
-          sum(col("p0") * col("q0")).as("base"))
+          sum((col("p1") * col("q0")).cast("decimal(38,0)")).as("cur"),
+          sum((col("p0") * col("q0")).cast("decimal(38,0)")).as("base"))
         .withColumn("index_ppm", expr("(cur * 1000000) div base"))
         .select("n_parts", "index_ppm")
     }),

@@ -297,9 +297,13 @@ object GraphOps {
 
     // Degree assortativity of the co-purchase graph: Pearson correlation
     // of endpoint degrees over all directed edges — do high-degree parts
-    // co-sell with high-degree parts? All moment sums exact BIGINT off
-    // the shared adjacency cache (degrees ≤ a few hundred); only the
-    // final ratio is floating, canon100'd like every correlation here.
+    // co-sell with high-degree parts? Per-edge products are exact BIGINT
+    // (degrees ≤ a few hundred); the MOMENT SUMS and the N·Σ cross
+    // products run in DECIMAL(38,0) — N·s12 passed int64 at the sf1
+    // sweep's 24M edges, and at 100 TB even the raw sums get borderline.
+    // Only the final ratio is floating, canon100'd like every
+    // correlation here; exact-integer decimals cast to the same double
+    // in any engine (DuckDB computes the identical sums in HUGEINT).
     "graph_assortativity" -> ((s, d) => {
       val deg = adjacency(s, d).select(col("u"), col("deg"))
       val pairs = edges(s, d)
@@ -308,13 +312,15 @@ object GraphOps {
         .join(deg.select(col("u").as("v"), col("deg").as("d2"))
           .hint("shuffle_hash"), "v")
       pairs.agg(count(lit(1)).as("n_edges"),
-          sum("d1").as("s1"), sum("d2").as("s2"),
-          sum(col("d1") * col("d1")).as("s11"),
-          sum(col("d2") * col("d2")).as("s22"),
-          sum(col("d1") * col("d2")).as("s12"))
-        .withColumn("num", col("n_edges") * col("s12") - col("s1") * col("s2"))
-        .withColumn("da", col("n_edges") * col("s11") - col("s1") * col("s1"))
-        .withColumn("db", col("n_edges") * col("s22") - col("s2") * col("s2"))
+          sum(col("d1").cast("decimal(38,0)")).as("s1"),
+          sum(col("d2").cast("decimal(38,0)")).as("s2"),
+          sum((col("d1") * col("d1")).cast("decimal(38,0)")).as("s11"),
+          sum((col("d2") * col("d2")).cast("decimal(38,0)")).as("s22"),
+          sum((col("d1") * col("d2")).cast("decimal(38,0)")).as("s12"))
+        .withColumn("ne", col("n_edges").cast("decimal(38,0)"))
+        .withColumn("num", col("ne") * col("s12") - col("s1") * col("s2"))
+        .withColumn("da", col("ne") * col("s11") - col("s1") * col("s1"))
+        .withColumn("db", col("ne") * col("s22") - col("s2") * col("s2"))
         .select(col("n_edges"),
           when(col("da") > 0 && col("db") > 0,
             floor(col("num").cast("double") /
