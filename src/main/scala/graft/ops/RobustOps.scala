@@ -231,9 +231,9 @@ object RobustOps {
         |    CAST(ry.r2y AS BIGINT) AS r2y
         |  FROM r JOIN rx ON r.x = rx.x JOIN ry ON r.y = ry.y),
         |m AS (SELECT count(*) AS n,
-        |    CAST(sum(r2x*r2x) AS BIGINT) AS sxx,
-        |    CAST(sum(r2y*r2y) AS BIGINT) AS syy,
-        |    CAST(sum(r2x*r2y) AS BIGINT) AS sxy
+        |    sum(r2x*r2x) AS sxx,
+        |    sum(r2y*r2y) AS syy,
+        |    sum(r2x*r2y) AS sxy
         |  FROM j)
         |SELECT n,
         |  CASE WHEN sxx > 0 AND syy > 0
