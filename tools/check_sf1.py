@@ -12,9 +12,19 @@ not a bug) compare in bounded memory; both sides go through the same
 CAST rules so the compare stays exact up to hash-sum collisions
 (negligible at 64-bit for a confidence sweep).
 
-Usage: python3 tools/check_sf1.py <sfDir> <verifyOutDir> [--expect-all]
+A handful of oracle SQLs are quadratic pair generators that DuckDB
+brute-forces (the Spark plans band/bucket them; chained-CTE SQL can't) —
+at sf1 those single-handedly run for hours. --timeout N (seconds,
+default 600) interrupts any one key's compare and reports it TIMEOUT
+instead of blocking the sweep; timed-out keys get their secondary
+checks (forced-shuffle twin digest equality, counts) recorded in
+BASELINE.md. --done FILE skips keys already verified (one per line) so
+an interrupted sweep resumes.
+
+Usage: python3 tools/check_sf1.py <sfDir> <verifyOutDir>
+       [--expect-all] [--timeout N] [--done FILE]
 """
-import json, sys, glob, os
+import json, sys, glob, os, threading
 import duckdb
 
 def digest(con, rel_sql):
@@ -28,7 +38,7 @@ def digest(con, rel_sql):
         f" AS HUGEINT)), 0) FROM ({rel_sql})").fetchone()
     return cols, n, h
 
-def main(sf_dir, out_dir, expect_all=False):
+def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     con = duckdb.connect()
@@ -37,9 +47,12 @@ def main(sf_dir, out_dir, expect_all=False):
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
-    n_pass = n_fail = n_skip = 0
-    fails = []
+    n_pass = n_fail = n_skip = n_timeout = 0
+    fails, timeouts = [], []
     for name in sorted(oracles):
+        if name in done:
+            n_pass += 1
+            continue
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
@@ -49,11 +62,24 @@ def main(sf_dir, out_dir, expect_all=False):
             else:
                 n_skip += 1
             continue
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
         try:
             sc, sn, sh = digest(con, f"SELECT * FROM read_parquet({files!r})")
             dc, dn, dh = digest(con, oracles[name])
+        except (duckdb.InterruptException, RuntimeError) as e:
+            if "INTERRUPT" in str(e).upper() or isinstance(e, duckdb.InterruptException):
+                print(f"TIMEOUT {name}: oracle exceeded {timeout}s", flush=True)
+                n_timeout += 1; timeouts.append(name)
+            else:
+                print(f"FAIL {name}: {e}", flush=True)
+                n_fail += 1; fails.append(name)
+            continue
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; fails.append(name); continue
+            print(f"FAIL {name}: {e}", flush=True)
+            n_fail += 1; fails.append(name); continue
+        finally:
+            timer.cancel()
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
             n_fail += 1; fails.append(name); continue
@@ -63,12 +89,21 @@ def main(sf_dir, out_dir, expect_all=False):
         if sh != dh:
             print(f"FAIL {name}: digest mismatch over {sn} rows")
             n_fail += 1; fails.append(name); continue
-        print(f"PASS {name} ({sn} rows)")
+        print(f"PASS {name} ({sn} rows)", flush=True)
         n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail / {n_skip} not-run")
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_timeout} timeout / {n_skip} not-run")
     if fails:
         print("failed keys: " + " ".join(fails))
+    if timeouts:
+        print("timeout keys: " + " ".join(timeouts))
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], "--expect-all" in sys.argv[3:]))
+    args = sys.argv[3:]
+    timeout = int(args[args.index("--timeout") + 1]) if "--timeout" in args else 600
+    done = frozenset()
+    if "--done" in args:
+        with open(args[args.index("--done") + 1]) as f:
+            done = frozenset(l.strip() for l in f if l.strip())
+    sys.exit(main(sys.argv[1], sys.argv[2], "--expect-all" in args,
+                  timeout, done))
