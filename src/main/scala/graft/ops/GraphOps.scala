@@ -595,16 +595,15 @@ object GraphOps {
         |p AS (SELECT a.deg AS d1, b.deg AS d2
         |  FROM e JOIN dg a ON e.u = a.u JOIN dg b ON e.v = b.u),
         |m AS (SELECT count(*) AS n_edges,
-        |    CAST(sum(d1) AS BIGINT) AS s1, CAST(sum(d2) AS BIGINT) AS s2,
-        |    CAST(sum(d1*d1) AS BIGINT) AS s11,
-        |    CAST(sum(d2*d2) AS BIGINT) AS s22,
-        |    CAST(sum(d1*d2) AS BIGINT) AS s12
+        |    CAST(count(*) AS HUGEINT) AS ne,
+        |    sum(d1) AS s1, sum(d2) AS s2,
+        |    sum(d1*d1) AS s11, sum(d2*d2) AS s22, sum(d1*d2) AS s12
         |  FROM p)
         |SELECT n_edges,
-        |  CASE WHEN n_edges*s11 - s1*s1 > 0 AND n_edges*s22 - s2*s2 > 0
-        |    THEN CAST(floor(CAST(n_edges*s12 - s1*s2 AS DOUBLE) /
-        |      (sqrt(CAST(n_edges*s11 - s1*s1 AS DOUBLE)) *
-        |       sqrt(CAST(n_edges*s22 - s2*s2 AS DOUBLE))) * 100.0) AS BIGINT)
+        |  CASE WHEN ne*s11 - s1*s1 > 0 AND ne*s22 - s2*s2 > 0
+        |    THEN CAST(floor(CAST(ne*s12 - s1*s2 AS DOUBLE) /
+        |      (sqrt(CAST(ne*s11 - s1*s1 AS DOUBLE)) *
+        |       sqrt(CAST(ne*s22 - s2*s2 AS DOUBLE))) * 100.0) AS BIGINT)
         |    ELSE NULL END AS assort_c
         |FROM m""".stripMargin,
 

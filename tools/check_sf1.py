@@ -27,22 +27,45 @@ Usage: python3 tools/check_sf1.py <sfDir> <verifyOutDir>
 import json, sys, glob, os, threading
 import duckdb
 
-def digest(con, rel_sql):
-    cols = sorted(r[0] for r in con.execute(f"DESCRIBE ({rel_sql})").fetchall())
+class Timeout(Exception):
+    pass
+
+def run_bounded(con, sql, timeout):
+    """Execute with a PER-STATEMENT interrupt timer. A single timer around
+    a multi-statement block can fire in the gap between statements, where
+    DuckDB's interrupt is a no-op — and the next statement then runs
+    unbounded (observed wedging the sharded sf1 sweep)."""
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchall()
+    except (duckdb.InterruptException, RuntimeError) as e:
+        if "INTERRUPT" in str(e).upper() or isinstance(e, duckdb.InterruptException):
+            raise Timeout()
+        raise
+    finally:
+        timer.cancel()
+
+def digest(con, rel_sql, timeout):
+    cols = sorted(r[0] for r in
+                  run_bounded(con, f"DESCRIBE ({rel_sql})", timeout))
     # chr(31) joins, chr(1) is the NULL sentinel: both unreachable in the
     # fixtures' text domain, so NULL never collides with a real value
     parts = ", ".join(
         f"COALESCE(CAST(\"{c}\" AS VARCHAR), chr(1))" for c in cols)
-    n, h = con.execute(
+    n, h = run_bounded(con,
         f"SELECT count(*), COALESCE(SUM(CAST(hash(concat_ws(chr(31), {parts}))"
-        f" AS HUGEINT)), 0) FROM ({rel_sql})").fetchone()
+        f" AS HUGEINT)), 0) FROM ({rel_sql})", timeout)[0]
     return cols, n, h
 
 def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     con = duckdb.connect()
-    con.execute("SET memory_limit='48GB'")
+    # GRAFT_DUCK_MEM lets sharded parallel runs split the box's RAM
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
+    if "GRAFT_DUCK_THREADS" in os.environ:
+        con.execute(f"SET threads={os.environ['GRAFT_DUCK_THREADS']}")
     con.execute("SET temp_directory='/tmp/graft_duck_spill'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -62,24 +85,17 @@ def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
             else:
                 n_skip += 1
             continue
-        timer = threading.Timer(timeout, con.interrupt)
-        timer.start()
         try:
-            sc, sn, sh = digest(con, f"SELECT * FROM read_parquet({files!r})")
-            dc, dn, dh = digest(con, oracles[name])
-        except (duckdb.InterruptException, RuntimeError) as e:
-            if "INTERRUPT" in str(e).upper() or isinstance(e, duckdb.InterruptException):
-                print(f"TIMEOUT {name}: oracle exceeded {timeout}s", flush=True)
-                n_timeout += 1; timeouts.append(name)
-            else:
-                print(f"FAIL {name}: {e}", flush=True)
-                n_fail += 1; fails.append(name)
+            sc, sn, sh = digest(con, f"SELECT * FROM read_parquet({files!r})",
+                                timeout)
+            dc, dn, dh = digest(con, oracles[name], timeout)
+        except Timeout:
+            print(f"TIMEOUT {name}: oracle exceeded {timeout}s", flush=True)
+            n_timeout += 1; timeouts.append(name)
             continue
         except Exception as e:
             print(f"FAIL {name}: {e}", flush=True)
             n_fail += 1; fails.append(name); continue
-        finally:
-            timer.cancel()
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
             n_fail += 1; fails.append(name); continue
