@@ -87,7 +87,12 @@ object SparkEntry {
     "dedup_weighted_jaccard_shuffle", // forced non-broadcast weighted-Jaccard verify
     "dedup_cluster_cc_dist",       // forced distributed hook+compress CC
     "graph_kcore_shuffle",         // forced non-broadcast (shuffled) k-core peel
-    "join_inner_merge"             // forced sort-merge twin of join_inner_hash
+    "join_inner_merge",            // forced sort-merge twin of join_inner_hash
+    "dedup_containment_prefix",    // forced inverted-index prefix containment path
+    "dedup_incremental_fullscan",  // incremental admission re-derived from the full pair run
+    "dedup_keep_best_dist",        // prefix-path pairs + forced distributed CC
+    "graph_triangle_count_shuffle",// forced-shuffle + built-in-kernel common neighbors
+    "graph_jaccard_edges_shuffle"  // forced-shuffle + built-in-kernel common neighbors
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -48,6 +48,34 @@ object Bitsets {
     acc
   }
 
+  /** Containment verify with EARLY EXIT: returns the exact shared =
+    * |A ∩ B| when it meets the τ=0.8 threshold (shared ≥ ⌈0.8·n1⌉,
+    * integer form (4·n1+4) div 5), and −1 as soon as the threshold is
+    * provably unreachable. The bound is exact: n1 is A's TOTAL popcount,
+    * so after scanning words 0..i the remaining intersection is at most
+    * n1 − seenA (A-bits not yet seen), and shared_final ≤ shared_so_far
+    * + (n1 − seenA). A non-matching pair exits within a few words (the
+    * all-pairs dense path rejects ≫99% of pairs); a qualifying pair
+    * pays the full scan and returns its exact count — so the filter
+    * `containmentShared(...) ≥ 0` computes the identical relation to
+    * `intersectCount(...)·5 ≥ n1·4`, cheaper. Allocation-free, one
+    * pass, stays in whole-stage codegen. */
+  def containmentShared(a: ArrayData, b: ArrayData, n1: Long): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    val need = (4L * n1 + 4L) / 5L
+    var shared = 0L
+    var seenA = 0L
+    var i = 0
+    while (i < n) {
+      val aw = a.getLong(i)
+      shared += java.lang.Long.bitCount(aw & b.getLong(i))
+      seenA += java.lang.Long.bitCount(aw)
+      if (shared + (n1 - seenA) < need) return -1L
+      i += 1
+    }
+    if (shared >= need) shared else -1L
+  }
+
   /** |A ∩ B| of two SORTED long arrays by two-pointer merge — no hash
     * set, no allocation, one pass. The node-iterator triangle kernel:
     * adjacency lists are sorted once at build time, then every edge's
@@ -229,6 +257,39 @@ case class BitsetIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "bitset_intersect_count"
+}
+
+/** `bitset_containment_shared(a, b, n1)`: early-exit containment verify
+  * (see [[Bitsets.containmentShared]]) — exact shared count when
+  * ≥ ⌈0.8·n1⌉, −1 otherwise. */
+case class BitsetContainmentSharedExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, false), ArrayType(LongType, false), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>, bigint), got " +
+          s"${f.simpleString}, ${s.simpleString}, ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any, n1: Any): Any =
+    Bitsets.containmentShared(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], n1.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, n1) =>
+      s"${ev.value} = graft.catalyst.Bitsets.containmentShared($a, $b, $n1);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): BitsetContainmentSharedExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "bitset_containment_shared"
 }
 
 /** `sorted_intersect_count(a, b)`: BIGINT |A ∩ B| of two SORTED

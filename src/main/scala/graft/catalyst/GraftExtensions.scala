@@ -44,6 +44,9 @@ object GraftExtensions {
     descriptor("sorted_intersect_count", classOf[SortedIntersectCountExpr]) {
       children => SortedIntersectCountExpr(children(0), children(1))
     },
+    descriptor("bitset_containment_shared", classOf[BitsetContainmentSharedExpr]) {
+      children => BitsetContainmentSharedExpr(children(0), children(1), children(2))
+    },
     descriptor("packed_tf_min_overlap", classOf[PackedTfMinOverlapExpr]) {
       children => PackedTfMinOverlapExpr(children(0), children(1))
     },

@@ -59,17 +59,21 @@ object AuditOps {
     "dedup_keep_best" -> ((s, d) => {
       val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
         .select(col("d1"), col("d2")).localCheckpoint()
-      val chars = Tables.documents(s, d)
-        .select(col("doc_id").as("node"), col("n_chars"))
-      TrainOps.connectedComponents(pairs)
-        .join(chars, "node")
-        .groupBy("cluster_rep")
-        .agg(count(lit(1)).as("n_members"),
-          max(struct(col("n_chars").cast("long").as("a"),
-            (-col("node")).as("b"))).as("m"))
-        .select(col("cluster_rep"), col("n_members"),
-          (-col("m.b")).as("kept_doc"), col("m.a").as("kept_chars"))
-        .orderBy("cluster_rep")
+      keepBest(s, d, TrainOps.connectedComponents(pairs))
+    }),
+
+    // ALGORITHMIC twin of dedup_keep_best: same decision relation with
+    // BOTH embedded stages swapped for their at-scale alternates — pair
+    // generation through the forced All-Pairs prefix path
+    // (dedup_ngram_jaccard_prefix) and clustering through the forced
+    // distributed hook+compress CC rounds (driverLimit = 0). Twin digest
+    // equality covers the composition end to end; at sf1 it is this
+    // key's direct differential evidence (the recursive-CTE DuckDB
+    // oracle blows the per-key budget there). Verification-only.
+    "dedup_keep_best_dist" -> ((s, d) => {
+      val pairs = Pipeline.queries("dedup_ngram_jaccard_prefix")(s, d)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      keepBest(s, d, TrainOps.connectedComponents(pairs, driverLimit = 0))
     }),
 
     // Hour-of-day activity profile per event type with integer-ppm share
@@ -83,6 +87,22 @@ object AuditOps {
           "(n * 1000000) div sum(n) over (partition by event_type)"))
         .orderBy("event_type", "hod"))
   )
+
+  /** Keep-best decision over a (node, cluster_rep) labeling: per cluster
+    * the member count and the longest member (ties to smallest doc_id) —
+    * one max(struct) aggregate, shared by the primary and its twin. */
+  private def keepBest(s: SparkSession, d: String, cc: DataFrame): DataFrame = {
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id").as("node"), col("n_chars"))
+    cc.join(chars, "node")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").cast("long").as("a"),
+          (-col("node")).as("b"))).as("m"))
+      .select(col("cluster_rep"), col("n_members"),
+        (-col("m.b")).as("kept_doc"), col("m.a").as("kept_chars"))
+      .orderBy("cluster_rep")
+  }
 
   def oracles: Map[String, String] = Map(
     "dedup_source_overlap" ->
@@ -102,7 +122,20 @@ object AuditOps {
         |  JOIN documents db ON nd.d2 = db.doc_id
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
-    "dedup_keep_best" ->
+    "dedup_keep_best" -> keepBestSql,
+    // algorithmic twin: identical semantics, identical oracle
+    "dedup_keep_best_dist" -> keepBestSql,
+
+    "ts_seasonal_profile" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod FROM events),
+        |g AS (SELECT event_type, hod, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT event_type, CAST(hod AS BIGINT) AS hod, n,
+        |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ppm
+        |FROM g ORDER BY event_type, hod""".stripMargin
+  )
+
+  private lazy val keepBestSql: String =
       """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
         |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
         |      i -> substr(text, i, 5))) AS gs
@@ -129,14 +162,5 @@ object AuditOps {
         |SELECT agg.cluster_rep, agg.n_members, rk.node AS kept_doc,
         |  CAST(rk.n_chars AS BIGINT) AS kept_chars
         |FROM agg JOIN rk ON agg.cluster_rep = rk.cluster_rep AND rk.rn = 1
-        |ORDER BY agg.cluster_rep""".stripMargin,
-
-    "ts_seasonal_profile" ->
-      """WITH e AS (SELECT event_type,
-        |    (epoch_us(ts) // 3600000000) % 24 AS hod FROM events),
-        |g AS (SELECT event_type, hod, count(*) AS n FROM e GROUP BY 1, 2)
-        |SELECT event_type, CAST(hod AS BIGINT) AS hod, n,
-        |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ppm
-        |FROM g ORDER BY event_type, hod""".stripMargin
-  )
+        |ORDER BY agg.cluster_rep""".stripMargin
 }

@@ -228,16 +228,18 @@ object GraphOps {
     // edges) and Σ_{edges at p} cn = 2·tri(p) (each triangle at p has 2
     // edges there) — both divisions exact. Nodes with zero triangles are
     // filtered, matching the oracle's wedge-enumeration form.
-    "graph_triangle_count" -> ((s, d) => {
-      val cn = commonNeighbors(s, d)
-      val tot = cn.agg((sum("cn") / 3).cast("long").as("n_tri_total"))
-      cn.select(explode(array(col("u"), col("v"))).as("part"), col("cn"))
-        .groupBy("part").agg((sum("cn") / 2).cast("long").as("n_tri"))
-        .filter(col("n_tri") > 0)
-        .orderBy(col("n_tri").desc, col("part")).limit(30)
-        .crossJoin(broadcast(tot))
-        .orderBy(col("n_tri").desc, col("part"))
-    }),
+    "graph_triangle_count" -> ((s, d) =>
+      triangleFrom(commonNeighbors(s, d))),
+
+    // The SAME triangle derivation over the forced-shuffle / built-in-
+    // kernel common-neighbor twin (commonNeighborsShuffled) — the
+    // physical shape once |V| outgrows the adjacency broadcast budget,
+    // AND an independent check of the native sorted_intersect_count
+    // kernel against Spark's array_intersect. Verification-only; at sf1
+    // this twin is the key's direct differential evidence (the wedge-
+    // enumeration DuckDB oracle is quadratic there).
+    "graph_triangle_count_shuffle" -> ((s, d) =>
+      triangleFrom(commonNeighborsShuffled(s, d))),
 
     // Item-item neighborhood similarity, the co-occurrence recommender
     // score: for every co-purchased pair with at least one common
@@ -245,11 +247,13 @@ object GraphOps {
     // cn·10⁴ div (deg_u + deg_v − cn). Top-30 by (jac_c, u, v) — the
     // unique edge key makes the order total.
     "graph_jaccard_edges" -> ((s, d) =>
-      commonNeighbors(s, d)
-        .filter(col("cn") > 0)
-        .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
-          expr("(cn * 10000) div (deg_u + deg_v - cn)").as("jac_c"))
-        .orderBy(col("jac_c").desc, col("u"), col("v")).limit(30)),
+      jaccardFrom(commonNeighbors(s, d))),
+
+    // Forced-shuffle / built-in-kernel twin of graph_jaccard_edges —
+    // same rationale as graph_triangle_count_shuffle, sharing its
+    // commonNeighborsShuffled relation (built once per verify run).
+    "graph_jaccard_edges_shuffle" -> ((s, d) =>
+      jaccardFrom(commonNeighborsShuffled(s, d))),
 
     // k-core peeling (k = 100), four unrolled rounds: each round drops
     // nodes whose degree in the CURRENT induced subgraph is < k, then
@@ -450,6 +454,54 @@ object GraphOps {
         .localCheckpoint()
     })
 
+  /** Forced-shuffle twin of [[commonNeighbors]]: the identical node-
+    * iterator relation through the at-scale physical plan — both
+    * adjacency joins pinned to shuffled hash joins (the shape once |V|
+    * outgrows the broadcast budget) — and with the per-edge intersect
+    * computed by Spark's BUILT-IN `array_intersect` instead of the
+    * native `sorted_intersect_count` codegen kernel, so twin equality
+    * also validates the custom expression against an independent
+    * implementation. Cached like the primary: the triangle and Jaccard
+    * twins share one build per (session, dataset). */
+  private val cnShuffledCache =
+    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def commonNeighborsShuffled(s: SparkSession, d: String): DataFrame =
+    cnShuffledCache.computeIfAbsent((s, d), _ =>
+      graft.api.QueryHygiene.pinning(s) {
+        val adj = adjacency(s, d)
+        edges(s, d).where(col("u") < col("v"))
+          .join(adj.select(col("u"), col("vs").as("nu"),
+            col("deg").as("deg_u")).hint("shuffle_hash"), "u")
+          .join(adj.select(col("u").as("v"), col("vs").as("nv"),
+            col("deg").as("deg_v")).hint("shuffle_hash"), "v")
+          .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
+            size(array_intersect(col("nu"), col("nv"))).cast("long").as("cn"))
+          .localCheckpoint()
+      })
+
+  /** Triangle participation (top-30) + global count from a per-edge
+    * common-neighbor relation: Σ_edge cn = 3·T, Σ_{edges at p} cn =
+    * 2·tri(p) — both divisions exact. Shared by the primary and its
+    * forced-shuffle twin. */
+  private def triangleFrom(cn: DataFrame): DataFrame = {
+    val tot = cn.agg((sum("cn") / 3).cast("long").as("n_tri_total"))
+    cn.select(explode(array(col("u"), col("v"))).as("part"), col("cn"))
+      .groupBy("part").agg((sum("cn") / 2).cast("long").as("n_tri"))
+      .filter(col("n_tri") > 0)
+      .orderBy(col("n_tri").desc, col("part")).limit(30)
+      .crossJoin(broadcast(tot))
+      .orderBy(col("n_tri").desc, col("part"))
+  }
+
+  /** Integer-scaled neighbor Jaccard per co-purchased edge, top-30 —
+    * shared by the primary and its forced-shuffle twin. */
+  private def jaccardFrom(cn: DataFrame): DataFrame =
+    cn.filter(col("cn") > 0)
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        expr("(cn * 10000) div (deg_u + deg_v - cn)").as("jac_c"))
+      .orderBy(col("jac_c").desc, col("u"), col("v")).limit(30)
+
   // MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
   // iterative oracles (PageRank steps, k-core rounds, label-prop) each
   // reference `e` several times — materializing the edge build once
@@ -514,31 +566,13 @@ object GraphOps {
         |GROUP BY cv ORDER BY cv""".stripMargin
     },
 
-    "graph_triangle_count" ->
-      s"""WITH $edgesSql,
-        |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
-        |  FROM e0 a JOIN e0 b ON b.u = a.v
-        |  JOIN e0 c ON c.u = a.u AND c.v = b.v),
-        |p AS (SELECT x AS part FROM t UNION ALL SELECT y FROM t
-        |  UNION ALL SELECT z FROM t),
-        |pn AS (SELECT part, count(*) AS n_tri FROM p GROUP BY part),
-        |tot AS (SELECT count(*) AS n_tri_total FROM t)
-        |SELECT part, n_tri, tot.n_tri_total FROM pn, tot
-        |ORDER BY n_tri DESC, part LIMIT 30""".stripMargin,
+    "graph_triangle_count" -> triangleSql,
+    // forced-shuffle / built-in-kernel twin: identical semantics,
+    // identical oracle — twin digest equality is the sf1 evidence
+    "graph_triangle_count_shuffle" -> triangleSql,
 
-    "graph_jaccard_edges" ->
-      s"""WITH $edgesSql,
-        |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
-        |  FROM e0 a JOIN e0 b ON b.u = a.v
-        |  JOIN e0 c ON c.u = a.u AND c.v = b.v),
-        |pr AS (SELECT x AS u, y AS v FROM t UNION ALL SELECT x, z FROM t
-        |  UNION ALL SELECT y, z FROM t),
-        |cn AS (SELECT u, v, count(*) AS cn FROM pr GROUP BY u, v),
-        |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u)
-        |SELECT cn.u, cn.v, cn.cn, a.deg AS deg_u, b.deg AS deg_v,
-        |  CAST((cn.cn * 10000) // (a.deg + b.deg - cn.cn) AS BIGINT) AS jac_c
-        |FROM cn JOIN dg a ON cn.u = a.u JOIN dg b ON cn.v = b.u
-        |ORDER BY jac_c DESC, cn.u, cn.v LIMIT 30""".stripMargin,
+    "graph_jaccard_edges" -> jaccardEdgesSql,
+    "graph_jaccard_edges_shuffle" -> jaccardEdgesSql,
 
     "graph_kcore" -> kcoreSql,
     // forced-shuffle twin: identical semantics, identical oracle — the
@@ -613,6 +647,35 @@ object GraphOps {
         |SELECT lab, count(*) AS n_nodes FROM l2
         |GROUP BY lab ORDER BY n_nodes DESC, lab LIMIT 30""".stripMargin
   )
+
+  // Wedge-enumeration triangle listing — exact but quadratic in wedge
+  // volume, so at sf1 it blows the DuckDB budget; there the twin pairs
+  // (primary vs _shuffle) carry the differential evidence instead.
+  private lazy val triangleSql: String =
+    s"""WITH $edgesSql,
+      |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM e0 a JOIN e0 b ON b.u = a.v
+      |  JOIN e0 c ON c.u = a.u AND c.v = b.v),
+      |p AS (SELECT x AS part FROM t UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t),
+      |pn AS (SELECT part, count(*) AS n_tri FROM p GROUP BY part),
+      |tot AS (SELECT count(*) AS n_tri_total FROM t)
+      |SELECT part, n_tri, tot.n_tri_total FROM pn, tot
+      |ORDER BY n_tri DESC, part LIMIT 30""".stripMargin
+
+  private lazy val jaccardEdgesSql: String =
+    s"""WITH $edgesSql,
+      |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM e0 a JOIN e0 b ON b.u = a.v
+      |  JOIN e0 c ON c.u = a.u AND c.v = b.v),
+      |pr AS (SELECT x AS u, y AS v FROM t UNION ALL SELECT x, z FROM t
+      |  UNION ALL SELECT y, z FROM t),
+      |cn AS (SELECT u, v, count(*) AS cn FROM pr GROUP BY u, v),
+      |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u)
+      |SELECT cn.u, cn.v, cn.cn, a.deg AS deg_u, b.deg AS deg_v,
+      |  CAST((cn.cn * 10000) // (a.deg + b.deg - cn.cn) AS BIGINT) AS jac_c
+      |FROM cn JOIN dg a ON cn.u = a.u JOIN dg b ON cn.v = b.u
+      |ORDER BY jac_c DESC, cn.u, cn.v LIMIT 30""".stripMargin
 
   /** Oracle CTE chain for the two label-propagation rounds (expects the
     * `e` edge relation in scope; exposes `l2` = final (u, lab)). */

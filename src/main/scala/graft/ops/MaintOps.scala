@@ -336,12 +336,19 @@ object MaintOps {
         |FROM q JOIN st ON q.event_type = st.event_type
         |ORDER BY q.event_type""".stripMargin,
 
+    // Same banding as the Spark plan (each error replicated to 3 adjacent
+    // 30-min buckets, each event in exactly one) so DuckDB runs the oracle
+    // in near-linear time at any scale — the former theta-join form was
+    // quadratic and blew the per-key budget at sf1.
     "join_range_banded" ->
-      """SELECT err.event_id AS err_id, count(*) AS n_nearby
-        |FROM events err JOIN events ev
-        |  ON abs(epoch_us(ev.ts) - epoch_us(err.ts)) <= 1800000000
-        |  AND ev.event_id <> err.event_id
-        |WHERE err.event_type = 'error'
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 1800000000 AS bk FROM events),
+        |err AS (SELECT event_id AS err_id, epoch_us(ts) AS err_us,
+        |    epoch_us(ts) // 1800000000 + b.b AS bk
+        |  FROM events, (VALUES (-1), (0), (1)) b(b) WHERE event_type = 'error')
+        |SELECT err_id, count(*) AS n_nearby
+        |FROM ev JOIN err USING (bk)
+        |WHERE abs(ts_us - err_us) <= 1800000000 AND event_id <> err_id
         |GROUP BY err_id ORDER BY err_id""".stripMargin,
 
     "cdc_merge_snapshot" ->

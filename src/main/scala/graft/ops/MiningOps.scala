@@ -77,14 +77,38 @@ object MiningOps {
           a.join(broadcast(b), col("l1") === col("l2") &&
               (col("n1") < col("n2") ||
                 (col("n1") === col("n2") && col("d1") < col("d2"))))
-            .withColumn("shared", call_function("bitset_intersect_count",
-              col("b1"), col("b2")))
-            .filter(col("shared") * 5 >= col("n1") * 4)
+            // early-exit fused verify (round 12): exact shared when the
+            // pair qualifies, −1 the moment ⌈0.8·n1⌉ is provably out of
+            // reach — identical relation to the plain AND+popcount +
+            // threshold filter, but the ≫99% non-matching pairs bail
+            // after a few words instead of all 32 (Bitsets
+            // .containmentShared; measured at sf1 in BASELINE.md)
+            .withColumn("shared", call_function("bitset_containment_shared",
+              col("b1"), col("b2"), col("n1")))
+            .filter(col("shared") >= 0)
             .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
               canon(col("shared") * lit(1.0) / col("n1")).as("cont_c"))
             .orderBy("d1", "d2")
         case None => containmentPrefixPath(docs)
       }
+    }),
+
+    // ALGORITHMIC twin of dedup_containment: the inverted-index prefix
+    // path FORCED regardless of dictionary size — different candidate
+    // generation (rare-shingle probes vs all-pairs), different encoding
+    // (rarity-ranked dictionary ids vs dense bitsets), different verify
+    // kernel (sorted_intersect_count vs bitset AND+popcount). Twin
+    // digest equality is therefore independent-evidence, stronger than
+    // a shuffle twin; at sf1 it is this key's direct differential
+    // check (the shingle-join DuckDB oracle is quadratic there).
+    // Verification-only (SparkEntry.verifyOnly).
+    "dedup_containment_prefix" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          call_function("ngram_shingles", col("text"), lit(5)).as("gs"))
+        .localCheckpoint()
+      containmentPrefixPath(docs)
     }),
 
     // Fuzzy equi-join: part pairs of the same type whose names are
@@ -325,21 +349,27 @@ object MiningOps {
     s"(${graft.api.Sampling.hexDecodeSql(col)}) % 5"
 
   def oracles: Map[String, String] = Map(
-    "dedup_containment" ->
-      """WITH g AS (SELECT doc_id, lang,
-        |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-        |    i -> substr(text, i, 5))) AS gs FROM documents),
-        |t AS (SELECT doc_id, lang, len(gs) AS n, unnest(gs) AS tk FROM g),
-        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
-        |         any_value(a.n) AS n1, any_value(b.n) AS n2
-        |       FROM t a JOIN t b ON a.lang = b.lang AND a.tk = b.tk
-        |         AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
-        |       GROUP BY 1, 2)
-        |SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(n1 AS BIGINT) AS n1,
-        |  CAST(n2 AS BIGINT) AS n2,
-        |  CAST(floor((shared * 1.0 / n1) * 10000) AS BIGINT) AS cont_c
-        |FROM pr WHERE 5 * shared >= 4 * n1 ORDER BY d1, d2""".stripMargin,
+    // twin shares the primary's oracle — identical output contract
+    "dedup_containment_prefix" -> containmentSql,
+    "dedup_containment" -> containmentSql,
+  ) ++ oraclesRest
 
+  private lazy val containmentSql: String =
+    """WITH g AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+      |    i -> substr(text, i, 5))) AS gs FROM documents),
+      |t AS (SELECT doc_id, lang, len(gs) AS n, unnest(gs) AS tk FROM g),
+      |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
+      |         any_value(a.n) AS n1, any_value(b.n) AS n2
+      |       FROM t a JOIN t b ON a.lang = b.lang AND a.tk = b.tk
+      |         AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+      |       GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(n2 AS BIGINT) AS n2,
+      |  CAST(floor((shared * 1.0 / n1) * 10000) AS BIGINT) AS cont_c
+      |FROM pr WHERE 5 * shared >= 4 * n1 ORDER BY d1, d2""".stripMargin
+
+  private lazy val oraclesRest: Map[String, String] = Map(
     "join_fuzzy_levenshtein" ->
       """WITH c AS (SELECT p_type, p_name, count(*) AS n FROM part GROUP BY 1, 2),
         |d AS (SELECT a.p_name AS nm1, b.p_name AS nm2,

@@ -150,6 +150,29 @@ object Pipeline {
 
   /** Shared oracle for `dedup_weighted_jaccard` and its forced-shuffle
     * verify twin. */
+  private val incrementalSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+      |             FROM documents),
+      |sig AS (SELECT doc_id, lang, s AS seed,
+      |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
+      |        FROM tok, unnest(generate_series(0, 7)) t(s)
+      |        GROUP BY doc_id, lang, s),
+      |band AS (SELECT doc_id, lang, seed // 2 AS band,
+      |           md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
+      |         FROM sig GROUP BY doc_id, lang, seed // 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM band a JOIN band b ON a.lang = b.lang AND a.band = b.band
+      |           AND a.bandkey = b.bandkey
+      |           AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+      |sets AS (SELECT doc_id, list(tk) AS tks FROM tok GROUP BY doc_id),
+      |v AS (SELECT d1, d2, len(list_intersect(sa.tks, sb.tks)) AS shared,
+      |        len(sa.tks) AS n1, len(sb.tks) AS n2
+      |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id)
+      |SELECT d1 AS d_new, d2 AS d_old,
+      |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
+      |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+      |ORDER BY d_new, d_old""".stripMargin
+
   private val weightedJaccardSql: String =
     """WITH tok AS (SELECT doc_id, lang, tk, count(*) AS tf
       |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tk
@@ -311,6 +334,35 @@ object Pipeline {
       verifyJaccard(Tables.documents(s, d), tok, cand)
         .filter(col("jac") >= 0.5)
         .select(col("d1").as("d_new"), col("d2").as("d_old"),
+          canon(col("jac")).as("jac_c"))
+        .orderBy("d_new", "d_old")
+    }),
+
+    // ALGORITHMIC twin of dedup_incremental: the identical admission
+    // relation derived from the FULL-corpus MinHash pair run instead of
+    // the new×old side-filtered candidate generation — a band collision
+    // is a property of the two docs' signatures alone, so restricting
+    // the full (d1 < d2, J ≥ 0.5) pair relation to pairs with exactly
+    // one endpoint in the new batch and re-orienting to (d_new, d_old)
+    // must reproduce the incremental output bit-for-bit. Twin equality
+    // therefore checks the side-split candidate generation end to end;
+    // at sf1 it is this key's direct differential evidence (the
+    // chained-CTE DuckDB oracle is quadratic there). Verification-only.
+    "dedup_incremental_fullscan" -> ((s, d) => {
+      graft.catalyst.GraftExtensions.install(s)
+      val tok = tokens(Tables.documents(s, d)).localCheckpoint()
+      val bands = lshBands(tok)
+      val cand = lshSide(bands, 1)
+        .join(lshSide(bands, 2), col("l1") === col("l2") &&
+          col("b1") === col("b2") && col("k1") === col("k2") &&
+          col("d1") < col("d2") && lshFirstMatch)
+        .select("d1", "d2")
+      verifyJaccard(Tables.documents(s, d), tok, cand)
+        .filter(col("jac") >= 0.5)
+        .filter((col("d1") % 5 === 0) =!= (col("d2") % 5 === 0))
+        .select(
+          when(col("d1") % 5 === 0, col("d1")).otherwise(col("d2")).as("d_new"),
+          when(col("d1") % 5 === 0, col("d2")).otherwise(col("d1")).as("d_old"),
           canon(col("jac")).as("jac_c"))
         .orderBy("d_new", "d_old")
     }),
@@ -850,28 +902,9 @@ object Pipeline {
         |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
-    "dedup_incremental" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
-        |             FROM documents),
-        |sig AS (SELECT doc_id, lang, s AS seed,
-        |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
-        |        FROM tok, unnest(generate_series(0, 7)) t(s)
-        |        GROUP BY doc_id, lang, s),
-        |band AS (SELECT doc_id, lang, seed // 2 AS band,
-        |           md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
-        |         FROM sig GROUP BY doc_id, lang, seed // 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM band a JOIN band b ON a.lang = b.lang AND a.band = b.band
-        |           AND a.bandkey = b.bandkey
-        |           AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
-        |sets AS (SELECT doc_id, list(tk) AS tks FROM tok GROUP BY doc_id),
-        |v AS (SELECT d1, d2, len(list_intersect(sa.tks, sb.tks)) AS shared,
-        |        len(sa.tks) AS n1, len(sb.tks) AS n2
-        |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id)
-        |SELECT d1 AS d_new, d2 AS d_old,
-        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
-        |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
-        |ORDER BY d_new, d_old""".stripMargin,
+    "dedup_incremental" -> incrementalSql,
+    // full-corpus-derivation twin: identical semantics, identical oracle
+    "dedup_incremental_fullscan" -> incrementalSql,
 
     "dedup_weighted_jaccard" -> weightedJaccardSql,
     // forced-shuffle twin: identical semantics, identical oracle

@@ -33,11 +33,14 @@ object RobustOps {
     // (r2 = 2·cum_lt + n_b + 1 — the auc_eval trick, everything BIGINT),
     // then Pearson over the per-row midrank pairs. Both rank maps are
     // value-bounded histograms; the only data-sized work is two
-    // broadcast joins and one moment aggregate. The moment SUMS run in
+    // broadcast joins and one moment aggregate. All moment math runs in
     // DECIMAL(38,0): Σr2'² reaches 4N³ (past int64 from ~1.3M rows —
-    // the sf1 sweep hit exactly this), while each per-row product stays
-    // ≤ (2N)² ≪ 2⁶³ in plain int64 codegen. Decimal cost is confined to
-    // the partial/final aggregate buffers; the final ρ math is double.
+    // the sf1 sweep hit exactly this), and the per-row product 4N²
+    // wraps int64 from N ≈ 1.5·10⁹ rows — under the 100 TB design
+    // scale — so the operands are promoted BEFORE the multiply
+    // (decimal(19,0)² fits decimal(38,0) up to N ≈ 4·10¹² rows). The
+    // decimal cost is per-row multiply + aggregate buffers; the final
+    // ρ math is double.
     "corr_spearman" -> ((s, d) => {
       val rows = Tables.lineitem(s, d).select(
         floor(col("l_quantity")).cast("long").as("x"),
@@ -56,10 +59,12 @@ object RobustOps {
       }
       rows.join(broadcast(midranks("x")), "x")
         .join(broadcast(midranks("y")), "y")
+        .withColumn("r2xd", col("r2x").cast("decimal(19,0)"))
+        .withColumn("r2yd", col("r2y").cast("decimal(19,0)"))
         .agg(count(lit(1)).as("n"),
-          sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"),
-          sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"))
+          sum((col("r2xd") * col("r2xd")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("r2yd") * col("r2yd")).cast("decimal(38,0)")).as("syy"),
+          sum((col("r2xd") * col("r2yd")).cast("decimal(38,0)")).as("sxy"))
         .select(col("n"),
           when(col("sxx") > 0 && col("syy") > 0,
             floor(col("sxy").cast("double") /

@@ -36,18 +36,20 @@ object SeqOps {
     // so any engine decodes the identical sequence; cycles are fine and
     // expected). The data-sized work is the single bigram aggregation;
     // the per-head argmax rides the SAME aggregate (min over
-    // struct(-c, w2) encodes the c-desc / w2-asc tie order), so the
-    // whole decode is ONE job + ONE vocabulary-sized collect — the
-    // 8-step chain then walks the collected per-head table on the
-    // driver, instead of issuing 8 sequential one-row lookups whose
-    // latency is all scheduling round-trips. Output (step, token, c);
-    // the chain ends early if a token has no continuation (both engines
-    // drop the row).
+    // struct(-c, w2) encodes the c-desc / w2-asc tie order). The 8-step
+    // chain is walked DECLARATIVELY: each step joins the previous step's
+    // 1-row relation (broadcast) back against the checkpointed per-head
+    // argmax relation, so the vocabulary never reaches the driver — at
+    // 100 TB a word-level vocabulary is unbounded (10⁸+ heads) and the
+    // former |vocab|-row collect was the one unbounded driver transfer
+    // left in the library. Output (step, token, c); a token with no
+    // continuation makes every later step's join empty, so the chain
+    // ends early exactly as before (both engines drop the rows).
     "lm_greedy_decode" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(split(col("text"), " ").as("tks"))
         .filter(size(col("tks")) >= 2)
-      val heads = toks.select(explode(expr(
+      val arg = toks.select(explode(expr(
           "transform(sequence(0, size(tks)-2), " +
             "i -> struct(tks[i] as w1, tks[i+1] as w2))")).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
@@ -56,24 +58,20 @@ object SeqOps {
           min(struct((-col("c")).as("nc"), col("w2"))).as("best"))
         .select(col("w1"), col("cu"),
           col("best.w2").as("nxt"), (-col("best.nc")).as("nc"))
-        .collect() // ≤ |vocab| rows
-      val byHead = heads.map(r =>
-        r.getString(0) -> ((r.getString(2), r.getLong(3)))).toMap
-      val first = heads.minBy(r => (-r.getLong(1), r.getString(0)))
-      val out = scala.collection.mutable.Buffer(
-        (1L, first.getString(0), first.getLong(1)))
-      var cur = first.getString(0)
-      var halted = false
-      for (step <- 2 to 8 if !halted) {
-        byHead.get(cur) match {
-          case None => halted = true
-          case Some((w2, c)) =>
-            cur = w2
-            out += ((step.toLong, cur, c))
-        }
+        .localCheckpoint() // vocab-sized, stays distributed; read 8×
+      var cur = arg
+        .agg(min(struct((-col("cu")).as("a"), col("w1").as("b"))).as("m"))
+        .select(lit(1L).as("step"), col("m.b").as("token"),
+          (-col("m.a")).as("c"))
+      var out = cur
+      for (k <- 2 to 8) {
+        cur = arg
+          .join(broadcast(cur.select(col("token").as("w1"))), "w1")
+          .select(lit(k.toLong).as("step"), col("nxt").as("token"),
+            col("nc").as("c"))
+        out = out.unionByName(cur)
       }
-      import s.implicits._
-      out.toSeq.toDF("step", "token", "c").orderBy("step")
+      out.orderBy("step")
     }),
 
     // Interpolated Kneser-Ney bigram probabilities with absolute

@@ -122,6 +122,24 @@ class PropertySuite extends AnyFunSuite {
         s"bitset_intersect_count(bitset_from_ids(a, $nWords), bitset_from_ids(b, $nWords)) AS viaBits",
         "CAST(size(array_intersect(a, b)) AS BIGINT) AS viaArr")
       .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // early-exit containment verify == plain popcount + threshold: exact
+    // shared where |A∩B| ≥ ⌈0.8·|A|⌉, −1 everywhere else (the fused
+    // kernel the dense dedup_containment path filters on)
+    idCases.toDF("a", "b")
+      .selectExpr(
+        s"bitset_containment_shared(bitset_from_ids(a, $nWords), bitset_from_ids(b, $nWords), CAST(size(a) AS BIGINT)) AS fused",
+        s"bitset_intersect_count(bitset_from_ids(a, $nWords), bitset_from_ids(b, $nWords)) AS shared",
+        "CAST(size(a) AS BIGINT) AS n1")
+      .collect().foreach { r =>
+        val expect = if (r.getLong(1) * 5 >= r.getLong(2) * 4) r.getLong(1) else -1L
+        assert(r.getLong(0) === expect)
+      }
+    // and on guaranteed-qualifying pairs (B ⊇ A): exact |A| comes back
+    idCases.map { case (a, b) => (a, (a ++ b).distinct) }.toDF("a", "b")
+      .selectExpr(
+        s"bitset_containment_shared(bitset_from_ids(a, $nWords), bitset_from_ids(b, $nWords), CAST(size(a) AS BIGINT)) AS fused",
+        "CAST(size(a) AS BIGINT) AS n1")
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
     // sorted two-pointer merge count == array_intersect size on the same
     // sets (cast to bigint, sorted at the call site per the contract)
     idCases.map { case (a, b) => (a.map(_.toLong), b.map(_.toLong)) }

@@ -42,6 +42,7 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "kmeans_train_iters", // × k=8 centroid table, twice (two Lloyd assigns)
     "zonemap_prune",    // × single-row chunks-scanned/total counter pair
     "graph_triangle_count", // × single-row global triangle-count total
+    "graph_triangle_count_shuffle", // × the same single-row total (twin)
     "vec_prefix_rerank_topk", // × |queries| ≤ 5 (matryoshka staged retrieval)
     "basket_pair_support",  // × single-row distinct-order count
     "basket_triple_support", // × single-row distinct-order count

@@ -207,15 +207,21 @@ class SpecOpsSuite extends AnyFunSuite {
     // A, walk counts multiply through the bridges (σ up to ~deg³) — a
     // DENSE graph that must pass UNDER the guard with exact results
     val tmp = java.nio.file.Files.createTempDirectory("graft_dense_graph").toString
-    (Seq.tabulate(20)(p => (100L, p + 1L)) ++
-      Seq.tabulate(21)(p => (200L, p + 20L)) ++
-      Seq.tabulate(21)(p => (300L, p + 40L)))
-      .toDF("l_orderkey", "l_partkey")
-      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-    val got = SparkEntry.queries("graph_betweenness_khop")(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("bc_q"))).toSeq
-    assert(got.nonEmpty)
-    assert(got === bruteBetweenness(adjacencyOf(tmp)))
+    try {
+      (Seq.tabulate(20)(p => (100L, p + 1L)) ++
+        Seq.tabulate(21)(p => (200L, p + 20L)) ++
+        Seq.tabulate(21)(p => (300L, p + 40L)))
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      val got = SparkEntry.queries("graph_betweenness_khop")(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("part"), r.getAs[Long]("bc_q"))).toSeq
+      assert(got.nonEmpty)
+      assert(got === bruteBetweenness(adjacencyOf(tmp)))
+    } finally
+      // the checkpointed adjacency blocks live in memory, so the parquet
+      // fixture can go as soon as the query ran (repeated suite runs were
+      // leaking one graft_dense_graph dir each)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     // the guard expression itself: 0 inside the headroom, loud past it
     val ok = Seq(5L).toDF("x")
       .select((col("x") + graft.ops.BitGraphOps.sigmaGuard(lit(1.0e12))).as("y"))

@@ -438,4 +438,172 @@ class StreamingSuite extends AnyFunSuite {
     java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
+
+  // ── Numeric state-size bounds ───────────────────────────────────────
+  // The behavioral tests above prove WHAT is evicted; these prove the
+  // store SIZE is bounded: stateOperators.numRowsTotal must track the
+  // live keys / watermark window, never the history — the silent 100 TB
+  // streaming failure mode (eviction stops working, state grows without
+  // bound, executors OOM weeks later).
+
+  /** State rows reported by the most recent progress entry carrying
+    * state-operator metrics (the trailing batch reflects post-eviction
+    * store size). */
+  private def finalStateRows(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse.collectFirst {
+      case p if p.stateOperators.nonEmpty =>
+        p.stateOperators.map(_.numRowsTotal).sum
+    }.getOrElse(sys.error("no stateful progress recorded"))
+
+  private def totalDroppedByWatermark(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+
+  test("dedup state size tracks the watermark window, not the ids seen (numeric)") {
+    val base = 1700000000000000L
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    val dedup = ms.toDF()
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("state_rows_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData((1L to 500L).map(i =>
+        StreamOps.Ev(i, base + i * 1000, i % 7, "click", 1.0)))
+      q.processAllAvailable()
+      assert(finalStateRows(q) >= 500,
+        "all 500 ids must be in state while inside the watermark")
+      // advance event time 10 hours — the watermark passes every held id —
+      // then one more batch so the reported store size is post-eviction
+      ms.addData(Seq(StreamOps.Ev(1000, base + 36000000000L, 1, "click", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(StreamOps.Ev(1001, base + 36060000000L, 1, "click", 1.0)))
+      q.processAllAvailable()
+      val after = finalStateRows(q)
+      assert(after <= 2,
+        s"watermark eviction must remove the 500 expired ids; state=$after")
+    } finally q.stop()
+  }
+
+  test("interval-join state is evicted once the watermark passes the window (numeric)") {
+    val base = 1700000000000000L
+    val min = 60000000L
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    // the SHIPPED topology (stream_join_interval / stream_join_outer)
+    val joined = StreamOps.intervalJoinStreams(ms.toDF(), outer = false)
+      .select(col("p_id"), col("c_id"))
+    val q = joined.writeStream.format("memory").queryName("state_rows_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 300 clicks + 1 matching purchase in one batch
+      ms.addData((1L to 300L).map(i =>
+        StreamOps.Ev(i, base + i * 1000, i, "click", 1.0)) :+
+        StreamOps.Ev(400, base + 10 * min, 1, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(finalStateRows(q) >= 300,
+        "both join sides buffer while inside the watermark")
+      // both branches jump 20 h ahead (the global watermark is the min
+      // across streams), then one more batch reports post-eviction size
+      ms.addData(Seq(
+        StreamOps.Ev(500, base + 1200 * min, 7, "click", 1.0),
+        StreamOps.Ev(501, base + 1200 * min, 7, "purchase", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        StreamOps.Ev(502, base + 1201 * min, 8, "click", 1.0),
+        StreamOps.Ev(503, base + 1201 * min, 8, "purchase", 1.0)))
+      q.processAllAvailable()
+      val after = finalStateRows(q)
+      assert(after <= 8,
+        s"join state must hold only rows inside the watermark; state=$after")
+    } finally q.stop()
+  }
+
+  test("unwatermarked aggregation state equals live keys, not events (numeric)") {
+    val base = 1700000000000000L
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    // the stream_topk_state / stream_cdc_apply aggregation shape
+    val counts = ms.toDF().groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+    val q = counts.writeStream.format("memory").queryName("state_rows_agg")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // 1200 events over exactly 8 (type, user) keys, two batches
+      ms.addData((1L to 600L).map(i =>
+        StreamOps.Ev(i, base + i, i % 4, if (i % 3 == 0) "click" else "view", 1.0)))
+      q.processAllAvailable()
+      ms.addData((601L to 1200L).map(i =>
+        StreamOps.Ev(i, base + i, i % 4, if (i % 3 == 0) "click" else "view", 1.0)))
+      q.processAllAvailable()
+      assert(finalStateRows(q) === 8,
+        "aggregation state must be one row per live (type, user) key")
+      // 4 users × 2 types = 8 live keys; 1200 events must NOT inflate it
+    } finally q.stop()
+  }
+
+  test("late-data flood is dropped by the watermark and does NOT grow state (numeric)") {
+    val base = 1700000000000000L
+    val hour = 3600000000L
+    val ms = MemoryStream[StreamOps.Ev](spark)
+    val agg = ms.toDF()
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "1 hour")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("state_rows_flood")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // establish a watermark 100 hours in: 3 open-or-closed windows
+      ms.addData(Seq(0, 1, 100).map(h =>
+        StreamOps.Ev(h, base + h * hour, 1, "click", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(StreamOps.Ev(200, base + 100 * hour + 60000000L, 1, "click", 1.0)))
+      q.processAllAvailable()
+      val before = finalStateRows(q)
+      // flood: 1000 rows spread over 90 distinct hour windows, all DAYS
+      // behind the watermark (the partial map-side combine folds each
+      // window's rows into one group row before the state operator, so
+      // the dropped metric counts late GROUPS — hence distinct windows)
+      ms.addData((1L to 1000L).map(i =>
+        StreamOps.Ev(10000 + i, base + (i % 90) * hour + i, 1, "click", 1.0)))
+      q.processAllAvailable()
+      val after = finalStateRows(q)
+      assert(totalDroppedByWatermark(q) >= 90,
+        "every flooded late window must be counted dropped-by-watermark")
+      assert(after <= before,
+        s"dropped late volume must not grow state: $before -> $after")
+    } finally q.stop()
+  }
+
+  test("transformWithState per-key state equals live keys across batches (numeric)") {
+    val base = 1700000000000000L
+    val min = 60000000L
+    val oldProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamOps.Ev](spark)
+      // the SHIPPED stream_attribution_tws processor: one Touch row/user
+      val credits = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new StreamOps.LastTouchProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val q = credits.toDF().writeStream.format("memory")
+        .queryName("state_rows_tws").outputMode(OutputMode.Append).start()
+      try {
+        // 900 touches over 9 users, three batches
+        (0 until 3).foreach { b =>
+          ms.addData((1L to 300L).map(i =>
+            StreamOps.Ev(b * 1000 + i, base + (b * 300 + i) * min, i % 9,
+              "click", 1.0)))
+          q.processAllAvailable()
+        }
+        assert(finalStateRows(q) === 9,
+          "ValueState must hold exactly one row per live user key")
+      } finally q.stop()
+    } finally
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
+  }
 }

@@ -73,8 +73,42 @@ def main(sf_dir, out_dir, expect_all=False):
             n_fail += 1; continue
         print(f"PASS {name} ({len(s)} rows)")
         n_pass += 1
+    # Bounded-error differential for the oracle-exempt approximate key:
+    # the HLL estimate must sit within 3x the documented rsd (0.05) of
+    # DuckDB's exact distinct count per group — a quantitative gate for
+    # the one key the hash compare cannot cover.
+    ok, msg = check_approx_bound(con, out_dir)
+    if ok is not None:
+        print(msg)
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail / {n_skip} not-run")
     return 1 if n_fail else 0
+
+APPROX_EXACT_SQL = """SELECT event_type, count(DISTINCT user_id) AS exact_users
+FROM events GROUP BY event_type ORDER BY event_type"""
+APPROX_REL_TOL = 0.15  # 3 x approx_count_distinct's default rsd of 0.05
+
+def check_approx_bound(con, out_dir):
+    """(ok, message) for agg_approx_distinct; ok=None when not in this run."""
+    files = glob.glob(os.path.join(out_dir, "agg_approx_distinct", "*.parquet"))
+    if not files:
+        return None, ""
+    approx = dict(con.execute(
+        f"SELECT event_type, approx_users FROM read_parquet({files!r})").fetchall())
+    exact = dict(con.execute(APPROX_EXACT_SQL).fetchall())
+    if set(approx) != set(exact):
+        return False, (f"FAIL agg_approx_distinct[bound]: groups "
+                       f"{sorted(approx)} vs {sorted(exact)}")
+    worst = max(abs(approx[k] - exact[k]) / max(exact[k], 1) for k in exact)
+    if worst > APPROX_REL_TOL:
+        detail = {k: (approx[k], exact[k]) for k in sorted(exact)}
+        return False, (f"FAIL agg_approx_distinct[bound]: worst relative "
+                       f"error {worst:.4f} > {APPROX_REL_TOL} ({detail})")
+    return True, (f"PASS agg_approx_distinct[bound] "
+                  f"(worst relative error {worst:.4f} <= {APPROX_REL_TOL})")
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2], "--expect-all" in sys.argv[3:]))

@@ -34,17 +34,36 @@ def run_bounded(con, sql, timeout):
     """Execute with a PER-STATEMENT interrupt timer. A single timer around
     a multi-statement block can fire in the gap between statements, where
     DuckDB's interrupt is a no-op — and the next statement then runs
-    unbounded (observed wedging the sharded sf1 sweep)."""
-    timer = threading.Timer(timeout, con.interrupt)
+    unbounded (observed wedging the sharded sf1 sweep).
+
+    The `fired` flag closes the completion race: the timer can fire AFTER
+    fetchall() returned but BEFORE cancel(), leaving a stale interrupt
+    armed on the shared connection that would spuriously TIMEOUT the next
+    (fast) statement. When the statement completed despite a fire, a
+    no-op statement absorbs the stale interrupt."""
+    fired = threading.Event()
+
+    def _interrupt():
+        fired.set()
+        con.interrupt()
+
+    timer = threading.Timer(timeout, _interrupt)
     timer.start()
     try:
-        return con.execute(sql).fetchall()
+        rows = con.execute(sql).fetchall()
     except (duckdb.InterruptException, RuntimeError) as e:
         if "INTERRUPT" in str(e).upper() or isinstance(e, duckdb.InterruptException):
             raise Timeout()
         raise
     finally:
         timer.cancel()
+    if fired.is_set():
+        # completed anyway — swallow the possibly-pending stale interrupt
+        try:
+            con.execute("SELECT 1").fetchall()
+        except (duckdb.InterruptException, RuntimeError):
+            pass
+    return rows
 
 def digest(con, rel_sql, timeout):
     cols = sorted(r[0] for r in
@@ -72,9 +91,10 @@ def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = n_skip = n_timeout = 0
     fails, timeouts = [], []
+    n_resumed = 0
     for name in sorted(oracles):
         if name in done:
-            n_pass += 1
+            n_resumed += 1
             continue
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
@@ -107,12 +127,33 @@ def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
             n_fail += 1; fails.append(name); continue
         print(f"PASS {name} ({sn} rows)", flush=True)
         n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail / {n_timeout} timeout / {n_skip} not-run")
+    # bounded-error differential for the oracle-exempt approximate key
+    # (same contract as check.py: within 3x the documented rsd of exact)
+    import importlib.util as _ilu
+    _spec = _ilu.spec_from_file_location(
+        "graft_check", os.path.join(os.path.dirname(__file__), "check.py"))
+    _check = _ilu.module_from_spec(_spec); _spec.loader.exec_module(_check)
+    ok, msg = _check.check_approx_bound(con, out_dir)
+    if ok is not None:
+        print(msg)
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_resumed} resumed / {n_fail} fail / "
+          f"{n_timeout} timeout / {n_skip} not-run")
     if fails:
         print("failed keys: " + " ".join(fails))
     if timeouts:
         print("timeout keys: " + " ".join(timeouts))
-    return 1 if n_fail else 0
+    # distinct exit codes so automation can't read a wedged/partial sweep
+    # as green: 1 = mismatch, 2 = no mismatch but timeouts under
+    # --expect-all (sweep incomplete — secondary evidence required)
+    if n_fail:
+        return 1
+    if expect_all and n_timeout:
+        return 2
+    return 0
 
 if __name__ == "__main__":
     args = sys.argv[3:]

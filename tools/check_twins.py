@@ -18,6 +18,13 @@ TWINS = [
     ["dedup_weighted_jaccard", "dedup_weighted_jaccard_shuffle"],
     ["graph_kcore", "graph_kcore_shuffle"],
     ["dedup_cluster_cc", "dedup_cluster_cc_dist"],
+    # round-12 additions: direct sf1 evidence for the former oracle-budget
+    # gap keys (VERDICT r11 task 1) — algorithmic twins where possible
+    ["dedup_containment", "dedup_containment_prefix"],
+    ["dedup_incremental", "dedup_incremental_fullscan"],
+    ["dedup_keep_best", "dedup_keep_best_dist"],
+    ["graph_triangle_count", "graph_triangle_count_shuffle"],
+    ["graph_jaccard_edges", "graph_jaccard_edges_shuffle"],
 ]
 
 def digest(con, files):
