@@ -148,8 +148,8 @@ object Pipeline {
     }
   }
 
-  /** Shared oracle for `dedup_weighted_jaccard` and its forced-shuffle
-    * verify twin. */
+  /** Shared oracle for `dedup_incremental` and its full-corpus-derivation
+    * twin `dedup_incremental_fullscan`. */
   private val incrementalSql: String =
     """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
       |             FROM documents),
@@ -173,6 +173,8 @@ object Pipeline {
       |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
       |ORDER BY d_new, d_old""".stripMargin
 
+  /** Shared oracle for `dedup_weighted_jaccard` and its forced-shuffle
+    * verify twin. */
   private val weightedJaccardSql: String =
     """WITH tok AS (SELECT doc_id, lang, tk, count(*) AS tf
       |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tk

@@ -58,17 +58,26 @@ object SeqOps {
           min(struct((-col("c")).as("nc"), col("w2"))).as("best"))
         .select(col("w1"), col("cu"),
           col("best.w2").as("nxt"), (-col("best.nc")).as("nc"))
-        .localCheckpoint() // vocab-sized, stays distributed; read 8×
+        .localCheckpoint() // vocab-sized, stays distributed; scanned 8×
+      // each step is localCheckpointed (≤1 row): the final union reads 8
+      // materialized rows instead of re-deriving every step's join-chain
+      // prefix, so `arg` is scanned exactly once per step. The isNotNull
+      // guard drops the all-NULL global aggregate row an EMPTY corpus
+      // produces (the oracle's LIMIT 1 over an empty relation is 0 rows,
+      // and an empty step 1 empties the whole chain the same way).
       var cur = arg
         .agg(min(struct((-col("cu")).as("a"), col("w1").as("b"))).as("m"))
         .select(lit(1L).as("step"), col("m.b").as("token"),
           (-col("m.a")).as("c"))
+        .where(col("token").isNotNull)
+        .localCheckpoint()
       var out = cur
       for (k <- 2 to 8) {
         cur = arg
           .join(broadcast(cur.select(col("token").as("w1"))), "w1")
           .select(lit(k.toLong).as("step"), col("nxt").as("token"),
             col("nc").as("c"))
+          .localCheckpoint()
         out = out.unionByName(cur)
       }
       out.orderBy("step")

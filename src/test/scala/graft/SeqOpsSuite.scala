@@ -47,6 +47,39 @@ class SeqOpsSuite extends AnyFunSuite {
     massByW1.values.foreach(m => assert(m > 0 && m <= 1.0 + 1e-9))
   }
 
+  test("lm_greedy_decode: decodes the brute-force chain; empty corpus decodes to zero rows") {
+    import spark.implicits._
+    // full-fixture parity with a plain-Scala greedy walk
+    val got = SeqOps.queries("lm_greedy_decode")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val bi = docs.flatMap(t => t.sliding(2).collect { case Array(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byHead = bi.toSeq.groupBy(_._1._1).map { case (w1, ps) =>
+      val best = ps.map { case ((_, w2), c) => (w2, c) }.minBy { case (w2, c) => (-c, w2) }
+      w1 -> (ps.map(_._2).sum, best._1, best._2)
+    }
+    val first = byHead.toSeq.minBy { case (w1, (cu, _, _)) => (-cu, w1) }
+    var expected = Seq((1L, first._1, first._2._1))
+    var cur = first._1
+    var halted = false
+    for (step <- 2 to 8 if !halted) byHead.get(cur) match {
+      case None => halted = true
+      case Some((_, nxt, c)) => cur = nxt; expected :+= ((step.toLong, cur, c))
+    }
+    assert(got === expected)
+    // EMPTY corpus (no doc with >= 2 tokens): the oracle's LIMIT 1 over an
+    // empty bigram relation is zero rows — the declarative chain must not
+    // emit the all-NULL global-aggregate row
+    val tmp = java.nio.file.Files.createTempDirectory("graft_empty_docs").toString
+    try {
+      Seq((1L, "one", "en", "syn", 3L), (2L, "x", "en", "syn", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      assert(SeqOps.queries("lm_greedy_decode")(spark, tmp).count() === 0L)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("win_running_distinct ≡ brute-force per-user scan") {
     val rows = SeqOps.queries("win_running_distinct")(spark, d).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))

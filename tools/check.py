@@ -77,7 +77,7 @@ def main(sf_dir, out_dir, expect_all=False):
     # the HLL estimate must sit within 3x the documented rsd (0.05) of
     # DuckDB's exact distinct count per group — a quantitative gate for
     # the one key the hash compare cannot cover.
-    ok, msg = check_approx_bound(con, out_dir)
+    ok, msg = check_approx_bound(con, out_dir, expect_all)
     if ok is not None:
         print(msg)
         if ok:
@@ -91,10 +91,15 @@ APPROX_EXACT_SQL = """SELECT event_type, count(DISTINCT user_id) AS exact_users
 FROM events GROUP BY event_type ORDER BY event_type"""
 APPROX_REL_TOL = 0.15  # 3 x approx_count_distinct's default rsd of 0.05
 
-def check_approx_bound(con, out_dir):
-    """(ok, message) for agg_approx_distinct; ok=None when not in this run."""
+def check_approx_bound(con, out_dir, expect_all=False):
+    """(ok, message) for agg_approx_distinct; ok=None when not in this run.
+    Under expect_all a missing result dir is a FAIL (same contract as the
+    oracle keys: a full run that skipped the key crashed)."""
     files = glob.glob(os.path.join(out_dir, "agg_approx_distinct", "*.parquet"))
     if not files:
+        if expect_all:
+            return False, ("FAIL agg_approx_distinct[bound]: no result "
+                           "directory (full run expected)")
         return None, ""
     approx = dict(con.execute(
         f"SELECT event_type, approx_users FROM read_parquet({files!r})").fetchall())

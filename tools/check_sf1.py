@@ -57,6 +57,12 @@ def run_bounded(con, sql, timeout):
         raise
     finally:
         timer.cancel()
+        # cancel() does not wait for an in-flight callback: join() makes
+        # `fired` final AND guarantees any interrupt has been delivered
+        # before the absorber below runs (otherwise the callback could
+        # land its interrupt after the absorber completed, re-arming the
+        # exact stale interrupt this closes)
+        timer.join()
     if fired.is_set():
         # completed anyway — swallow the possibly-pending stale interrupt
         try:
@@ -129,11 +135,9 @@ def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
         n_pass += 1
     # bounded-error differential for the oracle-exempt approximate key
     # (same contract as check.py: within 3x the documented rsd of exact)
-    import importlib.util as _ilu
-    _spec = _ilu.spec_from_file_location(
-        "graft_check", os.path.join(os.path.dirname(__file__), "check.py"))
-    _check = _ilu.module_from_spec(_spec); _spec.loader.exec_module(_check)
-    ok, msg = _check.check_approx_bound(con, out_dir)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from check import check_approx_bound
+    ok, msg = check_approx_bound(con, out_dir, expect_all)
     if ok is not None:
         print(msg)
         if ok:
