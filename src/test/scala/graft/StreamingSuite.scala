@@ -576,6 +576,50 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session-timer ListState is evicted as the watermark closes sessions (numeric)") {
+    val base = 1700000000000000L
+    val min = 60000000L
+    val oldProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val ms = MemoryStream[StreamOps.Ev](spark)
+      // the SHIPPED stream_session_timers topology
+      val src = ms.toDF()
+        .withColumn("ets", timestamp_millis(expr("ts_us div 1000")))
+        .withWatermark("ets", "10 minutes")
+        .select(col("user_id"), col("ts_us")).as[(Long, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new StreamOps.SessionTimerProcessor(30L * 60 * 1000000),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+      val q = out.toDF().writeStream.format("memory")
+        .queryName("state_rows_sess").outputMode(OutputMode.Append).start()
+      try {
+        // 50 users open one session each
+        ms.addData((1L to 50L).map(u =>
+          StreamOps.Ev(u, base + u * 1000, u, "click", 1.0)))
+        q.processAllAvailable()
+        val open = finalStateRows(q)
+        assert(open >= 50, s"50 open sessions must be in state, saw $open")
+        // watermark jumps 10 h: every timer fires, sessions emit + evict;
+        // one more batch reports the post-eviction store
+        ms.addData(Seq(StreamOps.Ev(900, base + 600 * min, 900, "click", 1.0)))
+        q.processAllAvailable()
+        ms.addData(Seq(StreamOps.Ev(901, base + 601 * min, 900, "click", 1.0)))
+        q.processAllAvailable()
+        val after = finalStateRows(q)
+        assert(after <= 6,
+          s"closed sessions must leave the store (user 900's open tail may remain): $after")
+        assert(spark.table("state_rows_sess").count() >= 50,
+          "the 50 closed sessions must have been emitted")
+      } finally q.stop()
+    } finally
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
+  }
+
   test("transformWithState per-key state equals live keys across batches (numeric)") {
     val base = 1700000000000000L
     val min = 60000000L
