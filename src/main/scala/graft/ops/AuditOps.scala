@@ -76,6 +76,49 @@ object AuditOps {
       keepBest(s, d, TrainOps.connectedComponents(pairs, driverLimit = 0))
     }),
 
+    // Dedup survivorship report: what keep-best dedup DOES to each
+    // source — docs total, docs caught in a duplicate cluster, docs
+    // surviving (cluster winners + untouched singletons), and the ppm of
+    // characters retained. The decision input every curator reads before
+    // committing a dedup pass ("does this gut my books corpus?").
+    // Composes the same pair kernel + CC + keep-best aggregate as
+    // dedup_keep_best, then ONE source-keyed rollup; the char ppm is
+    // computed decimal-first (Σchars·10⁶ wraps int64 past ~9·10¹²
+    // chars/source — the corr_spearman sf1 lesson applied proactively).
+    "dedup_survivorship_report" -> ((s, d) => {
+      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      val cc = TrainOps.connectedComponents(pairs)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val kept = cc
+        .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+        .groupBy("cluster_rep")
+        .agg(max(struct(col("n_chars").cast("long").as("a"),
+          (-col("node")).as("b"))).as("m"))
+        .select((-col("m.b")).as("doc_id"), lit(1).as("is_rep"))
+      docs
+        .join(cc.select(col("node").as("doc_id"), lit(1).as("inc")),
+          Seq("doc_id"), "left")
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("source"), col("n_chars"),
+          when(col("inc").isNotNull, 1L).otherwise(0L).as("in_cluster"),
+          when(col("inc").isNull || col("is_rep").isNotNull, 1L)
+            .otherwise(0L).as("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("in_cluster").as("n_clustered"),
+          sum("kept").as("n_kept"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("kept") === 1L, col("n_chars")).otherwise(0L))
+            .as("chars_kept"))
+        .select(col("source"), col("n_docs"), col("n_clustered"),
+          col("n_kept"),
+          expr("(CAST(chars_kept AS DECIMAL(38,0)) * 1000000) div chars_total")
+            .as("chars_kept_ppm"))
+        .orderBy("source")
+    }),
+
     // Hour-of-day activity profile per event type with integer-ppm share
     // — the corpus' temporal shape (UTC hours; ts_us is epoch micros).
     // The share window runs over the |types|×24 aggregate, never events.
@@ -125,6 +168,43 @@ object AuditOps {
     "dedup_keep_best" -> keepBestSql,
     // algorithmic twin: identical semantics, identical oracle
     "dedup_keep_best_dist" -> keepBestSql,
+
+    "dedup_survivorship_report" ->
+      """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+        |      i -> substr(text, i, 5))) AS gs
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |        len(list_intersect(a.gs, b.gs)) AS shared,
+        |        len(a.gs) AS n1, len(b.gs) AS n2
+        |      FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |        AND abs(a.n_chars - b.n_chars) <= 20),
+        |pairs AS (SELECT d1, d2 FROM p
+        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |r(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src),
+        |cc AS (SELECT node, min(lbl) AS cluster_rep FROM r GROUP BY node),
+        |j AS (SELECT cc.cluster_rep, cc.node, d.n_chars
+        |      FROM cc JOIN documents d ON cc.node = d.doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_rep
+        |         ORDER BY n_chars DESC, node) AS rn FROM j),
+        |lab AS (SELECT d.doc_id, d.source, d.n_chars,
+        |    CASE WHEN cc.node IS NULL THEN 0 ELSE 1 END AS in_cluster,
+        |    CASE WHEN cc.node IS NULL OR rk1.node IS NOT NULL
+        |      THEN 1 ELSE 0 END AS kept
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        |  LEFT JOIN (SELECT node FROM rk WHERE rn = 1) rk1
+        |    ON d.doc_id = rk1.node)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(in_cluster) AS BIGINT) AS n_clustered,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS HUGEINT)
+        |    * 1000000 // sum(n_chars) AS BIGINT) AS chars_kept_ppm
+        |FROM lab GROUP BY source ORDER BY source""".stripMargin,
 
     "ts_seasonal_profile" ->
       """WITH e AS (SELECT event_type,

@@ -53,6 +53,33 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // Duplicate n-gram fraction (the standard cross-document dedup
+    // diagnostic, complementing the INTRA-document repetition screen
+    // above): per doc, the ppm share of its DISTINCT word 3-grams that
+    // also appear in at least one OTHER document. High values flag
+    // near-duplicate or template text that exact dedup misses. Exactly
+    // two map-side-combinable shuffles — the 3-gram document-frequency
+    // aggregate and the per-doc rollup after the g-keyed join — no
+    // windows, output |docs|-bounded: the shape that holds when the
+    // shingle relation is 100 TB-sized.
+    "text_dup_ngram_fraction" -> ((s, d) => {
+      val tks = split(col("text"), " ")
+      val docGrams = Tables.documents(s, d)
+        .filter(size(tks) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(split(text, ' ')) - 3), " +
+            "i -> concat_ws(' ', split(text, ' ')[i], " +
+            "split(text, ' ')[i+1], split(text, ' ')[i+2]))"))).as("g"))
+      val df = docGrams.groupBy("g").agg(count(lit(1)).as("df"))
+      docGrams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          expr("(n_dup * 1000000) div n_grams").as("dup_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // Rarity scoring (perplexity-filter stand-in): mean corpus document
     // frequency over the doc's token instances. Integer sums all the way
     // to one final division — shuffle-merge-order independent.
@@ -356,6 +383,22 @@ object CorpusOps {
         |  CAST(floor(CAST(n_vocab * sxy - sx * sy AS DOUBLE) * 10000.0
         |    / CAST(n_vocab * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_c
         |FROM m ORDER BY lang""".stripMargin,
+
+    "text_dup_ngram_fraction" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+        |      FROM t WHERE len(toks) >= 3),
+        |u AS (SELECT doc_id, unnest(gs) AS g FROM g),
+        |df AS (SELECT g, count(*) AS df FROM u GROUP BY g),
+        |r AS (SELECT u.doc_id, count(*) AS n_grams,
+        |        CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_dup
+        |      FROM u JOIN df ON u.g = df.g GROUP BY u.doc_id)
+        |SELECT doc_id, n_grams, n_dup,
+        |  CAST((n_dup * 1000000) // n_grams AS BIGINT) AS dup_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_rake_keywords" ->
       """WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),

@@ -56,6 +56,30 @@ class AuditOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("dedup_survivorship_report ≡ composition of cluster-cc + keep-best + docs") {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val cc = SparkEntry.queries("dedup_cluster_cc")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc -> cluster_rep
+    val keptDocs = SparkEntry.queries("dedup_keep_best")(spark, d).collect()
+      .map(_.getAs[Long]("kept_doc")).toSet
+    val expected = docs.toSeq.groupBy(_._2._1).map { case (src, ds) =>
+      val n = ds.size.toLong
+      val clustered = ds.count { case (id, _) => cc.contains(id) }.toLong
+      val kept = ds.filter { case (id, _) => !cc.contains(id) || keptDocs(id) }
+      val charsTotal = ds.map(_._2._2).sum
+      val charsKept = kept.map(_._2._2).sum
+      src -> (n, clustered, kept.size.toLong,
+        charsKept * 1000000L / charsTotal)
+    }
+    val got = AuditOps.queries("dedup_survivorship_report")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === docs.size.toLong)
+  }
+
   test("ts_seasonal_profile: per-type ppm sums to ~1e6 and counts sum to events") {
     val rows = AuditOps.queries("ts_seasonal_profile")(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

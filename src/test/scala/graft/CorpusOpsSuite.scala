@@ -51,6 +51,23 @@ class CorpusOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("text_dup_ngram_fraction ≡ brute-force cross-doc 3-gram sweep") {
+    val grams: Seq[(Long, Set[String])] = docs.collect {
+      case (id, _, text) if text.split(" ", -1).length >= 3 =>
+        id -> text.split(" ", -1).sliding(3).map(_.mkString(" ")).toSet
+    }
+    val df = grams.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = grams.map { case (id, gs) =>
+      val nd = gs.count(g => df(g) >= 2).toLong
+      (id, gs.size.toLong, nd, nd * 1000000L / gs.size)
+    }.sortBy(_._1)
+    val got = q("text_dup_ngram_fraction").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // sanity: the metric actually discriminates on this corpus
+    assert(got.exists(_._4 > 0) || df.values.forall(_ == 1))
+  }
+
   test("text_rarity_score: sum_df ≥ n_tok and exact on a hand-checked doc") {
     val dfByTok = docs.flatMap { case (id, _, t) => t.split(" ", -1).distinct.map(_ -> id) }
       .groupBy(_._1).map { case (tk, xs) => tk -> xs.size.toLong }
