@@ -88,35 +88,18 @@ object AuditOps {
     "dedup_survivorship_report" -> ((s, d) => {
       val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
         .select(col("d1"), col("d2")).localCheckpoint()
-      val cc = TrainOps.connectedComponents(pairs)
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val kept = cc
-        .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
-        .groupBy("cluster_rep")
-        .agg(max(struct(col("n_chars").cast("long").as("a"),
-          (-col("node")).as("b"))).as("m"))
-        .select((-col("m.b")).as("doc_id"), lit(1).as("is_rep"))
-      docs
-        .join(cc.select(col("node").as("doc_id"), lit(1).as("inc")),
-          Seq("doc_id"), "left")
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("source"), col("n_chars"),
-          when(col("inc").isNotNull, 1L).otherwise(0L).as("in_cluster"),
-          when(col("inc").isNull || col("is_rep").isNotNull, 1L)
-            .otherwise(0L).as("kept"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("in_cluster").as("n_clustered"),
-          sum("kept").as("n_kept"),
-          sum(col("n_chars")).as("chars_total"),
-          sum(when(col("kept") === 1L, col("n_chars")).otherwise(0L))
-            .as("chars_kept"))
-        .select(col("source"), col("n_docs"), col("n_clustered"),
-          col("n_kept"),
-          expr("(CAST(chars_kept AS DECIMAL(38,0)) * 1000000) div chars_total")
-            .as("chars_kept_ppm"))
-        .orderBy("source")
+      survivorship(s, d, TrainOps.connectedComponents(pairs))
+    }),
+
+    // ALGORITHMIC twin of dedup_survivorship_report (the keep_best_dist
+    // pattern): prefix-path pairs + forced distributed CC. Twin digest
+    // equality is the key's direct sf1 evidence — its recursive-CTE
+    // oracle inherits dedup_keep_best's sf1 DuckDB-budget ceiling.
+    // Verification-only.
+    "dedup_survivorship_dist" -> ((s, d) => {
+      val pairs = Pipeline.queries("dedup_ngram_jaccard_prefix")(s, d)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      survivorship(s, d, TrainOps.connectedComponents(pairs, driverLimit = 0))
     }),
 
     // Hour-of-day activity profile per event type with integer-ppm share
@@ -130,6 +113,40 @@ object AuditOps {
           "(n * 1000000) div sum(n) over (partition by event_type)"))
         .orderBy("event_type", "hod"))
   )
+
+  /** Per-source survivorship rollup over a (node, cluster_rep) labeling:
+    * keep-best winners + untouched singletons survive; char ppm
+    * decimal-first. Shared by the primary and its twin. */
+  private def survivorship(s: SparkSession, d: String, cc: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val kept = cc
+      .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+      .groupBy("cluster_rep")
+      .agg(max(struct(col("n_chars").cast("long").as("a"),
+        (-col("node")).as("b"))).as("m"))
+      .select((-col("m.b")).as("doc_id"), lit(1).as("is_rep"))
+    docs
+      .join(cc.select(col("node").as("doc_id"), lit(1).as("inc")),
+        Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("source"), col("n_chars"),
+        when(col("inc").isNotNull, 1L).otherwise(0L).as("in_cluster"),
+        when(col("inc").isNull || col("is_rep").isNotNull, 1L)
+          .otherwise(0L).as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("in_cluster").as("n_clustered"),
+        sum("kept").as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("kept") === 1L, col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+      .select(col("source"), col("n_docs"), col("n_clustered"),
+        col("n_kept"),
+        expr("(CAST(chars_kept AS DECIMAL(38,0)) * 1000000) div chars_total")
+          .as("chars_kept_ppm"))
+      .orderBy("source")
+  }
 
   /** Keep-best decision over a (node, cluster_rep) labeling: per cluster
     * the member count and the longest member (ties to smallest doc_id) —
@@ -169,7 +186,12 @@ object AuditOps {
     // algorithmic twin: identical semantics, identical oracle
     "dedup_keep_best_dist" -> keepBestSql,
 
-    "dedup_survivorship_report" ->
+    "dedup_survivorship_report" -> survivorshipSql,
+    // algorithmic twin: identical semantics, identical oracle
+    "dedup_survivorship_dist" -> survivorshipSql,
+  ) ++ oraclesTail
+
+  private lazy val survivorshipSql: String =
       """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
         |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
         |      i -> substr(text, i, 5))) AS gs
@@ -204,8 +226,9 @@ object AuditOps {
         |  CAST(sum(kept) AS BIGINT) AS n_kept,
         |  CAST(CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS HUGEINT)
         |    * 1000000 // sum(n_chars) AS BIGINT) AS chars_kept_ppm
-        |FROM lab GROUP BY source ORDER BY source""".stripMargin,
+        |FROM lab GROUP BY source ORDER BY source""".stripMargin
 
+  private lazy val oraclesTail: Map[String, String] = Map(
     "ts_seasonal_profile" ->
       """WITH e AS (SELECT event_type,
         |    (epoch_us(ts) // 3600000000) % 24 AS hod FROM events),

@@ -63,13 +63,16 @@ object CorpusOps {
     // windows, output |docs|-bounded: the shape that holds when the
     // shingle relation is 100 TB-sized.
     "text_dup_ngram_fraction" -> ((s, d) => {
-      val tks = split(col("text"), " ")
+      // tokenize ONCE into a projected column: referencing
+      // split(text, ' ') inside the transform lambda would re-split the
+      // whole string per 3-gram index (measured 7.8 s vs 1.3 s at sf0.1)
       val docGrams = Tables.documents(s, d)
-        .filter(size(tks) >= 3)
+        .select(col("doc_id"), split(col("text"), " ").as("tks"))
+        .filter(size(col("tks")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(0, size(split(text, ' ')) - 3), " +
-            "i -> concat_ws(' ', split(text, ' ')[i], " +
-            "split(text, ' ')[i+1], split(text, ' ')[i+2]))"))).as("g"))
+          "transform(sequence(0, size(tks) - 3), " +
+            "i -> concat_ws(' ', tks[i], tks[i+1], tks[i+2]))"))).as("g"))
+        .localCheckpoint() // read twice: the df aggregate and the join probe
       val df = docGrams.groupBy("g").agg(count(lit(1)).as("df"))
       docGrams.join(df, "g")
         .groupBy("doc_id")

@@ -25,6 +25,7 @@ TWINS = [
     ["dedup_keep_best", "dedup_keep_best_dist"],
     ["graph_triangle_count", "graph_triangle_count_shuffle"],
     ["graph_jaccard_edges", "graph_jaccard_edges_shuffle"],
+    ["dedup_survivorship_report", "dedup_survivorship_dist"],
 ]
 
 def digest(con, files):
