@@ -93,7 +93,8 @@ object SparkEntry {
     "dedup_keep_best_dist",        // prefix-path pairs + forced distributed CC
     "graph_triangle_count_shuffle",// forced-shuffle + built-in-kernel common neighbors
     "graph_jaccard_edges_shuffle", // forced-shuffle + built-in-kernel common neighbors
-    "dedup_survivorship_dist"      // prefix-path pairs + forced distributed CC (survivorship twin)
+    "dedup_survivorship_dist",     // prefix-path pairs + forced distributed CC (survivorship twin)
+    "corpus_health_dist"           // prefix-path pairs + forced distributed CC (corpus-health twin)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -111,8 +111,73 @@ object AuditOps {
         .groupBy("event_type", "hod").agg(count(lit(1)).as("n"))
         .withColumn("ppm", expr(
           "(n * 1000000) div sum(n) over (partition by event_type)"))
-        .orderBy("event_type", "hod"))
+        .orderBy("event_type", "hod")),
+
+    // The composed per-source "corpus health" dashboard a data curator
+    // actually runs: survivorship (dedup keep-best outcome), curation
+    // funnel pass rate, duplicated 3-gram mass, and the even/odd-vintage
+    // length-distribution L1 drift — one row per source, each column
+    // the exact metric of the operator it reuses (survivorship /
+    // curation_funnel_report / text_dup_ngram_fraction rolled up /
+    // drift_l1_buckets partitioned by source).
+    "corpus_health_report" -> ((s, d) => {
+      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      corpusHealth(s, d, TrainOps.connectedComponents(pairs))
+    }),
+
+    // ALGORITHMIC twin of corpus_health_report (the survivorship-twin
+    // pattern applied to the composition): prefix-path pairs + forced
+    // distributed CC. Twin digest equality is the key's direct sf1
+    // evidence — its recursive-CTE oracle inherits dedup_keep_best's
+    // sf1 DuckDB-budget ceiling. Verification-only.
+    "corpus_health_dist" -> ((s, d) => {
+      val pairs = Pipeline.queries("dedup_ngram_jaccard_prefix")(s, d)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      corpusHealth(s, d, TrainOps.connectedComponents(pairs, driverLimit = 0))
+    })
   )
+
+  /** One row per source: survivorship columns + funnel pass ppm + rolled
+    * up duplicate-3-gram ppm + per-source vintage length-drift L1. Each
+    * aggregate is per-source partitioned (the drift window runs over the
+    * (source, band) histogram); all ppm math is integer, the duplicate
+    * mass sum DECIMAL(38,0)-promoted before its ×1e6. */
+  private def corpusHealth(s: SparkSession, d: String, cc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val surv = survivorship(s, d, cc)
+    val fun = MiningOps.queries("curation_funnel_report")(s, d)
+      .select(col("source"), col("pass_ppm"))
+    val docsSrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // a source whose every doc has <3 tokens emits no 3-grams: it drops
+    // out of the rollup and the left join below reports dup_ppm = 0
+    val dup = CorpusOps.queries("text_dup_ngram_fraction")(s, d)
+      .join(docsSrc, "doc_id")
+      .groupBy("source")
+      .agg(sum("n_grams").as("sg"), sum("n_dup").as("sd"))
+      .select(col("source"),
+        expr("(CAST(sd AS DECIMAL(38,0)) * 1000000) div greatest(sg, 1)")
+          .as("dup_ppm"))
+    val wS = Window.partitionBy("source")
+    val drift = Tables.documents(s, d)
+      .select(col("source"), expr("n_chars div 50").as("band"),
+        expr("doc_id % 2").as("vin"))
+      .groupBy("source", "band")
+      .agg(sum(when(col("vin") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("vin") === 1, 1L).otherwise(0L)).as("c1"))
+      .withColumn("t0", sum("c0").over(wS))
+      .withColumn("t1", sum("c1").over(wS))
+      .withColumn("d_ppm", abs(expr("(c1 * 1000000) div greatest(t1, 1)") -
+        expr("(c0 * 1000000) div greatest(t0, 1)")))
+      .groupBy("source").agg(sum("d_ppm").as("len_l1_ppm"))
+    surv.join(fun, Seq("source"))
+      .join(dup, Seq("source"), "left")
+      .join(drift, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_clustered"), col("n_kept"),
+        col("chars_kept_ppm"), col("pass_ppm"),
+        coalesce(col("dup_ppm"), lit(0L)).as("dup_ppm"), col("len_l1_ppm"))
+      .orderBy("source")
+  }
 
   /** Per-source survivorship rollup over a (node, cluster_rep) labeling:
     * keep-best winners + untouched singletons survive; char ppm
@@ -189,7 +254,60 @@ object AuditOps {
     "dedup_survivorship_report" -> survivorshipSql,
     // algorithmic twin: identical semantics, identical oracle
     "dedup_survivorship_dist" -> survivorshipSql,
+
+    "corpus_health_report" -> corpusHealthSql,
+    // algorithmic twin: identical semantics, identical oracle
+    "corpus_health_dist" -> corpusHealthSql,
   ) ++ oraclesTail
+
+  /** survivorshipSql's cluster labeling + the funnel / dup-3-gram /
+    * length-drift rollups, joined per source. */
+  private lazy val corpusHealthSql: String =
+      survivorshipSql.replaceFirst(
+        """(?s)SELECT source, count\(\*\) AS n_docs,.*$""",
+        "") +
+      """, sv AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(in_cluster) AS BIGINT) AS n_clustered,
+        |    CAST(sum(kept) AS BIGINT) AS n_kept,
+        |    CAST(CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS HUGEINT)
+        |      * 1000000 // sum(n_chars) AS BIGINT) AS chars_kept_ppm
+        |  FROM lab GROUP BY source),
+        |fn AS (SELECT source,
+        |    CAST((sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 200 AND 5000
+        |        AND len(str_split(text, ' ')) BETWEEN 40 AND 1000
+        |      THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS pass_ppm
+        |  FROM documents GROUP BY source),
+        |t3 AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |g3 AS (SELECT doc_id, list_distinct(list_transform(
+        |        generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs3
+        |      FROM t3 WHERE len(toks) >= 3),
+        |u3 AS (SELECT doc_id, unnest(gs3) AS g FROM g3),
+        |df3 AS (SELECT g, count(*) AS df FROM u3 GROUP BY g),
+        |pd AS (SELECT u3.doc_id, count(*) AS n_grams,
+        |        sum(CASE WHEN df3.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |      FROM u3 JOIN df3 USING (g) GROUP BY 1),
+        |du AS (SELECT d.source,
+        |    CAST((CAST(sum(pd.n_dup) AS HUGEINT) * 1000000)
+        |      // greatest(sum(pd.n_grams), 1) AS BIGINT) AS dup_ppm
+        |  FROM pd JOIN documents d USING (doc_id) GROUP BY 1),
+        |db AS (SELECT source, n_chars // 50 AS band,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM documents GROUP BY 1, 2),
+        |dw AS (SELECT source, band, c0, c1,
+        |    sum(c0) OVER (PARTITION BY source) AS t0,
+        |    sum(c1) OVER (PARTITION BY source) AS t1 FROM db),
+        |dr AS (SELECT source, CAST(sum(abs(
+        |      (c1 * 1000000) // greatest(t1, 1)
+        |      - (c0 * 1000000) // greatest(t0, 1))) AS BIGINT) AS len_l1_ppm
+        |  FROM dw GROUP BY source)
+        |SELECT sv.source, sv.n_docs, sv.n_clustered, sv.n_kept,
+        |  sv.chars_kept_ppm, fn.pass_ppm,
+        |  coalesce(du.dup_ppm, 0) AS dup_ppm, dr.len_l1_ppm
+        |FROM sv JOIN fn USING (source) LEFT JOIN du USING (source)
+        |  JOIN dr USING (source)
+        |ORDER BY sv.source""".stripMargin
 
   private lazy val survivorshipSql: String =
       """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,

@@ -17,8 +17,10 @@ import graft.io.Tables
   *
   * Scale shapes (100 TB notes):
   *  - feature_target_encode: one (category) aggregate + a broadcast
-  *    1-row global prior; the cross-multiplied ppm reaches r·N·1e6 —
-  *    promote to DECIMAL(38,0) past ~10^9 rows, shape unchanged.
+  *    1-row global prior; the cross-multiplied ppm reaches r·N·1e6, so
+  *    the products run in DECIMAL(38,0) on both engines (good to
+  *    ~10^15 rows; ANSI decimal overflow fails loudly past that) and
+  *    the ppm quotients come back to BIGINT via integral `div`.
   *  - feature_scale_minmax: per-key min/max aggregate broadcasts back
   *    over the data for the scaled pass — two scans, no window.
   *  - feature_hash_bucket: token instances aggregate straight to the
@@ -46,9 +48,11 @@ object FeatureEngOps {
       li.groupBy("p_brand")
         .agg(count(lit(1)).as("n"), sum("y").as("r"))
         .crossJoin(broadcast(global))
-        .withColumn("raw_ppm", expr("(r * 1000000) div n"))
+        .withColumn("raw_ppm",
+          expr("(CAST(r AS DECIMAL(38,0)) * 1000000) div n"))
         .withColumn("smoothed_ppm",
-          expr("((r * gn + 10 * gr) * 1000000) div ((n + 10) * gn)"))
+          expr("((CAST(r AS DECIMAL(38,0)) * gn + 10 * gr) * 1000000)" +
+            " div ((n + 10) * CAST(gn AS DECIMAL(38,0)))"))
         .select("p_brand", "n", "r", "raw_ppm", "smoothed_ppm")
         .orderBy("p_brand")
     }),
@@ -160,8 +164,10 @@ object FeatureEngOps {
         |g AS (SELECT count(*) AS gn, CAST(sum(y) AS BIGINT) AS gr FROM li),
         |b AS (SELECT p_brand, count(*) AS n, CAST(sum(y) AS BIGINT) AS r
         |  FROM li GROUP BY 1)
-        |SELECT p_brand, n, r, (r * 1000000) // n AS raw_ppm,
-        |  ((r * gn + 10 * gr) * 1000000) // ((n + 10) * gn) AS smoothed_ppm
+        |SELECT p_brand, n, r,
+        |  CAST((CAST(r AS HUGEINT) * 1000000) // n AS BIGINT) AS raw_ppm,
+        |  CAST(((CAST(r AS HUGEINT) * gn + 10 * gr) * 1000000)
+        |    // ((n + 10) * CAST(gn AS HUGEINT)) AS BIGINT) AS smoothed_ppm
         |FROM b, g ORDER BY p_brand""".stripMargin,
 
     "feature_scale_minmax" ->

@@ -462,7 +462,10 @@ object GraphOps {
     * native `sorted_intersect_count` codegen kernel, so twin equality
     * also validates the custom expression against an independent
     * implementation. Cached like the primary: the triangle and Jaccard
-    * twins share one build per (session, dataset). */
+    * twins share one build per (session, dataset). Like cnCache, entries
+    * live for the session (Verify/Bench use one dataset dir per session,
+    * so the map holds ≤1 checkpointed relation in practice); a long-lived
+    * multi-dataset session should sweep via QueryHygiene instead. */
   private val cnShuffledCache =
     new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 

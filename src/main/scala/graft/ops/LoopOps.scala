@@ -217,9 +217,10 @@ object LoopOps {
     // since the group's first event (≤ ~720), y = centi-canonized value
     // (≤ 4.9e4); one aggregate pass collects (n, Σx, Σy, Σxy, Σx²), then
     // slope = Σ(x-x̄)(y-ȳ) / Σ(x-x̄)² from the sums with floor-integer
-    // means. Bounds at sf0.1 (n ≈ 2e4/group): |num| ≤ 7e11, den ≤ 1e10,
-    // |num|·10⁶ ≤ 7e17 < Long.Max; at n ≈ 2e5 the product nears 7e18 —
-    // past that promote num·10⁶ to DECIMAL(38,0) on both engines.
+    // means. |num| ≤ n·720·4.9e4 ≈ 3.5e7·n, so the sums and num/den
+    // stay BIGINT to ~2.6e11 rows/group; the binding |num|·10⁶ product
+    // (past int64 from n ≈ 2e5/group) runs in DECIMAL(38,0)/HUGEINT on
+    // both engines, quotient back to BIGINT.
     // slope_ppm truncates toward zero via sign·(|num|·10⁶ div den) —
     // written the same way in the oracle so Spark's truncating `div` and
     // DuckDB's flooring `//` cannot diverge on negative slopes.
@@ -243,7 +244,8 @@ object LoopOps {
         .select(col("event_type"), col("n"), col("xb"), col("yb"),
           col("num"), col("den"),
           (signum(col("num")).cast("long") *
-            expr("(abs(num) * 1000000) div den")).as("slope_ppm"))
+            expr("(CAST(abs(num) AS DECIMAL(38,0)) * 1000000) div den"))
+            .as("slope_ppm"))
         .orderBy("event_type")
     })
   )
@@ -350,8 +352,10 @@ object LoopOps {
         |    sxx - 2 * xb * sx + n * xb * xb AS den FROM m)
         |SELECT event_type, n, CAST(xb AS BIGINT) AS xb, CAST(yb AS BIGINT) AS yb,
         |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
-        |  CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
-        |       ELSE -((-num * 1000000) // den) END AS BIGINT) AS slope_ppm
+        |  CAST(CASE WHEN num >= 0
+        |       THEN (CAST(num AS HUGEINT) * 1000000) // den
+        |       ELSE -((CAST(-num AS HUGEINT) * 1000000) // den)
+        |       END AS BIGINT) AS slope_ppm
         |FROM r ORDER BY event_type""".stripMargin
   )
 }

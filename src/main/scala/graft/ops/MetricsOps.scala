@@ -20,8 +20,9 @@ import graft.api.Vectors
   *    score), never over data rows — data touches one map-side-combinable
   *    aggregate per (bucket) and per (bucket, label). The single-partition
   *    window orders the histogram, not the corpus. (The ppm products reach
-  *    nP·N·1e6 — promote to DECIMAL(38,0) beyond ~10^9 rows; shape
-  *    unchanged.)
+  *    nP·N·1e6, so the rank-sum moments run in DECIMAL(38,0) on both
+  *    engines — good to ~10^15 rows, ANSI decimal overflow fails loudly
+  *    past that — and auc_ppm comes back to BIGINT via integral `div`.)
   *  - eval_ndcg: the probe panel is bounded by construction (vec_id <
   *    500) and broadcasts; the corpus side streams partition-local
   *    through the codegen'd sqdist kernel. Discount weights are integer
@@ -61,13 +62,21 @@ object MetricsOps {
       val contrib = perBL.join(ranked.select("score_c", "r2"), "score_c")
       // total row count from a 1-row broadcast aggregate (every row has
       // exactly one label)
+      // c·r2 ≤ 2N² wraps int64 from N ≈ 2·10⁹ rows, and u2·1e6 from
+      // N ≈ 7·10⁶ — both operands are promoted to decimal BEFORE the
+      // multiply (corr_spearman discipline), so every moment is exact
+      // to ~10^15 rows and the quotient lands back in BIGINT.
       contrib.groupBy("label")
-        .agg(sum("c").as("n_pos"), sum(col("c") * col("r2")).as("sum_r2"))
+        .agg(sum("c").as("n_pos"),
+          sum((col("c").cast("decimal(19,0)") * col("r2"))
+            .cast("decimal(38,0)")).as("sum_r2"))
         .crossJoin(broadcast(scored.agg(count(lit(1)).as("tot"))))
         .withColumn("u2",
-          col("sum_r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+          col("sum_r2") -
+            col("n_pos").cast("decimal(19,0)") * (col("n_pos") + lit(1L)))
         .withColumn("auc_ppm",
-          expr("(u2 * 1000000) div (2 * n_pos * (tot - n_pos))"))
+          expr("(u2 * 1000000) div" +
+            " (2 * CAST(n_pos AS DECIMAL(19,0)) * (tot - n_pos))"))
         .select("label", "n_pos", "auc_ppm")
         .orderBy("label")
     }),
@@ -254,12 +263,13 @@ object MetricsOps {
         |      + nb + 1 AS r2 FROM h),
         |bl AS (SELECT score_c, label, count(*) AS c FROM s GROUP BY 1, 2),
         |g AS (SELECT bl.label, CAST(sum(bl.c) AS BIGINT) AS n_pos,
-        |    CAST(sum(bl.c * r.r2) AS BIGINT) AS sum_r2
+        |    sum(CAST(bl.c AS HUGEINT) * r.r2) AS sum_r2
         |  FROM bl JOIN r USING (score_c) GROUP BY 1),
         |gt AS (SELECT *, CAST(sum(n_pos) OVER () AS BIGINT) AS tot FROM g)
         |SELECT label, n_pos,
-        |  CAST(((sum_r2 - n_pos * (n_pos + 1)) * 1000000)
-        |    // (2 * n_pos * (tot - n_pos)) AS BIGINT) AS auc_ppm
+        |  CAST(((sum_r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
+        |    // (2 * CAST(n_pos AS HUGEINT) * (tot - n_pos)) AS BIGINT)
+        |    AS auc_ppm
         |FROM gt ORDER BY label""".stripMargin,
 
     "eval_ndcg" -> {

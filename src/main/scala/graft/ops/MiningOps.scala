@@ -61,20 +61,41 @@ object MiningOps {
           // verify every same-language (n1 ≤ n2)-ordered pair with one
           // native AND+popcount fold. Containment has no symmetric
           // length band (a 50-shingle doc can sit inside a 5000-shingle
-          // one), so the pair space is per-language all-pairs — bounded
-          // here by the broadcastable corpus; a corpus past the
-          // broadcast budget flips to the inverted-index prefix path
-          // below, whose candidates stay bounded by rare-shingle
-          // collisions at any corpus size.
+          // one), so the pair space is per-language ORDERED all-pairs —
+          // enumerated through the n-quantile band cut below (≈N²/2,
+          // never both orders), bounded here by the broadcastable
+          // corpus; a corpus past the broadcast budget flips to the
+          // inverted-index prefix path below, whose candidates stay
+          // bounded by rare-shingle collisions at any corpus size.
           val sets = docs.select(col("doc_id"), col("lang"),
             size(col("gs")).cast("long").as("n"),
             call_function("bitset_from_tokens", col("gs"), dictMap,
               lit(nWords)).as("bs"))
-          val a = sets.select(col("doc_id").as("d1"), col("lang").as("l1"),
-            col("n").as("n1"), col("bs").as("b1"))
-          val b = sets.select(col("doc_id").as("d2"), col("lang").as("l2"),
-            col("n").as("n2"), col("bs").as("b2"))
-          a.join(broadcast(b), col("l1") === col("l2") &&
+          // candidate-side cut (round 13): a per-language n-QUANTILE band
+          // joins into the hash key. Ordered pairs need n1 ≤ n2 and the
+          // band is monotone in n, so band(A) ≤ band(B) is lossless —
+          // the probe explodes A's bands ≥ its own and the broadcast
+          // hash buckets split 32 ways, halving the enumerated pair
+          // space (Σ_{b1≤b2} ≈ N²/2·(1+1/32) vs N² both-orders). The
+          // band comes from the value-bounded (lang, n) histogram —
+          // windows over the bucket relation, never over docs.
+          val nBands = 32L
+          val hist = sets.groupBy("lang", "n").agg(count(lit(1)).as("cb"))
+          val wLt = Window.partitionBy("lang").orderBy("n")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val bands = hist
+            .withColumn("cum_lt", coalesce(sum("cb").over(wLt), lit(0L)))
+            .withColumn("ntot", sum("cb").over(Window.partitionBy("lang")))
+            .select(col("lang"), col("n"),
+              expr(s"(cum_lt * $nBands) div ntot").as("band"))
+          val bsets = sets.join(broadcast(bands), Seq("lang", "n"))
+          val a = bsets.select(col("doc_id").as("d1"), col("lang").as("l1"),
+            col("n").as("n1"), col("bs").as("b1"), col("band").as("band1"))
+          val b = bsets.select(col("doc_id").as("d2"), col("lang").as("l2"),
+            col("n").as("n2"), col("bs").as("b2"), col("band").as("band2"))
+          a.withColumn("bj", explode(sequence(col("band1"), lit(nBands - 1L))))
+            .join(broadcast(b), col("l1") === col("l2") &&
+              col("bj") === col("band2") &&
               (col("n1") < col("n2") ||
                 (col("n1") === col("n2") && col("d1") < col("d2"))))
             // early-exit fused verify (round 12): exact shared when the

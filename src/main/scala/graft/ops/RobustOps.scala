@@ -21,9 +21,12 @@ import graft.io.Tables
   *  - vec_power_iteration: s = Aᵀ(A·1) over canon(1e4)-quantized
   *    coordinates — both matvecs are map-side integer sums (per-row
   *    array fold, then a |dim|-cell aggregate), so the result is
-  *    bit-exact in any engine and merge-order independent. The int64
-  *    headroom bound is n·maxᵢ|qᵢ|·10⁴ — promote to DECIMAL(38,0)
-  *    past ~10⁹ rows, shape unchanged.
+  *    bit-exact in any engine and merge-order independent. The sum
+  *    reaches n·maxᵢ|qᵢ|·10⁴ (past int64 from ~10⁹ rows), so it runs
+  *    in DECIMAL(38,0) and casts back to BIGINT behind a loud named
+  *    assert — a corpus whose s_j genuinely exceeds int64 fails the
+  *    job with the message instead of wrapping (DuckDB's HUGEINT→
+  *    BIGINT cast errors on the same boundary).
   */
 object RobustOps {
 
@@ -136,16 +139,19 @@ object RobustOps {
         .withColumn("sv", sum(col("c") * col("v")).over(wg))
         .withColumn("r2",
           lit(2L) * coalesce(sum("c").over(wc), lit(0L)) + col("c") + lit(1L))
+        // the per-row product c·(r2−n−1)·v reaches n²·v (past int64
+        // from ~4·10⁶ rows/group) and num·1e6 / n·sv pass 2^53 double
+        // precision — so the whole ratio runs EXACT in DECIMAL(38,0)
+        // on both engines (operands promoted before the multiply, the
+        // corr_spearman discipline; good to ~10^16 rows/group, ANSI
+        // decimal overflow fails loudly past that) and gini_ppm lands
+        // back in BIGINT via integral `div`
         .groupBy(col("o_orderpriority"), col("n"), col("sv"))
-        .agg(sum(col("c") * (col("r2") - col("n") - lit(1L)) * col("v"))
-          .as("num"))
-        // num·1e6 overflows int64 once n·maxrank·value passes ~9e12
-        // (it does at sf0.1) — the ratio is evaluated in doubles with an
-        // IDENTICAL expression tree in both engines, then floored; num
-        // and n·sv stay below 2^53 here (promote to DECIMAL beyond)
-        .withColumn("gini_ppm", floor(col("num").cast("double") *
-          lit(1000000.0) / (col("n").cast("double") *
-            col("sv").cast("double"))).cast("long"))
+        .agg(sum((col("c").cast("decimal(19,0)") *
+            (col("r2") - col("n") - lit(1L)) * col("v"))
+          .cast("decimal(38,0)")).as("num"))
+        .withColumn("gini_ppm",
+          expr("(num * 1000000) div (CAST(n AS DECIMAL(19,0)) * sv)"))
         .select("o_orderpriority", "n", "gini_ppm")
         .orderBy("o_orderpriority")
     }),
@@ -161,10 +167,19 @@ object RobustOps {
           expr("aggregate(embedding, 0L, " +
             "(acc, x) -> acc + cast(floor(cast(x as double) * 10000) as bigint))")
             .as("q"))
+      // per-row product ≤ 1e4·|q| ≤ ~6.4e9 (dim-bounded) stays long;
+      // only the SUM can wrap, so it accumulates in decimal(38,0) and
+      // comes back to long behind the loud guard above
       q.select(posexplode(col("embedding")).as(Seq("pos", "x")), col("q"))
         .groupBy(col("pos").cast("long").as("pos"))
-        .agg(sum(expr("cast(floor(cast(x as double) * 10000) as bigint) * q"))
-          .as("s"))
+        .agg(sum(expr("cast(cast(floor(cast(x as double) * 10000) as bigint)" +
+            " * q as decimal(38,0))")).as("s_dec"))
+        .select(col("pos"),
+          (col("s_dec") + coalesce(assert_true(
+              abs(col("s_dec")) < lit(9.2e18).cast("decimal(38,0)"),
+              lit("vec_power_iteration: s_j exceeds int64 — emit s as" +
+                " DECIMAL(38,0) at this corpus scale")).cast("decimal(38,0)"),
+            lit(0).cast("decimal(38,0)"))).cast("long").as("s"))
         .orderBy("pos")
     }),
 
@@ -291,9 +306,8 @@ object RobustOps {
         |      0) AS BIGINT) + c + 1 AS r2
         |  FROM h)
         |SELECT o_orderpriority, n,
-        |  CAST(floor(CAST(sum(c * (r2 - n - 1) * v) AS DOUBLE) * 1000000.0
-        |    / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))) AS BIGINT)
-        |    AS gini_ppm
+        |  CAST((sum(CAST(c AS HUGEINT) * (r2 - n - 1) * v) * 1000000)
+        |    // (CAST(n AS HUGEINT) * sv) AS BIGINT) AS gini_ppm
         |FROM w GROUP BY o_orderpriority, n, sv
         |ORDER BY o_orderpriority""".stripMargin,
 

@@ -72,13 +72,18 @@ object SeqOps {
         .where(col("token").isNotNull)
         .localCheckpoint()
       var out = cur
-      for (k <- 2 to 8) {
+      // a halted chain (no continuation) makes every later step empty —
+      // cur is already checkpointed, so the isEmpty probe is a local
+      // ≤1-row scan and the remaining broadcast mini-jobs are skipped
+      var halted = cur.isEmpty
+      for (k <- 2 to 8 if !halted) {
         cur = arg
           .join(broadcast(cur.select(col("token").as("w1"))), "w1")
           .select(lit(k.toLong).as("step"), col("nxt").as("token"),
             col("nc").as("c"))
           .localCheckpoint()
-        out = out.unionByName(cur)
+        if (cur.isEmpty) halted = true
+        else out = out.unionByName(cur)
       }
       out.orderBy("step")
     }),

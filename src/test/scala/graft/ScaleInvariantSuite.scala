@@ -116,7 +116,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     * full execution cost. Their plan-shape guarantees live in the
     * operators they compose (dedup_ngram_jaccard) and TrainOpsSuite. */
   private val eagerlyMaterialized =
-    Set("lm_greedy_decode", // one vocab-sized argmax collect at construction
+    Set("lm_greedy_decode", // 8 eager ≤1-row localCheckpoint step-jobs at
+      // construction (the declarative chain walk) — no driver collect
       "dedup_cluster_cc", "dedup_cluster_cc_dist", "curation_pipeline_e2e",
       // bounded driver greedy over a collected 20-row shortlist; its
       // distributed stages share vec_cosine_topk's swept shape

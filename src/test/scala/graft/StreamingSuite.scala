@@ -461,14 +461,35 @@ class StreamingSuite extends AnyFunSuite {
     q.recentProgress.flatMap(_.stateOperators)
       .map(_.numRowsDroppedByWatermark).sum
 
-  test("dedup state size tracks the watermark window, not the ids seen (numeric)") {
+  /** Run `body` with the given state-store provider class set for the
+    * duration — the four provider-agnostic numeric tests below register
+    * once per provider, so the off-heap RocksDB path (the one that
+    * matters at 100 TB) carries the same numeric bounds as the default
+    * HDFS-backed store. (The two transformWithState tests stay
+    * RocksDB-only: TWS requires the RocksDB provider.) */
+  private def withProvider(providerClass: String)(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(key, providerClass)
+    try body finally spark.conf.set(key, old)
+  }
+
+  private val stateProviders = Seq(
+    "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  for ((pname, pclass) <- stateProviders)
+  test(s"dedup state size tracks the watermark window, not the ids seen (numeric, $pname)") {
+  withProvider(pclass) {
     val base = 1700000000000000L
     val ms = MemoryStream[StreamOps.Ev](spark)
     val dedup = ms.toDF()
       .withColumn("ets", timestamp_micros(col("ts_us")))
       .withWatermark("ets", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = dedup.writeStream.format("memory").queryName("state_rows_dedup")
+    val q = dedup.writeStream.format("memory")
+      .queryName(s"state_rows_dedup_$pname")
       .outputMode(OutputMode.Append).start()
     try {
       ms.addData((1L to 500L).map(i =>
@@ -486,16 +507,19 @@ class StreamingSuite extends AnyFunSuite {
       assert(after <= 2,
         s"watermark eviction must remove the 500 expired ids; state=$after")
     } finally q.stop()
-  }
+  }}
 
-  test("interval-join state is evicted once the watermark passes the window (numeric)") {
+  for ((pname, pclass) <- stateProviders)
+  test(s"interval-join state is evicted once the watermark passes the window (numeric, $pname)") {
+  withProvider(pclass) {
     val base = 1700000000000000L
     val min = 60000000L
     val ms = MemoryStream[StreamOps.Ev](spark)
     // the SHIPPED topology (stream_join_interval / stream_join_outer)
     val joined = StreamOps.intervalJoinStreams(ms.toDF(), outer = false)
       .select(col("p_id"), col("c_id"))
-    val q = joined.writeStream.format("memory").queryName("state_rows_join")
+    val q = joined.writeStream.format("memory")
+      .queryName(s"state_rows_join_$pname")
       .outputMode(OutputMode.Append).start()
     try {
       // 300 clicks + 1 matching purchase in one batch
@@ -519,15 +543,18 @@ class StreamingSuite extends AnyFunSuite {
       assert(after <= 8,
         s"join state must hold only rows inside the watermark; state=$after")
     } finally q.stop()
-  }
+  }}
 
-  test("unwatermarked aggregation state equals live keys, not events (numeric)") {
+  for ((pname, pclass) <- stateProviders)
+  test(s"unwatermarked aggregation state equals live keys, not events (numeric, $pname)") {
+  withProvider(pclass) {
     val base = 1700000000000000L
     val ms = MemoryStream[StreamOps.Ev](spark)
     // the stream_topk_state / stream_cdc_apply aggregation shape
     val counts = ms.toDF().groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("c"))
-    val q = counts.writeStream.format("memory").queryName("state_rows_agg")
+    val q = counts.writeStream.format("memory")
+      .queryName(s"state_rows_agg_$pname")
       .outputMode(OutputMode.Update).start()
     try {
       // 1200 events over exactly 8 (type, user) keys, two batches
@@ -541,9 +568,11 @@ class StreamingSuite extends AnyFunSuite {
         "aggregation state must be one row per live (type, user) key")
       // 4 users × 2 types = 8 live keys; 1200 events must NOT inflate it
     } finally q.stop()
-  }
+  }}
 
-  test("late-data flood is dropped by the watermark and does NOT grow state (numeric)") {
+  for ((pname, pclass) <- stateProviders)
+  test(s"late-data flood is dropped by the watermark and does NOT grow state (numeric, $pname)") {
+  withProvider(pclass) {
     val base = 1700000000000000L
     val hour = 3600000000L
     val ms = MemoryStream[StreamOps.Ev](spark)
@@ -551,7 +580,8 @@ class StreamingSuite extends AnyFunSuite {
       .withColumn("ets", timestamp_micros(col("ts_us")))
       .withWatermark("ets", "10 minutes")
       .groupBy(window(col("ets"), "1 hour")).agg(count(lit(1)).as("n"))
-    val q = agg.writeStream.format("memory").queryName("state_rows_flood")
+    val q = agg.writeStream.format("memory")
+      .queryName(s"state_rows_flood_$pname")
       .outputMode(OutputMode.Append).start()
     try {
       // establish a watermark 100 hours in: 3 open-or-closed windows
@@ -574,7 +604,7 @@ class StreamingSuite extends AnyFunSuite {
       assert(after <= before,
         s"dropped late volume must not grow state: $before -> $after")
     } finally q.stop()
-  }
+  }}
 
   test("session-timer ListState is evicted as the watermark closes sessions (numeric)") {
     val base = 1700000000000000L

@@ -91,19 +91,25 @@ APPROX_EXACT_SQL = """SELECT event_type, count(DISTINCT user_id) AS exact_users
 FROM events GROUP BY event_type ORDER BY event_type"""
 APPROX_REL_TOL = 0.15  # 3 x approx_count_distinct's default rsd of 0.05
 
-def check_approx_bound(con, out_dir, expect_all=False):
+def check_approx_bound(con, out_dir, expect_all=False, run=None):
     """(ok, message) for agg_approx_distinct; ok=None when not in this run.
     Under expect_all a missing result dir is a FAIL (same contract as the
-    oracle keys: a full run that skipped the key crashed)."""
+    oracle keys: a full run that skipped the key crashed).
+
+    `run` lets a caller route the two statements through its own bounded
+    executor (check_sf1.py passes run_bounded so the exact COUNT(DISTINCT)
+    carries the same per-statement interrupt timer as every sweep oracle)."""
+    if run is None:
+        run = lambda sql: con.execute(sql).fetchall()
     files = glob.glob(os.path.join(out_dir, "agg_approx_distinct", "*.parquet"))
     if not files:
         if expect_all:
             return False, ("FAIL agg_approx_distinct[bound]: no result "
                            "directory (full run expected)")
         return None, ""
-    approx = dict(con.execute(
-        f"SELECT event_type, approx_users FROM read_parquet({files!r})").fetchall())
-    exact = dict(con.execute(APPROX_EXACT_SQL).fetchall())
+    approx = dict(run(
+        f"SELECT event_type, approx_users FROM read_parquet({files!r})"))
+    exact = dict(run(APPROX_EXACT_SQL))
     if set(approx) != set(exact):
         return False, (f"FAIL agg_approx_distinct[bound]: groups "
                        f"{sorted(approx)} vs {sorted(exact)}")

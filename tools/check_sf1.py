@@ -137,7 +137,15 @@ def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
     # (same contract as check.py: within 3x the documented rsd of exact)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from check import check_approx_bound
-    ok, msg = check_approx_bound(con, out_dir, expect_all)
+    # the exact COUNT(DISTINCT) rides run_bounded like every sweep oracle
+    # — a wedge there must trip the interrupt timer, not stall the sweep
+    try:
+        ok, msg = check_approx_bound(con, out_dir, expect_all,
+            run=lambda sql: run_bounded(con, sql, timeout))
+    except Timeout:
+        ok, msg = None, ""
+        print(f"TIMEOUT agg_approx_distinct[bound] (> {timeout}s)")
+        n_timeout += 1; timeouts.append("agg_approx_distinct[bound]")
     if ok is not None:
         print(msg)
         if ok:
