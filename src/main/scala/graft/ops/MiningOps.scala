@@ -79,16 +79,7 @@ object MiningOps {
           // space (Σ_{b1≤b2} ≈ N²/2·(1+1/32) vs N² both-orders). The
           // band comes from the value-bounded (lang, n) histogram —
           // windows over the bucket relation, never over docs.
-          val nBands = 32L
-          val hist = sets.groupBy("lang", "n").agg(count(lit(1)).as("cb"))
-          val wLt = Window.partitionBy("lang").orderBy("n")
-            .rowsBetween(Window.unboundedPreceding, -1)
-          val bands = hist
-            .withColumn("cum_lt", coalesce(sum("cb").over(wLt), lit(0L)))
-            .withColumn("ntot", sum("cb").over(Window.partitionBy("lang")))
-            .select(col("lang"), col("n"),
-              expr(s"(cum_lt * $nBands) div ntot").as("band"))
-          val bsets = sets.join(broadcast(bands), Seq("lang", "n"))
+          val bsets = sets.join(broadcast(nQuantileBands(sets)), Seq("lang", "n"))
           val a = bsets.select(col("doc_id").as("d1"), col("lang").as("l1"),
             col("n").as("n1"), col("bs").as("b1"), col("band").as("band1"))
           val b = bsets.select(col("doc_id").as("d2"), col("lang").as("l2"),
@@ -322,6 +313,28 @@ object MiningOps {
     })
   )
 
+  /** Bands per language: 32 n-quantile buckets. */
+  private val nBands = 32L
+
+  /** Per-language n-QUANTILE band from the value-bounded (lang, n)
+    * histogram (windows over the bucket relation, never over docs).
+    * The band is monotone nondecreasing in n, so every ordered pair
+    * (n1 < n2, or n1 = n2 — then the same (lang, n) row and the same
+    * band) satisfies band(A) ≤ band(B): restricting a pair join to
+    * band(A) ≤ band(B) is lossless, and splitting the hash key by band
+    * halves the enumerated pair space (Σ_{b1≤b2} ≈ N²/2·(1+1/32) vs
+    * N² both-orders). */
+  private def nQuantileBands(rel: DataFrame): DataFrame = {
+    val hist = rel.groupBy("lang", "n").agg(count(lit(1)).as("cb"))
+    val wLt = Window.partitionBy("lang").orderBy("n")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_lt", coalesce(sum("cb").over(wLt), lit(0L)))
+      .withColumn("ntot", sum("cb").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("n"),
+        expr(s"(cum_lt * $nBands) div ntot").as("band"))
+  }
+
   /** The 100 TB containment path: inverted-index prefix filter. Each
     * doc's (n − ⌈0.8n⌉ + 1) globally-RAREST shingles probe the full
     * index — any true τ-contained pair must collide there (pigeonhole),
@@ -342,6 +355,13 @@ object MiningOps {
       .agg(array_sort(collect_list(col("tid"))).as("tids"))
       .withColumn("n", size(col("tids")).cast("long"))
       .localCheckpoint() // feeds probe, postings, and both verify sides
+    // NOTE (round 13, measured): the dense path's n-quantile band cut
+    // was tried on this candidate join too (probe explodes bands ≥ its
+    // own, postings keyed by band) — sf1 wall-time was UNCHANGED within
+    // noise (772 s banded vs 756 s r12), because this path is bounded
+    // by the candidate-distinct shuffle and the sorted-intersect
+    // verify, not posting-bucket enumeration. Reverted; rationale and
+    // the verification-only time-box are recorded in BASELINE.md.
     val probe = sorted.select(col("doc_id").as("d1"), col("lang").as("l1"),
       col("n").as("n1"),
       explode(slice(col("tids"), lit(1),

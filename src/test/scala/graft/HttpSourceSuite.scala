@@ -540,4 +540,215 @@ class HttpSourceSuite extends AnyFunSuite {
       assert(server.requestCount - before === 1, "4xx must not be retried")
     } finally server.stop()
   }
+
+  // ── End-to-end composition: HTTP wire → curated corpus ─────────────────
+  // The full story the engine exists for, in ONE wired checkpointed job:
+  // a live feed replayed through the real DSv2 source, the envelope stream
+  // keyed per subject through the transformWithState read-model state
+  // machine (stream_readmodel_tws's latestTransition), and every
+  // micro-batch near-dup-admitted against the already-ingested corpus
+  // (stream_dedup_incremental's foreachBatch loop over
+  // Pipeline.incrementalPairs) — with a full stop/restart from the
+  // checkpoint mid-stream (HTTP cursor + RocksDB state both resume).
+  test("e2e: live feed → source → read model + dedup admission, checkpoint-resume ≡ batch twins") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.OutputMode
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def docEnvelope(seq: Long, docId: Long, lang: String, text: String,
+                    method: String): (String, String) = {
+      val id = SeqId.encodeFn(seq, f"d$docId%07d")
+      val dataField =
+        if (method == "DELETE") ""
+        else {
+          val dataJson =
+            s"""{"doc_id":$docId,"lang":"${esc(lang)}","text":"${esc(text)}"}"""
+          s""","datacontenttype":"application/json","data":"${esc(dataJson)}""""
+        }
+      (id, s"""{"specversion":"1.0","id":"$id","type":"doc.ingested",""" +
+        s""""source":"crawler","time_us":${1700000000000000L + seq * 1000000L},""" +
+        s""""subject":"$docId","method":"$method"$dataField}""")
+    }
+
+    // fixture corpus: standing docs (doc_id % 5 != 0) feed first; the
+    // fresh batch (doc_id % 5 == 0) arrives after the restart, plus
+    // PLANTED near-dups (standing text under a new doc_id — guaranteed
+    // admission hits), updates (second PUT for a standing subject) and
+    // tombstones (DELETE) so the read-model state machine has real
+    // transitions to carry across the checkpoint.
+    val docs = graft.io.Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val standing = docs.filter(_._1 % 5 != 0).take(120)
+    val fresh = docs.filter(_._1 % 5 == 0).take(30)
+    val planted = standing.take(5).map { case (id, l, t) => (900000L + id, l, t) }
+    val updated = standing.slice(5, 10).map { case (id, l, t) =>
+      (id, l, t + " updated tail") }
+    val deleted = standing.slice(10, 15).map(_._1)
+    val phase1 = standing.zipWithIndex.map { case ((id, l, t), i) =>
+      docEnvelope(i + 1L, id, l, t, "PUT") }
+    val n1 = phase1.length.toLong
+    val phase2rows = fresh ++ planted ++ updated
+    val phase2 = phase2rows.zipWithIndex.map { case ((id, l, t), i) =>
+      docEnvelope(n1 + i + 1L, id, l, t, "PUT") } ++
+      deleted.zipWithIndex.map { case (id, i) =>
+        docEnvelope(n1 + phase2rows.length + i + 1L, id, "", "", "DELETE") }
+
+    val server = new TestFeedServer(phase1, pageSize = 64)
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_e2e_corpus").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft_e2e_pairs").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_e2e_model").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e2e_ckpt").toString
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    val oldShuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try {
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+      // idempotent batch-scoped overwrites (the shipped admission loop's
+      // at-least-once discipline): read-model emissions land per batch,
+      // the batch's PUT docs are admitted against every EARLIER batch
+      val admit: (Dataset[Row], Long) => Unit = (batch, bid) => {
+        val sp = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        b.write.mode("overwrite").parquet(s"$modelDir/batch=$bid")
+        val docsB = b.filter(col("method") === "PUT")
+          .select(
+            get_json_object(col("data"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("data"), "$.lang").as("lang"),
+            get_json_object(col("data"), "$.text").as("text"))
+        val files = new java.io.File(corpusDir).listFiles()
+        val hasCorpus = files != null && files.exists(_.getName != s"batch=$bid")
+        if (hasCorpus) {
+          val corpus = sp.read.parquet(corpusDir)
+            .filter(col("batch") =!= bid).drop("batch")
+          graft.ops.Pipeline.incrementalPairs(sp, docsB, corpus)
+            .withColumn("jac_c", graft.io.Tables.canon(col("jac"))).drop("jac")
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$bid")
+        }
+        docsB.write.mode("overwrite").parquet(s"$corpusDir/batch=$bid")
+      }
+
+      def runQuery(): Unit = {
+        val ces = spark.readStream.format("http-feed")
+          .option("url", server.url).option("timeoutMs", "100").load()
+          .select(col("specversion"), col("id"), col("type"), col("source"),
+            timestamp_micros(col("time_us")).as("time"), col("subject"),
+            col("method"), col("datacontenttype"), col("data"),
+            col("extensions"))
+          .as[graft.model.CloudEvent]
+        val model = ces.groupByKey(_.subject.getOrElse(""))
+          .transformWithState(new LatestEnvelopeProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        val q = model.toDF().writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update)
+          .foreachBatch(admit).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      runQuery()                 // phase 1: the standing corpus lands
+      server.append(phase2)      // the fresh batch arrives while OFFLINE
+      runQuery()                 // resume: cursor + RocksDB state restore
+
+      // 1. corpus ≡ exactly the PUT payloads, nothing replayed or lost
+      val gotCorpus = spark.read.parquet(corpusDir)
+        .select("doc_id", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+      val wantCorpus = (standing ++ phase2rows).toSeq.sorted
+      assert(gotCorpus === wantCorpus)
+
+      // 2. admitted pairs ≡ the batch operator run at every recorded
+      // batch boundary (same inputs → byte-identical relation)
+      val bids = new java.io.File(corpusDir).listFiles()
+        .map(_.getName.stripPrefix("batch=").toLong).sorted
+      val wantPairs = bids.flatMap { bid =>
+        val newDocs = spark.read.parquet(s"$corpusDir/batch=$bid")
+        val prior = bids.filter(_ < bid)
+        if (prior.isEmpty) Seq.empty
+        else {
+          val corpus = spark.read.parquet(
+            prior.map(b => s"$corpusDir/batch=$b"): _*)
+          graft.ops.Pipeline.incrementalPairs(spark, newDocs, corpus)
+            .withColumn("jac_c", graft.io.Tables.canon(col("jac")))
+            .select("d_new", "d_old", "jac_c").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        }
+      }.sorted.toSeq
+      val gotPairs = spark.read.parquet(pairsDir)
+        .select("d_new", "d_old", "jac_c").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(gotPairs === wantPairs)
+      // the planted near-dups guarantee the admission stage actually fired
+      assert(gotPairs.map(_._1).toSet.intersect(
+        planted.map(_._1).toSet).nonEmpty,
+        "planted duplicates must be caught by the admission check")
+
+      // 3. final read model ≡ the independent sequential replay of every
+      // envelope (latest id per subject, tombstones out)
+      val gotModel = StreamOps.finalReadModel(spark.read.parquet(modelDir))
+        .select("subject", "id", "type", "method").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+      val allEnv = (phase1 ++ phase2).map(_._2)
+      val replay = allEnv.map { j =>
+        def f(k: String): Option[String] =
+          s""""$k":"([^"]*)"""".r.findFirstMatchIn(j).map(_.group(1))
+        (f("subject").get, f("id").get, f("type").get, f("method").get)
+      }.groupBy(_._1).map { case (_, es) => es.maxBy(_._2) }
+        .filter(_._4 != "DELETE").toSet
+      assert(gotModel === replay)
+      assert(deleted.forall(id => !gotModel.exists(_._1 == id.toString)),
+        "tombstoned subjects must leave the read model")
+      assert(updated.forall { case (id, _, _) =>
+        gotModel.exists(_._1 == id.toString) },
+        "updated subjects must survive with their latest envelope")
+    } finally {
+      spark.conf.set(provKey, oldProvider)
+      spark.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      server.stop()
+      import scala.jdk.CollectionConverters._
+      Seq(corpusDir, pairsDir, modelDir, ckpt).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator()
+          .asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+}
+
+/** Test-local transformWithState processor for the e2e composition test:
+  * the stream_readmodel_tws state machine (StreamOps.latestTransition —
+  * ValueState of the max-id envelope, tombstone clears) emitting the FULL
+  * envelope so the downstream admission loop can parse the doc payload. */
+class LatestEnvelopeProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, graft.model.CloudEvent, graft.model.CloudEvent] {
+  @transient private var latest:
+    org.apache.spark.sql.streaming.ValueState[graft.model.CloudEvent] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    latest = getHandle.getValueState[graft.model.CloudEvent]("latest",
+      org.apache.spark.sql.Encoders.product[graft.model.CloudEvent],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[graft.model.CloudEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[graft.model.CloudEvent] = {
+    val prior = if (latest.exists()) Some(latest.get()) else None
+    val (cur, keep) = graft.streaming.StreamOps.latestTransition(prior, rows)
+    if (keep) latest.update(cur) else latest.clear()
+    Iterator.single(cur)
+  }
 }

@@ -24,7 +24,7 @@ an interrupted sweep resumes.
 Usage: python3 tools/check_sf1.py <sfDir> <verifyOutDir>
        [--expect-all] [--timeout N] [--done FILE]
 """
-import json, sys, glob, os, threading
+import json, sys, glob, os, threading, time
 import duckdb
 
 class Timeout(Exception):
@@ -111,9 +111,11 @@ def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
             else:
                 n_skip += 1
             continue
+        t0 = time.monotonic()
         try:
             sc, sn, sh = digest(con, f"SELECT * FROM read_parquet({files!r})",
                                 timeout)
+            t_spark_side = time.monotonic() - t0
             dc, dn, dh = digest(con, oracles[name], timeout)
         except Timeout:
             print(f"TIMEOUT {name}: oracle exceeded {timeout}s", flush=True)
@@ -122,6 +124,9 @@ def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
         except Exception as e:
             print(f"FAIL {name}: {e}", flush=True)
             n_fail += 1; fails.append(name); continue
+        # per-key oracle seconds: the budget audit — any PASS within 2x of
+        # the timeout ceiling is a candidate for a banded-oracle rewrite
+        t_oracle = time.monotonic() - t0 - t_spark_side
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
             n_fail += 1; fails.append(name); continue
@@ -131,7 +136,7 @@ def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
         if sh != dh:
             print(f"FAIL {name}: digest mismatch over {sn} rows")
             n_fail += 1; fails.append(name); continue
-        print(f"PASS {name} ({sn} rows)", flush=True)
+        print(f"PASS {name} ({sn} rows, oracle {t_oracle:.1f}s)", flush=True)
         n_pass += 1
     # bounded-error differential for the oracle-exempt approximate key
     # (same contract as check.py: within 3x the documented rsd of exact)
