@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{AuditOps, Pipeline, TrainOps}
+import graft.ops.{AuditOps, CorpusOps, MiningOps, Pipeline, TrainOps}
 import graft.io.Tables
 
 /** Semantic invariants for §2.22 (AuditOps) on the sf0.001 fixture —
@@ -92,5 +92,52 @@ class AuditOpsSuite extends AnyFunSuite {
       val s = rs.map(_._4).sum
       assert(s > 1000000L - 24 && s <= 1000000L, s"type $t ppm sum $s")
     }
+  }
+
+  test("corpus_health_report ≡ its four component operators joined on source") {
+    import org.apache.spark.sql.functions._
+    val got = AuditOps.queries("corpus_health_report")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+
+    // survivorship columns must be byte-identical to the standalone op
+    val surv = AuditOps.queries("dedup_survivorship_report")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === surv.keySet)
+    got.foreach { case (src, (nd, nc, nk, ck, _, _, _)) =>
+      assert((nd, nc, nk, ck) === surv(src), s"survivorship columns: $src")
+    }
+
+    // funnel pass ppm ≡ the standalone funnel's
+    val fun = MiningOps.queries("curation_funnel_report")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Long]("pass_ppm")).toMap
+    got.foreach { case (src, g) => assert(g._5 === fun(src), s"funnel: $src") }
+
+    // dup-3-gram mass ≡ the per-doc operator rolled up by source
+    val srcOf = Tables.documents(spark, d).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupDoc = CorpusOps.queries("text_dup_ngram_fraction")(spark, d)
+      .collect().map(r => (srcOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val dupWant = dupDoc.groupBy(_._1).map { case (src, rs) =>
+      src -> rs.map(_._3).sum * 1000000L / math.max(rs.map(_._2).sum, 1L) }
+    got.foreach { case (src, g) =>
+      assert(g._6 === dupWant.getOrElse(src, 0L), s"dup mass: $src") }
+
+    // length drift ≡ brute-force per-source vintage L1 over n_chars bands
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val driftWant = docs.groupBy(_._2).map { case (src, ds) =>
+      val t0 = math.max(ds.count(_._1 % 2 == 0).toLong, 1L)
+      val t1 = math.max(ds.count(_._1 % 2 == 1).toLong, 1L)
+      src -> ds.groupBy(_._3 / 50).map { case (_, b) =>
+        math.abs(b.count(_._1 % 2 == 1) * 1000000L / t1 -
+          b.count(_._1 % 2 == 0) * 1000000L / t0)
+      }.sum
+    }
+    got.foreach { case (src, g) =>
+      assert(g._7 === driftWant(src), s"drift: $src") }
   }
 }

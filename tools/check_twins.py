@@ -26,6 +26,9 @@ TWINS = [
     ["graph_triangle_count", "graph_triangle_count_shuffle"],
     ["graph_jaccard_edges", "graph_jaccard_edges_shuffle"],
     ["dedup_survivorship_report", "dedup_survivorship_dist"],
+    # round-13 addition: the composed corpus-health dashboard and its
+    # prefix-pairs + distributed-CC twin (the survivorship-twin pattern)
+    ["corpus_health_report", "corpus_health_dist"],
 ]
 
 def digest(con, files):
