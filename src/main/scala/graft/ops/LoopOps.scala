@@ -41,8 +41,9 @@ import graft.io.Tables.canon
   *    never the data.
   *  - trend_fit_group: one map-side-combinable aggregate pass collecting
   *    (n, Σx, Σy, Σxy, Σx²); the slope comes out of the sums in bounded
-  *    BIGINT (hour-scaled x, centi-scaled y — bounds in comments; past
-  *    ~2e5 rows/group×|x|≈720 h promote the two products to DECIMAL(38)).
+  *    BIGINT (hour-scaled x, centi-scaled y — bounds in comments), with
+  *    the binding |num|·10⁶ product in DECIMAL(38,0)/HUGEINT on both
+  *    engines (r13 — good to ~2.6e11 rows/group).
   */
 object LoopOps {
 

@@ -91,7 +91,13 @@ def main(sf_dir, out_dir, expect_all=False, timeout=600, done=frozenset()):
     con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
     if "GRAFT_DUCK_THREADS" in os.environ:
         con.execute(f"SET threads={os.environ['GRAFT_DUCK_THREADS']}")
-    con.execute("SET temp_directory='/tmp/graft_duck_spill'")
+    # GRAFT_DUCK_TMP gives each parallel shard its OWN spill dir — two
+    # DuckDB processes sharing one temp_directory collide on the spill
+    # file names and abort each other (observed: IOException "Could not
+    # remove duckdb_temp_storage-N.tmp" killing 3 of 4 shards)
+    spill = os.environ.get("GRAFT_DUCK_TMP", "/tmp/graft_duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
