@@ -309,26 +309,19 @@ object AuditOps {
         |  JOIN dr USING (source)
         |ORDER BY sv.source""".stripMargin
 
+  // Pair stage through the shared bitset-verified near-dup relation
+  // (graft.api.OracleSql) — round-13 swap of the brute-force
+  // list_intersect self-join; digest-equal at sf0.01/sf0.1.
   private lazy val survivorshipSql: String =
-      """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
-        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-        |      i -> substr(text, i, 5))) AS gs
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |        len(list_intersect(a.gs, b.gs)) AS shared,
-        |        len(a.gs) AS n1, len(b.gs) AS n2
-        |      FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |        AND abs(a.n_chars - b.n_chars) <= 20),
-        |pairs AS (SELECT d1, d2 FROM p
-        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
+      s"""WITH RECURSIVE ${graft.api.OracleSql.shingleJaccardPairs()},
         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
         |          UNION ALL SELECT d2, d1 FROM pairs),
         |r(node, lbl) AS (
         |  SELECT DISTINCT src, src FROM edges
         |  UNION
         |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src),
-        |cc AS (SELECT node, min(lbl) AS cluster_rep FROM r GROUP BY node),
-        |j AS (SELECT cc.cluster_rep, cc.node, d.n_chars
+        |cc AS MATERIALIZED (SELECT node, min(lbl) AS cluster_rep FROM r GROUP BY node),
+        |j AS MATERIALIZED (SELECT cc.cluster_rep, cc.node, d.n_chars
         |      FROM cc JOIN documents d ON cc.node = d.doc_id),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_rep
         |         ORDER BY n_chars DESC, node) AS rn FROM j),
@@ -356,26 +349,17 @@ object AuditOps {
         |FROM g ORDER BY event_type, hod""".stripMargin
   )
 
+  // Same shared bitset pair stage as survivorshipSql (round 13).
   private lazy val keepBestSql: String =
-      """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
-        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-        |      i -> substr(text, i, 5))) AS gs
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |        len(list_intersect(a.gs, b.gs)) AS shared,
-        |        len(a.gs) AS n1, len(b.gs) AS n2
-        |      FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |        AND abs(a.n_chars - b.n_chars) <= 20),
-        |pairs AS (SELECT d1, d2 FROM p
-        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
+      s"""WITH RECURSIVE ${graft.api.OracleSql.shingleJaccardPairs()},
         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
         |          UNION ALL SELECT d2, d1 FROM pairs),
         |r(node, lbl) AS (
         |  SELECT DISTINCT src, src FROM edges
         |  UNION
         |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src),
-        |cc AS (SELECT node, min(lbl) AS cluster_rep FROM r GROUP BY node),
-        |j AS (SELECT cc.cluster_rep, cc.node, d.n_chars
+        |cc AS MATERIALIZED (SELECT node, min(lbl) AS cluster_rep FROM r GROUP BY node),
+        |j AS MATERIALIZED (SELECT cc.cluster_rep, cc.node, d.n_chars
         |      FROM cc JOIN documents d ON cc.node = d.doc_id),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_rep
         |         ORDER BY n_chars DESC, node) AS rn FROM j),

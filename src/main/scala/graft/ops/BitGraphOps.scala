@@ -483,11 +483,7 @@ object BitGraphOps {
 
     "graph_clustering_coeff" ->
       s"""WITH ${GraphOps.edgesSql},
-        |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
-        |  FROM e0 a JOIN e0 b ON b.u = a.v
-        |  JOIN e0 c ON c.u = a.u AND c.v = b.v),
-        |p AS (SELECT x AS part FROM t UNION ALL SELECT y FROM t
-        |  UNION ALL SELECT z FROM t),
+        |${GraphOps.triCornersSql},
         |pn AS (SELECT part, count(*) AS tri FROM p GROUP BY part),
         |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
         |c AS (SELECT dg.u AS part, dg.deg,

@@ -651,34 +651,46 @@ object GraphOps {
         |GROUP BY lab ORDER BY n_nodes DESC, lab LIMIT 30""".stripMargin
   )
 
-  // Wedge-enumeration triangle listing — exact but quadratic in wedge
-  // volume, so at sf1 it blows the DuckDB budget; there the twin pairs
-  // (primary vs _shuffle) carry the differential evidence instead.
+  /** Neighbor-list triangle corner credits (round 13). The old wedge
+    * enumeration (e0 x e0 x e0 closure join) brute-forces ~1.2B wedge
+    * rows at sf1 and blew the DuckDB sweep budget; the edge-iterator
+    * form intersects the two oriented out-neighbor lists per EDGE —
+    * each id-oriented triangle x<y<z is found exactly once at its base
+    * edge (x,y), and corners x, y, and every z get one credit row each,
+    * so `p(part)` is row-identical to the old 3-way UNION ALL over `t`.
+    * Expects `e0` in scope; exposes `p(part)`.
+    */
+  private[graft] val triCornersSql: String =
+    """nb AS (SELECT u, list(v) AS nvs FROM e0 GROUP BY u),
+      |ed AS (SELECT a.u, a.v, list_intersect(na.nvs, nv.nvs) AS zs
+      |       FROM e0 a JOIN nb na ON na.u = a.u JOIN nb nv ON nv.u = a.v),
+      |p AS (SELECT unnest(list_concat(zs, list_concat(
+      |         list_transform(zs, z -> u), list_transform(zs, z -> v)))) AS part
+      |      FROM ed)""".stripMargin
+
   private lazy val triangleSql: String =
     s"""WITH $edgesSql,
-      |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
-      |  FROM e0 a JOIN e0 b ON b.u = a.v
-      |  JOIN e0 c ON c.u = a.u AND c.v = b.v),
-      |p AS (SELECT x AS part FROM t UNION ALL SELECT y FROM t
-      |  UNION ALL SELECT z FROM t),
-      |pn AS (SELECT part, count(*) AS n_tri FROM p GROUP BY part),
-      |tot AS (SELECT count(*) AS n_tri_total FROM t)
-      |SELECT part, n_tri, tot.n_tri_total FROM pn, tot
-      |ORDER BY n_tri DESC, part LIMIT 30""".stripMargin
+      |$triCornersSql,
+      |pn AS (SELECT part, count(*) AS n_tri FROM p GROUP BY part)
+      |SELECT part, n_tri,
+      |  CAST(sum(n_tri) OVER () // 3 AS BIGINT) AS n_tri_total
+      |FROM pn ORDER BY n_tri DESC, part LIMIT 30""".stripMargin
 
+  // Per-edge full-neighbor-list intersect (round 13) — same relation as
+  // the old triangle-derived pair counting (every counted pair IS an
+  // edge of >=1 triangle), without the wedge blow-up.
   private lazy val jaccardEdgesSql: String =
     s"""WITH $edgesSql,
-      |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
-      |  FROM e0 a JOIN e0 b ON b.u = a.v
-      |  JOIN e0 c ON c.u = a.u AND c.v = b.v),
-      |pr AS (SELECT x AS u, y AS v FROM t UNION ALL SELECT x, z FROM t
-      |  UNION ALL SELECT y, z FROM t),
-      |cn AS (SELECT u, v, count(*) AS cn FROM pr GROUP BY u, v),
-      |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u)
-      |SELECT cn.u, cn.v, cn.cn, a.deg AS deg_u, b.deg AS deg_v,
-      |  CAST((cn.cn * 10000) // (a.deg + b.deg - cn.cn) AS BIGINT) AS jac_c
-      |FROM cn JOIN dg a ON cn.u = a.u JOIN dg b ON cn.v = b.u
-      |ORDER BY jac_c DESC, cn.u, cn.v LIMIT 30""".stripMargin
+      |nbf AS (SELECT u, list(v) AS ns FROM e GROUP BY u),
+      |cn AS (SELECT a.u, a.v,
+      |         CAST(len(list_intersect(fa.ns, fb.ns)) AS BIGINT) AS cn,
+      |         CAST(len(fa.ns) AS BIGINT) AS deg_u,
+      |         CAST(len(fb.ns) AS BIGINT) AS deg_v
+      |       FROM e0 a JOIN nbf fa ON fa.u = a.u JOIN nbf fb ON fb.u = a.v)
+      |SELECT u, v, cn, deg_u, deg_v,
+      |  CAST((cn * 10000) // (deg_u + deg_v - cn) AS BIGINT) AS jac_c
+      |FROM cn WHERE cn > 0
+      |ORDER BY jac_c DESC, u, v LIMIT 30""".stripMargin
 
   /** Oracle CTE chain for the two label-propagation rounds (expects the
     * `e` edge relation in scope; exposes `l2` = final (u, lab)). */

@@ -395,16 +395,32 @@ object MiningOps {
     "dedup_containment" -> containmentSql,
   ) ++ oraclesRest
 
+  // Bitset-verify form (round 13): the original token-level posting
+  // join (t a JOIN t b ON a.tk = b.tk ... GROUP BY pair) is exact but
+  // brute-forces ~11B joined rows on this dense dictionary at sf1 —
+  // the sweep-budget TIMEOUT class. Same relation, dictionary-encoded
+  // 4096-bit bitsets + bit_count(AND) per ordered pair (the Spark
+  // dense path's own kernel shape); digest-equal at sf0.01/sf0.1,
+  // 65.3 s -> 4.6 s at sf0.1. See graft.api.OracleSql.
   private lazy val containmentSql: String =
     """WITH g AS (SELECT doc_id, lang,
       |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
       |    i -> substr(text, i, 5))) AS gs FROM documents),
-      |t AS (SELECT doc_id, lang, len(gs) AS n, unnest(gs) AS tk FROM g),
-      |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
-      |         any_value(a.n) AS n1, any_value(b.n) AS n2
-      |       FROM t a JOIN t b ON a.lang = b.lang AND a.tk = b.tk
-      |         AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
-      |       GROUP BY 1, 2)
+      |t AS (SELECT doc_id, unnest(gs) AS tk FROM g),
+      |dict AS (SELECT tk, row_number() OVER (ORDER BY tk) - 1 AS tid
+      |         FROM (SELECT DISTINCT tk FROM t)),
+      |guard AS (SELECT CASE WHEN max(tid) < 4096 THEN 1 ELSE CAST(
+      |    error('oracle shingle dictionary exceeds the 4096-bit bitset') AS INTEGER)
+      |  END AS ok FROM dict),
+      |bs AS (SELECT g.doc_id, g.lang, len(g.gs) AS n, eb.b
+      |       FROM g JOIN (SELECT doc_id, bitstring_agg(tid, 0, 4095) AS b
+      |                    FROM t JOIN dict USING (tk) GROUP BY doc_id) eb
+      |         USING (doc_id)),
+      |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |         bit_count(a.b & b.b) AS shared, a.n AS n1, b.n AS n2
+      |       FROM bs a JOIN bs b ON a.lang = b.lang
+      |         AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id)), guard
+      |       WHERE guard.ok = 1)
       |SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(n1 AS BIGINT) AS n1,
       |  CAST(n2 AS BIGINT) AS n2,
       |  CAST(floor((shared * 1.0 / n1) * 10000) AS BIGINT) AS cont_c

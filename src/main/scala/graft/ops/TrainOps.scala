@@ -240,50 +240,12 @@ object TrainOps {
 
     // identical semantics ⇒ identical oracle; only the Spark-side
     // physical path (distributed hook+compress) differs
-    "dedup_cluster_cc_dist" ->
-      """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
-        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-        |      i -> substr(text, i, 5))) AS gs
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |        len(list_intersect(a.gs, b.gs)) AS shared,
-        |        len(a.gs) AS n1, len(b.gs) AS n2
-        |      FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |        AND abs(a.n_chars - b.n_chars) <= 20),
-        |pairs AS (SELECT d1, d2 FROM p
-        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |          UNION ALL SELECT d2, d1 FROM pairs),
-        |r(node, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src)
-        |SELECT node AS doc_id, min(lbl) AS cluster_rep
-        |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_cc_dist" -> clusterCcSql,
 
-    "dedup_cluster_cc" ->
-      """WITH RECURSIVE gs AS (SELECT doc_id, lang, n_chars,
-        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-        |      i -> substr(text, i, 5))) AS gs
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |        len(list_intersect(a.gs, b.gs)) AS shared,
-        |        len(a.gs) AS n1, len(b.gs) AS n2
-        |      FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |        AND abs(a.n_chars - b.n_chars) <= 20),
-        |pairs AS (SELECT d1, d2 FROM p
-        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |          UNION ALL SELECT d2, d1 FROM pairs),
-        |r(node, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src)
-        |SELECT node AS doc_id, min(lbl) AS cluster_rep
-        |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_cc" -> clusterCcSql,
 
     "curation_pipeline_e2e" ->
-      """WITH RECURSIVE scrub AS (SELECT doc_id, lang, n_chars, text,
+      s"""WITH RECURSIVE scrub AS (SELECT doc_id, lang, n_chars, text,
         |    md5(array_to_string(list_filter(str_split(text, ' '),
         |      t -> t NOT IN ('a', 'the', 'and', 'of', 'to')), ' ')) AS fp,
         |    len(str_split(text, ' ')) AS n_tok
@@ -292,17 +254,7 @@ object TrainOps {
         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         |    FROM scrub) WHERE rn = 1),
         |quality AS (SELECT * FROM exact WHERE n_tok >= 20),
-        |g AS (SELECT doc_id, lang, n_chars,
-        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-        |      i -> substr(text, i, 5))) AS gs
-        |  FROM quality),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |        len(list_intersect(a.gs, b.gs)) AS shared,
-        |        len(a.gs) AS n1, len(b.gs) AS n2
-        |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |        AND abs(a.n_chars - b.n_chars) <= 20),
-        |pairs AS (SELECT d1, d2 FROM p
-        |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7),
+        |${graft.api.OracleSql.shingleJaccardPairs("quality")},
         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
         |          UNION ALL SELECT d2, d1 FROM pairs),
         |r(node, lbl) AS (
@@ -326,4 +278,19 @@ object TrainOps {
         |  CAST(floor((tot * 1.0 / (nb * n)) * 10000) AS BIGINT) AS weight_c
         |FROM b, t ORDER BY lang, len_bucket""".stripMargin
   )
+
+  /** Min-label connected components over the shared bitset-verified
+    * near-dup pair relation (graft.api.OracleSql — round-13 swap of the
+    * brute-force list_intersect self-join that blew the sf1 sweep
+    * budget; digest-equal at sf0.01/sf0.1). */
+  private lazy val clusterCcSql: String =
+    s"""WITH RECURSIVE ${graft.api.OracleSql.shingleJaccardPairs()},
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |r(node, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM r JOIN edges e ON r.node = e.src)
+      |SELECT node AS doc_id, min(lbl) AS cluster_rep
+      |FROM r GROUP BY node ORDER BY doc_id""".stripMargin
 }
