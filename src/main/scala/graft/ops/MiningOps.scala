@@ -402,6 +402,22 @@ object MiningOps {
   // 4096-bit bitsets + bit_count(AND) per ordered pair (the Spark
   // dense path's own kernel shape); digest-equal at sf0.01/sf0.1,
   // 65.3 s -> 4.6 s at sf0.1. See graft.api.OracleSql.
+  //
+  // Two further LOSSLESS cuts (round 13, second pass — the all-ordered-
+  // pairs enumeration was the last oracle near the sf1 sweep budget):
+  //  - ntile-32 band on (lang; n, doc_id): monotone in exactly the pair
+  //    order, so band(A) <= band(B) for every ordered pair and the
+  //    theta-join gains an equi-key (jb = band(B)) that splits each
+  //    per-language cross product 32 ways (same pair count, 32x smaller
+  //    DuckDB probe buckets).
+  //  - 512-bit fold prescreen: f = OR-fold of tid%512. Every A-fold-bit
+  //    absent from B's fold kills >=1 of A's shingles, so
+  //    shared <= n1 - bit_count(a.f & ~b.f); a pair can only reach
+  //    5*shared >= 4*n1 when 5*bit_count(a.f & ~b.f) <= n1. The 64-byte
+  //    ANDNOT+popcount runs per enumerated pair; the 512-byte full
+  //    verify only on survivors. Upper bound, hence exact.
+  // Digest-equal at sf0.001/sf0.01/sf0.1; 11.3 s -> 5.0 s at sf0.1
+  // same-load (sf1 numbers in BASELINE.md round 13).
   private lazy val containmentSql: String =
     """WITH g AS (SELECT doc_id, lang,
       |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
@@ -412,15 +428,20 @@ object MiningOps {
       |guard AS (SELECT CASE WHEN max(tid) < 4096 THEN 1 ELSE CAST(
       |    error('oracle shingle dictionary exceeds the 4096-bit bitset') AS INTEGER)
       |  END AS ok FROM dict),
-      |bs AS (SELECT g.doc_id, g.lang, len(g.gs) AS n, eb.b
-      |       FROM g JOIN (SELECT doc_id, bitstring_agg(tid, 0, 4095) AS b
+      |bs AS (SELECT g.doc_id, g.lang, len(g.gs) AS n, eb.b, eb.f
+      |       FROM g JOIN (SELECT doc_id, bitstring_agg(tid, 0, 4095) AS b,
+      |                    bitstring_agg(tid % 512, 0, 511) AS f
       |                    FROM t JOIN dict USING (tk) GROUP BY doc_id) eb
       |         USING (doc_id)),
-      |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |         bit_count(a.b & b.b) AS shared, a.n AS n1, b.n AS n2
-      |       FROM bs a JOIN bs b ON a.lang = b.lang
+      |bsb AS (SELECT bs.*, ntile(32) OVER (PARTITION BY lang ORDER BY n, doc_id) AS bb FROM bs),
+      |apr AS (SELECT bsb.*, unnest(generate_series(bb, 32)) AS jb FROM bsb),
+      |pr0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.b AS ab, b.b AS bb2,
+      |         a.n AS n1, b.n AS n2
+      |       FROM apr a JOIN bsb b ON a.lang = b.lang AND a.jb = b.bb
       |         AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id)), guard
-      |       WHERE guard.ok = 1)
+      |       WHERE guard.ok = 1
+      |         AND 5 * bit_count(a.f & ~b.f) <= a.n),
+      |pr AS (SELECT d1, d2, bit_count(ab & bb2) AS shared, n1, n2 FROM pr0)
       |SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(n1 AS BIGINT) AS n1,
       |  CAST(n2 AS BIGINT) AS n2,
       |  CAST(floor((shared * 1.0 / n1) * 10000) AS BIGINT) AS cont_c
