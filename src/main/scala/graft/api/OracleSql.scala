@@ -55,4 +55,24 @@ object OracleSql {
       |      WHERE sguard.ok = 1),
       |pairs AS MATERIALIZED (SELECT d1, d2 FROM p
       |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7)""".stripMargin
+
+  /** CTE chunk `wdict, wguard, sets(doc_id, b, n)`: each doc's DISTINCT
+    * word-token set dictionary-encoded into one 512-bit bitstring
+    * (expects `tok(doc_id, …, tk)` in scope). Word-granularity variant
+    * of the [[shingleJaccardPairs]] bitset verify: the former
+    * `list_intersect` form materialized two word-list STRING columns
+    * per candidate pair — at sf1's 190M-pair LSH candidate sets that
+    * string traffic alone blew the sweep budget; `bit_count(a & b)`
+    * verifies the same shared count with one 64-byte AND+popcount.
+    * A corpus whose word dictionary outgrows 512 fails LOUDLY through
+    * the wguard error() rather than truncating.
+    */
+  val wordBitsets: String =
+    """wdict AS (SELECT tk, row_number() OVER (ORDER BY tk) - 1 AS tid
+      |        FROM (SELECT DISTINCT tk FROM tok)),
+      |wguard AS (SELECT CASE WHEN max(tid) < 512 THEN 1 ELSE CAST(
+      |    error('oracle word dictionary exceeds the 512-bit bitset') AS INTEGER)
+      |  END AS ok FROM wdict),
+      |sets AS (SELECT doc_id, bitstring_agg(tid, 0, 511) AS b, count(*) AS n
+      |         FROM tok JOIN wdict USING (tk) GROUP BY doc_id)""".stripMargin
 }

@@ -148,10 +148,16 @@ object Pipeline {
     }
   }
 
-  /** Shared oracle for `dedup_incremental` and its full-corpus-derivation
-    * twin `dedup_incremental_fullscan`. */
-  private val incrementalSql: String =
-    """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
+  /** Shared oracle skeleton for the word-token MinHash-LSH keys: md5
+    * minhash signatures, 4×2 banding, band-collision candidates
+    * (`candExtra` narrows the collision pair filter), and the round-13
+    * bitset verify ([[graft.api.OracleSql.wordBitsets]] — the former
+    * per-pair `list_intersect` over word-list string columns was the
+    * sweep-budget TIMEOUT class at sf1's 190M-pair candidate sets).
+    * Digest-equal to the list_intersect form at sf0.01/sf0.1 on every
+    * key that swapped in (BASELINE.md round 13). */
+  private def lshBitsetOracle(candExtra: String, finalSelect: String): String =
+    s"""WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
       |             FROM documents),
       |sig AS (SELECT doc_id, lang, s AS seed,
       |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
@@ -163,32 +169,55 @@ object Pipeline {
       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |         FROM band a JOIN band b ON a.lang = b.lang AND a.band = b.band
       |           AND a.bandkey = b.bandkey
-      |           AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
-      |sets AS (SELECT doc_id, list(tk) AS tks FROM tok GROUP BY doc_id),
-      |v AS (SELECT d1, d2, len(list_intersect(sa.tks, sb.tks)) AS shared,
-      |        len(sa.tks) AS n1, len(sb.tks) AS n2
-      |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id)
-      |SELECT d1 AS d_new, d2 AS d_old,
+      |           $candExtra),
+      |${graft.api.OracleSql.wordBitsets},
+      |v AS (SELECT d1, d2, bit_count(sa.b & sb.b) AS shared, sa.n AS n1, sb.n AS n2
+      |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id,
+      |        wguard WHERE wguard.ok = 1)
+      |$finalSelect""".stripMargin
+
+  /** Shared oracle for `dedup_incremental` and its full-corpus-derivation
+    * twin `dedup_incremental_fullscan`. */
+  private val incrementalSql: String = lshBitsetOracle(
+    "AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0",
+    """SELECT d1 AS d_new, d2 AS d_old,
       |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
       |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
-      |ORDER BY d_new, d_old""".stripMargin
+      |ORDER BY d_new, d_old""".stripMargin)
 
   /** Shared oracle for `dedup_weighted_jaccard` and its forced-shuffle
-    * verify twin. */
+    * verify twin. Round 13: the Σmin verify no longer goes through the
+    * (pair × token) equi-join — ~4B joined rows at sf1's banded
+    * candidate volume, the sweep-budget TIMEOUT class — but through a
+    * dense per-doc tf VECTOR over the word dictionary (one fixed-length
+    * INT list per doc, positions = dictionary rank), so each candidate
+    * pair is one zip/least/sum lambda over two doc-width vectors: the
+    * SQL mirror of the Spark plan's packed two-pointer kernel. The
+    * wguard bounds the vector width loudly, like the bitset blocks.
+    * Digest-equal to the join form at sf0.01/sf0.1 (BASELINE.md r13). */
   private val weightedJaccardSql: String =
     """WITH tok AS (SELECT doc_id, lang, tk, count(*) AS tf
       |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tk
       |        FROM documents) GROUP BY 1, 2, 3),
       |dt AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS t
       |  FROM tok GROUP BY 1, 2),
+      |wdict AS (SELECT tk, row_number() OVER (ORDER BY tk) AS tid
+      |        FROM (SELECT DISTINCT tk FROM tok)),
+      |wguard AS (SELECT CASE WHEN max(tid) <= 512 THEN 1 ELSE CAST(
+      |    error('oracle word dictionary exceeds the 512-slot tf vector') AS INTEGER)
+      |  END AS ok FROM wdict),
+      |vec AS (SELECT d.doc_id, list(coalesce(t.tf, 0) ORDER BY w.tid) AS v
+      |        FROM (SELECT DISTINCT doc_id FROM tok) d CROSS JOIN wdict w
+      |        LEFT JOIN tok t ON t.doc_id = d.doc_id AND t.tk = w.tk
+      |        GROUP BY d.doc_id),
       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.t AS t1, b.t AS t2
       |  FROM dt a JOIN dt b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |    AND abs(a.t - b.t) <= 20),
       |sm AS (SELECT c.d1, c.d2, c.t1, c.t2,
-      |    CAST(sum(least(x.tf, y.tf)) AS BIGINT) AS smin
-      |  FROM cand c JOIN tok x ON x.doc_id = c.d1
-      |    JOIN tok y ON y.doc_id = c.d2 AND y.tk = x.tk
-      |  GROUP BY 1, 2, 3, 4)
+      |    CAST(list_sum(list_transform(list_zip(x.v, y.v),
+      |      z -> least(z[1], z[2]))) AS BIGINT) AS smin
+      |  FROM cand c JOIN vec x ON x.doc_id = c.d1
+      |    JOIN vec y ON y.doc_id = c.d2, wguard WHERE wguard.ok = 1)
       |SELECT d1, d2,
       |  CAST(floor((smin * 1.0 / (t1 + t2 - smin)) * 10000) AS BIGINT) AS wj_c
       |FROM sm WHERE smin * 1.0 / (t1 + t2 - smin) >= 0.4
@@ -857,52 +886,34 @@ object Pipeline {
     })
   )
 
-  def oracles: Map[String, String] = Map(
-    "dedup_minhash_lsh" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
-        |             FROM documents),
-        |sig AS (SELECT doc_id, lang, s AS seed,
-        |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
-        |        FROM tok, unnest(generate_series(0, 7)) t(s)
-        |        GROUP BY doc_id, lang, s),
-        |band AS (SELECT doc_id, lang, seed // 2 AS band,
-        |           md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
-        |         FROM sig GROUP BY doc_id, lang, seed // 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM band a JOIN band b ON a.lang = b.lang AND a.band = b.band
-        |           AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
-        |sets AS (SELECT doc_id, list(tk) AS tks FROM tok GROUP BY doc_id),
-        |v AS (SELECT d1, d2, len(list_intersect(sa.tks, sb.tks)) AS shared,
-        |        len(sa.tks) AS n1, len(sb.tks) AS n2
-        |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id)
-        |SELECT d1, d2,
-        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
-        |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
-        |ORDER BY d1, d2""".stripMargin,
+  /** Shared oracle for `dedup_minhash_lsh` and its forced-shuffle twin
+    * (identical semantics ⇒ identical oracle; only the Spark-side
+    * physical verify-join strategy differs). */
+  private val minhashLshSql: String = lshBitsetOracle(
+    "AND a.doc_id < b.doc_id",
+    """SELECT d1, d2,
+      |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
+      |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
+      |ORDER BY d1, d2""".stripMargin)
 
-    // identical semantics ⇒ identical oracle; only the Spark-side
-    // physical verify-join strategy differs
-    "dedup_minhash_shuffle" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS tk
-        |             FROM documents),
-        |sig AS (SELECT doc_id, lang, s AS seed,
-        |          min(md5(tk || ':' || CAST(s AS VARCHAR))) AS mh
-        |        FROM tok, unnest(generate_series(0, 7)) t(s)
-        |        GROUP BY doc_id, lang, s),
-        |band AS (SELECT doc_id, lang, seed // 2 AS band,
-        |           md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
-        |         FROM sig GROUP BY doc_id, lang, seed // 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM band a JOIN band b ON a.lang = b.lang AND a.band = b.band
-        |           AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
-        |sets AS (SELECT doc_id, list(tk) AS tks FROM tok GROUP BY doc_id),
-        |v AS (SELECT d1, d2, len(list_intersect(sa.tks, sb.tks)) AS shared,
-        |        len(sa.tks) AS n1, len(sb.tks) AS n2
-        |      FROM cand JOIN sets sa ON d1 = sa.doc_id JOIN sets sb ON d2 = sb.doc_id)
-        |SELECT d1, d2,
-        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
-        |FROM v WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.5
-        |ORDER BY d1, d2""".stripMargin,
+  /** Shared oracle for the `dedup_ngram_jaccard` triple (primary +
+    * prefix + shuffle twins — identical semantics ⇒ identical oracle).
+    * Round 13: the unbanded per-pair `list_intersect` over 5-gram
+    * shingle STRING lists (the r11 sweep's slowest TIMEOUT — hours at
+    * sf1) is replaced by [[graft.api.OracleSql.shingleJaccardPairs]],
+    * whose `p(d1, d2, shared, n1, n2)` is the identical relation
+    * through the bucketed ±20-char band and the dictionary-bitset
+    * verify. Digest-equal at sf0.01/sf0.1 (69.1 s → 2.1 s at sf0.1). */
+  private val ngramJaccardSql: String =
+    s"""WITH ${graft.api.OracleSql.shingleJaccardPairs()},
+      |r AS (SELECT d1, d2,
+      |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
+      |FROM p WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7)
+      |SELECT * FROM r ORDER BY d1, d2""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_minhash_shuffle" -> minhashLshSql,
 
     "dedup_incremental" -> incrementalSql,
     // full-corpus-derivation twin: identical semantics, identical oracle
@@ -934,50 +945,11 @@ object Pipeline {
 
     // identical semantics ⇒ identical oracle; only the Spark-side
     // physical strategy differs
-    "dedup_ngram_jaccard_shuffle" ->
-      """WITH g AS (SELECT doc_id, lang, n_chars,
-        |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-        |    i -> substr(text, i, 5))) AS gs
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |        len(list_intersect(a.gs, b.gs)) AS shared,
-        |        len(a.gs) AS n1, len(b.gs) AS n2
-        |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |        AND abs(a.n_chars - b.n_chars) <= 20)
-        |SELECT d1, d2,
-        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
-        |FROM p WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7
-        |ORDER BY d1, d2""".stripMargin,
+    "dedup_ngram_jaccard_shuffle" -> ngramJaccardSql,
 
-    "dedup_ngram_jaccard_prefix" ->
-      """WITH g AS (SELECT doc_id, lang, n_chars,
-        |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-        |    i -> substr(text, i, 5))) AS gs
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |        len(list_intersect(a.gs, b.gs)) AS shared,
-        |        len(a.gs) AS n1, len(b.gs) AS n2
-        |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |        AND abs(a.n_chars - b.n_chars) <= 20)
-        |SELECT d1, d2,
-        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
-        |FROM p WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7
-        |ORDER BY d1, d2""".stripMargin,
+    "dedup_ngram_jaccard_prefix" -> ngramJaccardSql,
 
-    "dedup_ngram_jaccard" ->
-      """WITH g AS (SELECT doc_id, lang, n_chars,
-        |  list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-        |    i -> substr(text, i, 5))) AS gs
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |        len(list_intersect(a.gs, b.gs)) AS shared,
-        |        len(a.gs) AS n1, len(b.gs) AS n2
-        |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |        AND abs(a.n_chars - b.n_chars) <= 20)
-        |SELECT d1, d2,
-        |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
-        |FROM p WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7
-        |ORDER BY d1, d2""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
 
     "dedup_embedding_cosine" ->
       """WITH p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
