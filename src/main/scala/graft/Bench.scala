@@ -77,11 +77,17 @@ object Bench {
       ("_build_graph_common_neighbors", "graph_",
         () => { graft.ops.GraphOps.commonNeighbors(spark, sfDir).count(); () }),
       ("_build_stream_fixture_rows", "stream_",
-        () => graft.streaming.StreamOps.prebuildFixtures(spark, sfDir))
+        () => graft.streaming.StreamOps.prebuildFixtures(spark, sfDir)),
+      // strict near-dup pair graph + CC labeling, shared by the
+      // curation-report family (comma-separated consumer prefixes)
+      ("_build_dedup_pairs",
+        "dedup_cluster_cc,dedup_keep_best,dedup_survivorship_report,corpus_health_report",
+        () => { graft.ops.TrainOps.strictDedupLabels(spark, sfDir).count(); () })
     )
     val buildResults = builds
-      .filter { case (_, prefix, _) =>
-        only.isEmpty || (prefix.nonEmpty && selected.keys.exists(_.startsWith(prefix))) }
+      .filter { case (_, prefixes, _) =>
+        only.isEmpty || (prefixes.nonEmpty && prefixes.split(",").exists(p =>
+          selected.keys.exists(_.startsWith(p)))) }
       .map { case (name, _, body) =>
         val t0 = System.nanoTime()
         val ok = try { body(); true }

@@ -28,9 +28,14 @@ object OracleSql {
     * n_chars), same-language, Jaccard >= 0.7 near-dup pair relation
     * over 5-gram shingle sets of `base` (a relation with doc_id, lang,
     * n_chars, text). Callers append from `, edges AS (...)`. Also
-    * leaves `p(d1, d2, shared, n1, n2)` in scope.
+    * leaves `p(d1, d2, shared, n1, n2)` in scope. Callers that only
+    * need `p` (they apply their own threshold) pass
+    * `withPairs = false` so the chain ends at `p` — DuckDB may honor
+    * the MATERIALIZED hint even for an unreferenced trailing CTE, and
+    * the 0.7 filter would then run for nothing.
     */
-  def shingleJaccardPairs(base: String = "documents"): String =
+  def shingleJaccardPairs(base: String = "documents",
+                          withPairs: Boolean = true): String =
     s"""gs0 AS MATERIALIZED (SELECT doc_id, lang, n_chars,
       |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
       |      i -> substr(text, i, 5))) AS gs
@@ -52,9 +57,11 @@ object OracleSql {
       |      FROM gpr a JOIN gsb b ON a.lang = b.lang AND a.jb = b.bkt
       |        AND a.doc_id < b.doc_id
       |        AND abs(a.n_chars - b.n_chars) <= 20, sguard
-      |      WHERE sguard.ok = 1),
+      |      WHERE sguard.ok = 1)""".stripMargin + (if (withPairs)
+    """,
       |pairs AS MATERIALIZED (SELECT d1, d2 FROM p
       |          WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7)""".stripMargin
+    else "")
 
   /** CTE chunk `wdict, wguard, sets(doc_id, b, n)`: each doc's DISTINCT
     * word-token set dictionary-encoded into one 512-bit bitstring
@@ -73,6 +80,7 @@ object OracleSql {
       |wguard AS (SELECT CASE WHEN max(tid) < 512 THEN 1 ELSE CAST(
       |    error('oracle word dictionary exceeds the 512-bit bitset') AS INTEGER)
       |  END AS ok FROM wdict),
-      |sets AS (SELECT doc_id, bitstring_agg(tid, 0, 511) AS b, count(*) AS n
+      |sets AS (SELECT doc_id, bitstring_agg(tid, 0, 511) AS b,
+      |         count(DISTINCT tk) AS n
       |         FROM tok JOIN wdict USING (tk) GROUP BY doc_id)""".stripMargin
 }

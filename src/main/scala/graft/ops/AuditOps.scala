@@ -56,11 +56,11 @@ object AuditOps {
     // contract — then per cluster keep the LONGEST member (most complete
     // duplicate), ties to the smallest doc_id. One max(struct) aggregate:
     // (n_chars, -doc_id) is (longest, then smallest id) lexicographically.
-    "dedup_keep_best" -> ((s, d) => {
-      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
-        .select(col("d1"), col("d2")).localCheckpoint()
-      keepBest(s, d, TrainOps.connectedComponents(pairs))
-    }),
+    // The cluster labeling comes from the session-shared
+    // TrainOps.strictDedupLabels cache (one pair-kernel + CC build for
+    // the whole curation-report family).
+    "dedup_keep_best" -> ((s, d) =>
+      keepBest(s, d, TrainOps.strictDedupLabels(s, d))),
 
     // ALGORITHMIC twin of dedup_keep_best: same decision relation with
     // BOTH embedded stages swapped for their at-scale alternates — pair
@@ -85,11 +85,9 @@ object AuditOps {
     // dedup_keep_best, then ONE source-keyed rollup; the char ppm is
     // computed decimal-first (Σchars·10⁶ wraps int64 past ~9·10¹²
     // chars/source — the corr_spearman sf1 lesson applied proactively).
-    "dedup_survivorship_report" -> ((s, d) => {
-      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
-        .select(col("d1"), col("d2")).localCheckpoint()
-      survivorship(s, d, TrainOps.connectedComponents(pairs))
-    }),
+    // Cluster labeling from the shared TrainOps.strictDedupLabels cache.
+    "dedup_survivorship_report" -> ((s, d) =>
+      survivorship(s, d, TrainOps.strictDedupLabels(s, d))),
 
     // ALGORITHMIC twin of dedup_survivorship_report (the keep_best_dist
     // pattern): prefix-path pairs + forced distributed CC. Twin digest
@@ -120,11 +118,9 @@ object AuditOps {
     // the exact metric of the operator it reuses (survivorship /
     // curation_funnel_report / text_dup_ngram_fraction rolled up /
     // drift_l1_buckets partitioned by source).
-    "corpus_health_report" -> ((s, d) => {
-      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
-        .select(col("d1"), col("d2")).localCheckpoint()
-      corpusHealth(s, d, TrainOps.connectedComponents(pairs))
-    }),
+    // Cluster labeling from the shared TrainOps.strictDedupLabels cache.
+    "corpus_health_report" -> ((s, d) =>
+      corpusHealth(s, d, TrainOps.strictDedupLabels(s, d))),
 
     // ALGORITHMIC twin of corpus_health_report (the survivorship-twin
     // pattern applied to the composition): prefix-path pairs + forced

@@ -236,27 +236,30 @@ object EvalOps {
 
     // Pairwise Pearson correlation of the four lineitem measures,
     // integer-quantized first (whole units for quantity/price, cents
-    // for discount/tax) so every sum is exact BIGINT and partial
-    // aggregation is lossless; the moment combination casts to double
-    // identically in both engines. ONE map-side-combinable aggregate
-    // row, fanned to 6 pair rows. (At 100 TB the raw second moments
-    // approach int64 range — promote the sums to DECIMAL(38,0) there;
-    // the shape is unchanged.)
+    // for discount/tax) so every sum is exact and partial aggregation
+    // is lossless; the moment combination casts to double identically
+    // in both engines. ONE map-side-combinable aggregate row, fanned
+    // to 6 pair rows. The second moments run in DECIMAL(38,0) (the
+    // per-row products still fit BIGINT — e.g. p² ≤ ~1e10 — but Σp²
+    // wraps int64 around ~1e9 rows, so the SUM itself is promoted;
+    // DuckDB mirrors with HUGEINT sums).
     "corr_measures" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
         floor(col("l_quantity")).cast("long").as("q"),
         floor(col("l_extendedprice")).cast("long").as("p"),
         floor(col("l_discount") * 100).cast("long").as("dd"),
         floor(col("l_tax") * 100).cast("long").as("tx"))
+      def sumM(a: String, b: String): Column =
+        sum((col(a) * col(b)).cast("decimal(38,0)"))
       val agg = li.agg(
         count(lit(1)).as("n"),
         sum("q").as("sq"), sum("p").as("sp"),
         sum("dd").as("sd"), sum("tx").as("st"),
-        sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
-        sum(col("dd") * col("dd")).as("sdd"), sum(col("tx") * col("tx")).as("stt"),
-        sum(col("dd") * col("p")).as("sdp"), sum(col("dd") * col("q")).as("sdq"),
-        sum(col("dd") * col("tx")).as("sdt"), sum(col("p") * col("q")).as("spq"),
-        sum(col("p") * col("tx")).as("spt"), sum(col("q") * col("tx")).as("sqt"))
+        sumM("q", "q").as("sqq"), sumM("p", "p").as("spp"),
+        sumM("dd", "dd").as("sdd"), sumM("tx", "tx").as("stt"),
+        sumM("dd", "p").as("sdp"), sumM("dd", "q").as("sdq"),
+        sumM("dd", "tx").as("sdt"), sumM("p", "q").as("spq"),
+        sumM("p", "tx").as("spt"), sumM("q", "tx").as("sqt"))
       def corrC(sx: String, sy: String, sxy: String,
                 sxx: String, syy: String): Column = {
         val n = col("n").cast("double")
@@ -467,11 +470,11 @@ object EvalOps {
         |a AS (SELECT count(*) AS n,
         |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
         |    CAST(sum(dd) AS BIGINT) AS sd, CAST(sum(tx) AS BIGINT) AS st,
-        |    CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(p*p) AS BIGINT) AS spp,
-        |    CAST(sum(dd*dd) AS BIGINT) AS sdd, CAST(sum(tx*tx) AS BIGINT) AS stt,
-        |    CAST(sum(dd*p) AS BIGINT) AS sdp, CAST(sum(dd*q) AS BIGINT) AS sdq,
-        |    CAST(sum(dd*tx) AS BIGINT) AS sdt, CAST(sum(p*q) AS BIGINT) AS spq,
-        |    CAST(sum(p*tx) AS BIGINT) AS spt, CAST(sum(q*tx) AS BIGINT) AS sqt
+        |    sum(CAST(q*q AS HUGEINT)) AS sqq, sum(CAST(p*p AS HUGEINT)) AS spp,
+        |    sum(CAST(dd*dd AS HUGEINT)) AS sdd, sum(CAST(tx*tx AS HUGEINT)) AS stt,
+        |    sum(CAST(dd*p AS HUGEINT)) AS sdp, sum(CAST(dd*q AS HUGEINT)) AS sdq,
+        |    sum(CAST(dd*tx AS HUGEINT)) AS sdt, sum(CAST(p*q AS HUGEINT)) AS spq,
+        |    sum(CAST(p*tx AS HUGEINT)) AS spt, sum(CAST(q*tx AS HUGEINT)) AS sqt
         |  FROM li),
         |pairs AS (
         |  SELECT 'discount' AS m1, 'extendedprice' AS m2,

@@ -905,7 +905,7 @@ object Pipeline {
     * through the bucketed ±20-char band and the dictionary-bitset
     * verify. Digest-equal at sf0.01/sf0.1 (69.1 s → 2.1 s at sf0.1). */
   private val ngramJaccardSql: String =
-    s"""WITH ${graft.api.OracleSql.shingleJaccardPairs()},
+    s"""WITH ${graft.api.OracleSql.shingleJaccardPairs(withPairs = false)},
       |r AS (SELECT d1, d2,
       |  CAST(floor((shared * 1.0 / (n1 + n2 - shared)) * 10000) AS BIGINT) AS jac_c
       |FROM p WHERE shared * 1.0 / (n1 + n2 - shared) >= 0.7)

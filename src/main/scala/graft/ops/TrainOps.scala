@@ -30,6 +30,37 @@ object TrainOps {
 
   private val stopwords = graft.api.Curation.Stopwords
 
+  /** Session-shared CC labeling over the STRICT (J ≥ 0.7) 5-gram
+    * near-dup pair graph — the relation the whole curation-report
+    * family keys on. `dedup_cluster_cc`, `dedup_keep_best`,
+    * `dedup_survivorship_report` and `corpus_health_report` all need
+    * exactly `connectedComponents(dedup_ngram_jaccard pairs)`; before
+    * this cache each re-derived the pair kernel + CC per query (~3 s ×
+    * 4 at sf0.1, ~60-100 s × 4 at sf1). Same discipline as
+    * `GraphOps.adjCache`: keyed by (session, dataset), built once under
+    * `QueryHygiene.pinning` so the hygiene sweep never frees the label
+    * blocks, billed as an explicit `_build_dedup_pairs` bench line. A
+    * deployment would keep this labeling as a maintained table next to
+    * the corpus — it IS the dedup pass's primary artifact. The `_dist`
+    * twins deliberately BYPASS the cache (forced prefix-path pairs +
+    * forced distributed CC — they exist to be independent evidence).
+    * Labels only cover nodes that appear in some pair; singleton docs
+    * are absent, exactly as the per-query derivations left them. */
+  private val strictCcCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def strictDedupLabels(s: SparkSession, d: String): DataFrame =
+    strictCcCache.computeIfAbsent((s, d), _ => {
+      // the pair relation is query-local scaffolding (only its CC result
+      // is shared), so its checkpoint blocks stay UNpinned — the hygiene
+      // sweep reclaims them after the building query finishes
+      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      graft.api.QueryHygiene.pinning(s) {
+        connectedComponents(pairs).localCheckpoint()
+      }
+    })
+
   /** Connected components over an undirected edge list `(src, dst)`:
     * returns `(node, cluster_rep)` with the component's smallest node id
     * as representative. Hook + pointer-jumping compression — each round
@@ -140,14 +171,13 @@ object TrainOps {
     // Duplicate clustering: connected components over the exact near-dup
     // pair graph (dedup_ngram_jaccard), labeling every member with the
     // smallest doc_id of its component — the keep-one-per-cluster step
-    // that follows pair generation in a dedup pipeline.
-    "dedup_cluster_cc" -> ((s, d) => {
-      val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
-        .select(col("d1"), col("d2")).localCheckpoint()
-      connectedComponents(pairs)
+    // that follows pair generation in a dedup pipeline. Served from the
+    // session-shared strictDedupLabels cache (the whole curation-report
+    // family keys on this one labeling).
+    "dedup_cluster_cc" -> ((s, d) =>
+      strictDedupLabels(s, d)
         .select(col("node").as("doc_id"), col("cluster_rep"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Duplicate clustering with the driver union-find DISABLED
     // (driverLimit = 0): forces the distributed hook + pointer-jumping

@@ -15,6 +15,17 @@ subset runs (SPARK_GRAFT_ONLY-filtered Verify).
 import json, sys, glob, os
 import duckdb
 
+# The oracle SQL relies on version-sensitive DuckDB syntax (notably
+# positional struct indexing z[1]/z[2] on list_zip elements, whose
+# structs are UNNAMED in 1.0.x so named extraction is impossible —
+# ops/Pipeline.scala weightedJaccardSql). Fail loudly on an engine
+# upgrade instead of silently changing oracle semantics.
+PINNED_DUCKDB = "1.0."
+assert duckdb.__version__.startswith(PINNED_DUCKDB), (
+    f"oracle SQL is pinned to DuckDB {PINNED_DUCKDB}x, found "
+    f"{duckdb.__version__}; re-validate the positional-struct and "
+    "bitstring_agg oracles before bumping this pin")
+
 def main(sf_dir, out_dir, expect_all=False):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)

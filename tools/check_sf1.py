@@ -27,6 +27,17 @@ Usage: python3 tools/check_sf1.py <sfDir> <verifyOutDir>
 import json, sys, glob, os, threading, time
 import duckdb
 
+# The oracle SQL relies on version-sensitive DuckDB syntax (notably
+# positional struct indexing z[1]/z[2] on list_zip elements, whose
+# structs are UNNAMED in 1.0.x so named extraction is impossible —
+# ops/Pipeline.scala weightedJaccardSql). Fail loudly on an engine
+# upgrade instead of silently changing oracle semantics.
+PINNED_DUCKDB = "1.0."
+assert duckdb.__version__.startswith(PINNED_DUCKDB), (
+    f"oracle SQL is pinned to DuckDB {PINNED_DUCKDB}x, found "
+    f"{duckdb.__version__}; re-validate the positional-struct and "
+    "bitstring_agg oracles before bumping this pin")
+
 class Timeout(Exception):
     pass
 
