@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.connector.{HttpFeedClient, TestFeedServer}
+import graft.udf.SeqId
+
+/** Ingest-ceiling measurement for the DSv2 HTTP feed source against the
+  * embedded TestFeedServer (loopback — so the numbers bound the CLIENT
+  * stack: pagination loop, JSON parse, row materialization, and the
+  * planner's drain walk; a WAN deployment adds network latency that the
+  * `backfillPartitions` fan-out hides even better).
+  *
+  * Not part of the driver's Bench contract — run ad hoc:
+  *   sbt "runMain graft.ConnectorBench"
+  * and record the table in BASELINE.md. Measures:
+  *   1. bounded replay (batch) at 3 page sizes, 1 vs 8 partitions;
+  *   2. Trigger.AvailableNow streaming replay;
+  *   3. long-poll delivery latency under the 5000 ms timeout contract
+  *      (reference README.md:126): idle-feed wait ≈ data-arrival delay,
+  *      not the full timeout.
+  */
+object ConnectorBench {
+
+  private def mkEvents(n: Int): IndexedSeq[(String, String)] =
+    (1 to n).map { i =>
+      val id = SeqId.encodeFn(i.toLong, f"u${i % 997}%04d")
+      val json =
+        s"""{"specversion":"1.0","id":"$id","type":"t.bench","source":"srv",""" +
+          s""""time_us":${1700000000000000L + i * 1000L},"subject":"s${i % 64}",""" +
+          s""""method":"PUT","datacontenttype":"application/json",""" +
+          s""""data":"{\\"v\\":$i,\\"pad\\":\\"${"x" * 96}\\"}"}"""
+      (id, json)
+    }
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nEvents = sys.env.getOrElse("GRAFT_CONNBENCH_EVENTS", "100000").toInt
+    val events = mkEvents(nEvents)
+    // untimed warmup: classloading + codegen for the source path
+    locally {
+      val w = new TestFeedServer(events.take(500), pageSize = 100)
+      try {
+        spark.read.format("http-feed").option("url", w.url).load().count()
+      } finally w.stop()
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // 1) bounded replay: page-size sweep × {1, 8} partitions. A fresh
+    // server per cell — the JVM-wide page cache is keyed by URL (= port),
+    // so each cell starts cold instead of replaying its predecessor's
+    // cache hits.
+    for (pageSize <- Seq(100, 1000, 10000); parts <- Seq(1, 8)) {
+      val server = new TestFeedServer(events, pageSize = pageSize)
+      try {
+        val (cnt, sec) = timed {
+          spark.read.format("http-feed").option("url", server.url)
+            .option("backfillPartitions", parts.toString).load().count()
+        }
+        require(cnt == nEvents, s"replay returned $cnt of $nEvents rows")
+        results(s"batch_p${pageSize}_n$parts") = sec
+        println(f"batch pageSize=$pageSize%5d partitions=$parts%d: $sec%7.2f s  " +
+          f"${nEvents / sec}%9.0f events/s  ${nEvents.toDouble / pageSize / sec}%7.1f pages/s  " +
+          f"(${server.requestCount} requests)")
+      } finally server.stop()
+    }
+
+    // 2) Trigger.AvailableNow streaming replay (1k pages)
+    locally {
+      val server = new TestFeedServer(events, pageSize = 1000)
+      val ckpt = java.nio.file.Files.createTempDirectory("connbench_ckpt").toString
+      try {
+        val (_, sec) = timed {
+          val q = spark.readStream.format("http-feed").option("url", server.url)
+            .load()
+            .writeStream.format("noop").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        results("stream_available_now_p1000") = sec
+        println(f"stream AvailableNow pageSize=1000: $sec%7.2f s  " +
+          f"${nEvents / sec}%9.0f events/s")
+      } finally server.stop()
+    }
+
+    // 3) long-poll latency under the 5000 ms contract: an idle feed holds
+    // the connection and delivers ~when data arrives (append after 500 ms),
+    // NOT at the timeout; a still-idle feed returns empty at ~timeout.
+    locally {
+      val server = new TestFeedServer(Seq.empty, pageSize = 100)
+      try {
+        val appendDelayMs = 500L
+        val t = new Thread(() => {
+          Thread.sleep(appendDelayMs)
+          server.append(Seq(mkEvents(1).head))
+        })
+        t.setDaemon(true); t.start()
+        val (page, sec) = timed {
+          HttpFeedClient.fetchPage(server.url, "", timeoutMs = 5000L)
+        }
+        require(!page.isEmpty, "long poll returned empty despite appended data")
+        results("longpoll_data_latency") = sec
+        t.join()
+        val (empty, secEmpty) = timed {
+          HttpFeedClient.fetchPage(server.url, page.lastId.get, timeoutMs = 1000L)
+        }
+        require(empty.isEmpty, "expected an empty page at head")
+        results("longpoll_idle_timeout_1s") = secEmpty
+        println(f"long-poll: data after ${appendDelayMs}ms delivered in $sec%5.3f s; " +
+          f"idle 1000ms timeout returned in $secEmpty%5.3f s")
+      } finally server.stop()
+    }
+
+    println(results.map { case (k, v) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{\"metric\":\"connector_bench\",\"n_events\":" + nEvents + ",", ",", "}"))
+    spark.stop()
+  }
+}

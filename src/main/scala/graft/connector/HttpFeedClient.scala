@@ -176,4 +176,28 @@ object HttpFeedClient {
     }
     cursor
   }
+
+  /** Planning walk for a parallel backfill: the same drain-to-head loop as
+    * [[drainHead]], but recording each page's (lastId, eventCount) — the
+    * page histogram an equi-depth partition planner needs (the
+    * `feed_backfill_partition_plan` operator's input, derived from the
+    * live feed instead of a parquet mirror). Costs nothing extra: finding
+    * the head ALREADY requires paging the whole range (the protocol has no
+    * head endpoint, `README.md:79-82`), so the split points ride along on
+    * the walk the planner was paying for anyway. */
+  def drainPageHistogram(url: String, fromId: String, timeoutMs: Long,
+                         maxPages: Int = 100000,
+                         auth: Option[String] = None): IndexedSeq[(String, Int)] = {
+    val hist = new ArrayBuffer[(String, Int)]()
+    var cursor = fromId
+    var first = true
+    while (hist.length < maxPages) {
+      val page = fetchPage(url, cursor, if (first) timeoutMs else 0, auth)
+      first = false
+      if (page.isEmpty) return hist.toIndexedSeq
+      cursor = page.lastId.getOrElse(return hist.toIndexedSeq)
+      hist += cursor -> page.events.length
+    }
+    hist.toIndexedSeq
+  }
 }

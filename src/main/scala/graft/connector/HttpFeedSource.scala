@@ -30,13 +30,18 @@ import graft.udf.CloudEventsParse
   *    (`README.md:332`), so ranges are replayable and the spec's
   *    at-least-once delivery (`README.md:113`) becomes exactly-once inside
   *    the pipeline.
-  *  - ONE InputPartition per batch: a feed is a single totally-ordered
-  *    stream (`README.md:9`); parallelism comes after ingestion by
-  *    repartitioning on `subject` (SURVEY.md §3.2), never by splitting the
-  *    ordered fetch.
+  *  - ONE InputPartition per MICRO-batch: a feed is a single totally-ordered
+  *    stream (`README.md:9`) and steady-state micro-batches are small;
+  *    parallelism comes after ingestion by repartitioning on `subject`
+  *    (SURVEY.md §3.2).
   *
   * Batch mode (`spark.read`) is bounded replay: drain to head at plan time,
-  * read (start, head] as one partition.
+  * read (start, head] as one partition — or, with `backfillPartitions=N`,
+  * as N equi-depth cursor-range partitions (the
+  * `feed_backfill_partition_plan` split wired into the source; ranges are
+  * replayable by the `lastEventId` contract, `README.md:150-159`), so the
+  * initial full-history replay scales out instead of serializing through
+  * one task.
   */
 class HttpFeedProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "http-feed"
@@ -57,12 +62,19 @@ class HttpFeedProvider extends TableProvider with DataSourceRegister {
         .getOrElse(throw new IllegalArgumentException("http-feed requires option 'url'")),
       timeoutMs = Option(opts.get("timeoutMs")).map(_.toLong).getOrElse(5000L),
       startId = Option(opts.get("startId")).getOrElse(""),
-      auth = auth))
+      auth = auth,
+      backfillPartitions =
+        Option(opts.get("backfillPartitions")).map(_.toInt).getOrElse(1)))
   }
 }
 
 case class HttpFeedOptions(url: String, timeoutMs: Long, startId: String,
-                           auth: Option[String] = None)
+                           auth: Option[String] = None,
+                           /** Bounded-replay (batch) fan-out: split the
+                             * (startId, head] range into this many
+                             * equi-depth cursor-range InputPartitions.
+                             * 1 = the ordered single-partition read. */
+                           backfillPartitions: Int = 1)
 
 class HttpFeedTable(opts: HttpFeedOptions) extends Table with SupportsRead {
   override def name(): String = s"http-feed(${opts.url})"
@@ -110,7 +122,13 @@ class HttpFeedScan(opts: HttpFeedOptions, limit: Option[Int] = None) extends Sca
   override def readSchema(): StructType = CloudEventsParse.envelopeSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new HttpFeedMicroBatchStream(opts)
-  override def toBatch: Batch = new HttpFeedBatch(opts, limit)
+  // ONE Batch per scan: Spark calls toBatch more than once on the same
+  // Scan (observed twice per action), and each Batch plans with a full
+  // drain-to-head walk over the wire — a fresh instance per call would
+  // repeat that walk AND could pin a different head if the feed grew
+  // between calls. The memoized Batch memoizes its partition plan too.
+  private lazy val batch: Batch = new HttpFeedBatch(opts, limit)
+  override def toBatch: Batch = batch
 }
 
 /** Offset = the lastEventId cursor, JSON-serialized into the WAL. */
@@ -167,14 +185,71 @@ class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
 }
 
 class HttpFeedBatch(opts: HttpFeedOptions, limit: Option[Int] = None) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] = {
-    // with a pushed limit the head probe stops after `limit` events — the
-    // page budget caps planning-time round-trips too
-    val head = HttpFeedClient.drainHead(opts.url, opts.startId, 0,
-      maxEvents = limit.getOrElse(Int.MaxValue), auth = opts.auth)
-    if (head == opts.startId) Array.empty
-    else Array(HttpFeedInputPartition(opts.url, opts.startId, head, limit, opts.auth))
+  // Spark may call planInputPartitions more than once on the same Batch
+  // (measured: a count() over the source invoked it twice — a second full
+  // drain walk over the wire, and a second head probe that could even pin a
+  // DIFFERENT head if the feed grew between calls). Plan once, memoize.
+  private lazy val planned: Array[InputPartition] = plan()
+
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  private def plan(): Array[InputPartition] = {
+    // A pushed LIMIT keeps the single-partition path: the page budget caps
+    // planning-time round-trips AND a global row limit over a fan-out would
+    // admit rows from the wrong end of the order. Fan-out is for full
+    // backfills, where there is no limit by definition.
+    if (opts.backfillPartitions > 1 && limit.isEmpty)
+      planBackfillPartitions()
+    else {
+      // with a pushed limit the head probe stops after `limit` events — the
+      // page budget caps planning-time round-trips too
+      val head = HttpFeedClient.drainHead(opts.url, opts.startId, 0,
+        maxEvents = limit.getOrElse(Int.MaxValue), auth = opts.auth)
+      if (head == opts.startId) Array.empty
+      else Array(HttpFeedInputPartition(opts.url, opts.startId, head, limit, opts.auth))
+    }
   }
+
+  /** Equi-depth parallel backfill: the `feed_backfill_partition_plan`
+    * operator's split wired into the source. The planning walk records the
+    * page histogram (free — finding the head already pages the whole
+    * range), then assigns page `j` with cumulative-before count `cumb` to
+    * bucket `cumb·N div total` — the operator's exact formula — and emits
+    * one (startId, endId] InputPartition per non-empty bucket. Ranges are
+    * page-aligned (a page is never split) and replayable by the spec's own
+    * `lastEventId` contract (`README.md:150-159`): each executor re-pages
+    * its range independently, so the initial 100 TB replay — the longest
+    * job this source ever runs — scales by N instead of serializing
+    * through one task. Rows arrive partition-ordered, not globally
+    * ordered; a consumer needing the feed's total order sorts by id, which
+    * at this scale it had to do anyway after any shuffle. */
+  private def planBackfillPartitions(): Array[InputPartition] = {
+    val pages = HttpFeedClient.drainPageHistogram(opts.url, opts.startId, 0,
+      auth = opts.auth)
+    if (pages.isEmpty) return Array.empty
+    val total = pages.iterator.map(_._2.toLong).sum
+    val n = opts.backfillPartitions.toLong
+    val parts = Array.newBuilder[InputPartition]
+    var rangeStart = opts.startId
+    var bucketEnd = rangeStart // last page id seen in the current bucket
+    var bucket = 0L
+    var cumb = 0L
+    pages.foreach { case (pageLastId, count) =>
+      val b = cumb * n / total
+      if (b != bucket) {
+        parts += HttpFeedInputPartition(opts.url, rangeStart, bucketEnd,
+          auth = opts.auth)
+        rangeStart = bucketEnd
+        bucket = b
+      }
+      bucketEnd = pageLastId
+      cumb += count
+    }
+    parts += HttpFeedInputPartition(opts.url, rangeStart, bucketEnd,
+      auth = opts.auth)
+    parts.result()
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = new HttpFeedReaderFactory
 }
 

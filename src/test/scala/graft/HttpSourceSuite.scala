@@ -78,6 +78,49 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("backfillPartitions=N: equi-depth parallel replay ≡ the single-partition read") {
+    // skewed page fill (the last page is short) + a count that does not
+    // divide evenly: the planner must still cover every event exactly once
+    val events = (1L to 237L).map(i => envelopeJson(i, s"s${i % 11}"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val single = spark.read.format("http-feed")
+        .option("url", server.url).load()
+      val fanned = spark.read.format("http-feed")
+        .option("url", server.url).option("backfillPartitions", "6").load()
+      // the scan really fans out (24 pages / 6 buckets — page-aligned)
+      assert(fanned.rdd.getNumPartitions === 6)
+      assert(single.rdd.getNumPartitions === 1)
+      // byte-for-byte the same envelope rows once the consumer restores the
+      // feed's total order by id (ext map rendered to sorted entries so the
+      // row comparison is deterministic)
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.withColumn("ext_c", map_entries(col("extensions")).cast("string"))
+          .drop("extensions").orderBy("id").collect().map(_.mkString("|")).toSeq
+      assert(canon(fanned) === canon(single))
+      assert(fanned.count() === 237)
+      // a non-trivial split: no partition holds the whole feed, and the
+      // equi-depth buckets stay within one page of the ideal depth
+      val sizes = fanned.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(sizes.forall(s => s > 0 && s < 237))
+      assert(sizes.max <= 237 / 6 + 10)
+    } finally server.stop()
+  }
+
+  test("backfillPartitions resumes from a startId cursor like the single read") {
+    val events = (1L to 60L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 7)
+    try {
+      val cursor = events(24)._1 // resume after event 25
+      val fanned = spark.read.format("http-feed")
+        .option("url", server.url).option("startId", cursor)
+        .option("backfillPartitions", "4").load()
+      val ids = fanned.orderBy("id").collect().map(_.getAs[String]("id")).toSeq
+      assert(ids === events.drop(25).map(_._1))
+      assert(fanned.rdd.getNumPartitions === 4)
+    } finally server.stop()
+  }
+
   test("startId option resumes strictly after the cursor (README.md:68-73)") {
     val events = (1L to 30L).map(i => envelopeJson(i, s"s$i"))
     val server = new TestFeedServer(events, pageSize = 10)
