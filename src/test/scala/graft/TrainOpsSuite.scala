@@ -70,6 +70,30 @@ class TrainOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("strictDedupLabels: cached per (session, dir), equals a fresh CC, and twins bypass it") {
+    val d = "/root/testdata/sf0.001"
+    val cached1 = TrainOps.strictDedupLabels(spark, d)
+    val cached2 = TrainOps.strictDedupLabels(spark, d)
+    // one build per (session, dataset): the second call returns the SAME
+    // cached DataFrame instance, not a re-derivation
+    assert(cached1 eq cached2)
+    // the cached labeling is exactly connectedComponents over the strict
+    // pair graph derived fresh
+    val freshPairs = graft.ops.Pipeline.queries("dedup_ngram_jaccard")(spark, d)
+      .select(org.apache.spark.sql.functions.col("d1"),
+        org.apache.spark.sql.functions.col("d2"))
+    val fresh = TrainOps.connectedComponents(freshPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cachedSet = cached1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cachedSet === fresh)
+    // the _dist twin stays on its forced independent path: its result must
+    // agree without having gone through the cache (it derives prefix-path
+    // pairs + driverLimit=0 CC; equality here is the twin contract)
+    val dist = TrainOps.queries("dedup_cluster_cc_dist")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist === fresh)
+  }
+
   test("sample_stratified is a subset, deterministic, and lang-complete at sf0.001") {
     val q = TrainOps.queries("sample_stratified")
     val a = q(spark, TestSpark.sfDir).collect().map(_.getLong(0)).toSeq
