@@ -147,16 +147,24 @@ class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   @volatile private var availableNowEnd: Option[HttpFeedOffset] = None
+  @volatile private var availableNowPages: IndexedSeq[(String, Int)] = IndexedSeq.empty
 
   override def initialOffset(): Offset = HttpFeedOffset(opts.startId)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** Trigger.AvailableNow: pin the head once; batches never pass it. */
+  /** Trigger.AvailableNow: pin the head once; batches never pass it. The
+    * walk records the page histogram (free — same requests either way) so
+    * a `backfillPartitions=N` replay can fan the pinned backlog out the
+    * same way the bounded batch read does: an AvailableNow run over a
+    * year of history IS the backfill job, just driven through the
+    * streaming engine for its checkpoint/restart semantics. */
   override def prepareForTriggerAvailableNow(): Unit = {
-    val head = HttpFeedClient.drainHead(opts.url, opts.startId, opts.timeoutMs,
-      auth = opts.auth)
-    availableNowEnd = Some(HttpFeedOffset(head))
+    val pages = HttpFeedClient.drainPageHistogram(opts.url, opts.startId,
+      opts.timeoutMs, auth = opts.auth)
+    availableNowPages = pages
+    availableNowEnd = Some(HttpFeedOffset(
+      pages.lastOption.map(_._1).getOrElse(opts.startId)))
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
@@ -173,7 +181,23 @@ class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
     val s = start.asInstanceOf[HttpFeedOffset].lastEventId
     val e = end.asInstanceOf[HttpFeedOffset].lastEventId
     if (s == e) Array.empty
-    else Array(HttpFeedInputPartition(opts.url, s, e, auth = opts.auth))
+    else {
+      // Opt-in fan-out of a pinned AvailableNow backlog: the batch's page
+      // slice comes from the recorded walk (page lastIds increase along
+      // the walk and batch bounds are page-aligned by construction, so
+      // the slice is exact). Steady-state micro-batches — and consumers
+      // that kept the default — stay ONE ordered partition; fanning out
+      // trades intra-batch arrival order for parallelism, which stateful
+      // downstreams (that repartition by key) never observed anyway.
+      val slice =
+        if (opts.backfillPartitions > 1)
+          availableNowPages.filter(p => p._1 > s && p._1 <= e)
+        else IndexedSeq.empty
+      if (slice.nonEmpty)
+        HttpFeedBackfill.equiDepthPartitions(opts, s, slice)
+      else
+        Array(HttpFeedInputPartition(opts.url, s, e, auth = opts.auth))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -213,24 +237,37 @@ class HttpFeedBatch(opts: HttpFeedOptions, limit: Option[Int] = None) extends Ba
   /** Equi-depth parallel backfill: the `feed_backfill_partition_plan`
     * operator's split wired into the source. The planning walk records the
     * page histogram (free — finding the head already pages the whole
-    * range), then assigns page `j` with cumulative-before count `cumb` to
-    * bucket `cumb·N div total` — the operator's exact formula — and emits
-    * one (startId, endId] InputPartition per non-empty bucket. Ranges are
-    * page-aligned (a page is never split) and replayable by the spec's own
-    * `lastEventId` contract (`README.md:150-159`): each executor re-pages
-    * its range independently, so the initial 100 TB replay — the longest
-    * job this source ever runs — scales by N instead of serializing
-    * through one task. Rows arrive partition-ordered, not globally
-    * ordered; a consumer needing the feed's total order sorts by id, which
-    * at this scale it had to do anyway after any shuffle. */
+    * range), then [[HttpFeedBackfill.equiDepthPartitions]] emits the
+    * page-aligned (startId, endId] ranges. */
   private def planBackfillPartitions(): Array[InputPartition] = {
     val pages = HttpFeedClient.drainPageHistogram(opts.url, opts.startId, 0,
       auth = opts.auth)
-    if (pages.isEmpty) return Array.empty
+    if (pages.isEmpty) Array.empty
+    else HttpFeedBackfill.equiDepthPartitions(opts, opts.startId, pages)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new HttpFeedReaderFactory
+}
+
+/** Shared equi-depth range splitter for bounded replays (batch `spark.read`
+  * AND a pinned Trigger.AvailableNow backlog): assigns page `j` with
+  * cumulative-before count `cumb` to bucket `cumb·N div total` — the
+  * `feed_backfill_partition_plan` operator's exact formula — and emits one
+  * (startId, endId] InputPartition per non-empty bucket. Ranges are
+  * page-aligned (a page is never split) and replayable by the spec's own
+  * `lastEventId` contract (`README.md:150-159`): each executor re-pages
+  * its range independently, so the initial 100 TB replay — the longest
+  * job this source ever runs — scales by N instead of serializing through
+  * one task. Rows arrive partition-ordered, not globally ordered; a
+  * consumer needing the feed's total order sorts by id, which at this
+  * scale it had to do anyway after any shuffle. */
+private[connector] object HttpFeedBackfill {
+  def equiDepthPartitions(opts: HttpFeedOptions, startId: String,
+                          pages: IndexedSeq[(String, Int)]): Array[InputPartition] = {
     val total = pages.iterator.map(_._2.toLong).sum
     val n = opts.backfillPartitions.toLong
     val parts = Array.newBuilder[InputPartition]
-    var rangeStart = opts.startId
+    var rangeStart = startId
     var bucketEnd = rangeStart // last page id seen in the current bucket
     var bucket = 0L
     var cumb = 0L
@@ -249,8 +286,6 @@ class HttpFeedBatch(opts: HttpFeedOptions, limit: Option[Int] = None) extends Ba
       auth = opts.auth)
     parts.result()
   }
-
-  override def createReaderFactory(): PartitionReaderFactory = new HttpFeedReaderFactory
 }
 
 /** The (startId, endId] page range one task reads (row budget optional;

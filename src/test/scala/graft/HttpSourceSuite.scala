@@ -40,6 +40,33 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("AvailableNow replay with backfillPartitions fans the pinned backlog out, same rows") {
+    // 23 pages of 10 (last one short) — the pinned backlog should split
+    // into 5 page-aligned equi-depth partitions inside ONE micro-batch
+    val events = (1L to 226L).map(i => envelopeJson(i, s"s${i % 5}"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val seenParts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gotIds = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("http-feed")
+        .option("url", server.url).option("timeoutMs", "100")
+        .option("backfillPartitions", "5").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seenParts.addAndGet(batch.rdd.getNumPartitions)
+          batch.collect().foreach(r => gotIds.add(r.getAs[String]("id")))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+      // the single pinned batch planned 5 cursor-range partitions...
+      assert(seenParts.get() === 5)
+      // ...and delivered exactly the feed (total order restored by sort)
+      import scala.jdk.CollectionConverters._
+      assert(gotIds.asScala.toSeq.sorted === events.map(_._1))
+    } finally server.stop()
+  }
+
   test("extension attributes survive the wire verbatim (README.md:318)") {
     // one envelope with traceability extensions, one without any
     val id1 = SeqId.encodeFn(1L, "u0001")
