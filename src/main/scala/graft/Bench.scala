@@ -79,15 +79,21 @@ object Bench {
       ("_build_stream_fixture_rows", "stream_",
         () => graft.streaming.StreamOps.prebuildFixtures(spark, sfDir)),
       // strict near-dup pair graph + CC labeling, shared by the
-      // curation-report family (comma-separated consumer prefixes)
+      // curation-report family (comma-separated consumer names)
       ("_build_dedup_pairs",
         "dedup_cluster_cc,dedup_keep_best,dedup_survivorship_report,corpus_health_report",
         () => { graft.ops.TrainOps.strictDedupLabels(spark, sfDir).count(); () })
     )
+    // Consumer tokens ending in '_' are prefixes (graph_, stream_);
+    // anything else matches EXACTLY — a bare prefix match would also hit
+    // the `_dist` twins (dedup_cluster_cc_dist, ...), which deliberately
+    // BYPASS the shared cache, so a subset run selecting only a twin
+    // would pay (and bill) a build it never uses.
     val buildResults = builds
       .filter { case (_, prefixes, _) =>
         only.isEmpty || (prefixes.nonEmpty && prefixes.split(",").exists(p =>
-          selected.keys.exists(_.startsWith(p)))) }
+          if (p.endsWith("_")) selected.keys.exists(_.startsWith(p))
+          else selected.keys.exists(_ == p))) }
       .map { case (name, _, body) =>
         val t0 = System.nanoTime()
         val ok = try { body(); true }

@@ -79,6 +79,10 @@ object HttpFeedClient {
       if (page.cacheable) m.put((url, cursor, principalKey(auth)), page)
     def size: Int = m.size()
     def hits: Int = hitCount.get()
+    /** Test hook: empty the cache — simulates the distributed case where
+      * plan-time fetches happened on the DRIVER and executors start with
+      * cold caches (in local mode one JVM otherwise shares them). */
+    private[graft] def clear(): Unit = m.clear()
   }
 
   /** JVM-wide cache used by the DSv2 partition readers: on a replayed
@@ -86,15 +90,40 @@ object HttpFeedClient {
     * from memory instead of the wire. */
   val sharedCache: PageCache = new PageCache()
 
+  /** Transient HTTP failure (5xx/429) carrying the server's `Retry-After`
+    * directive when present — the retry loop obeys it. */
+  private[connector] final class TransientHttpException(
+      msg: String, val retryAfterMs: Option[Long]) extends java.io.IOException(msg)
+
+  /** Parse a `Retry-After` header value: delta-seconds or HTTP-date
+    * (RFC 9110 §10.2.3). None for absent/unparseable. */
+  private[graft] def parseRetryAfterMs(v: String): Option[Long] =
+    Option(v).map(_.trim).filter(_.nonEmpty).flatMap { s =>
+      if (s.forall(c => c >= '0' && c <= '9'))
+        try Some(s.toLong * 1000L) catch { case _: NumberFormatException => None }
+      else
+        try {
+          val at = java.time.ZonedDateTime.parse(
+            s, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          Some(math.max(0L,
+            java.time.Duration.between(java.time.ZonedDateTime.now(at.getZone), at).toMillis))
+        } catch { case _: java.time.format.DateTimeParseException => None }
+    }
+
   /** GET one page after `lastEventId` (empty string = feed start,
     * `README.md:300`); `timeoutMs > 0` requests a long poll. `auth` is
     * sent as the `Authorization` header (feeds may be Basic/Bearer
     * protected, `README.md:321-328`).
     *
     * Transient failures (connection errors, HTTP 5xx, 429) are retried up
-    * to `maxAttempts` with exponential backoff — a 1000-executor job must
-    * survive a server blip without failing tasks. Auth rejections and
-    * other 4xx fail fast (retrying them can't succeed). */
+    * to `maxAttempts` — a 1000-executor job must survive a server blip
+    * without failing tasks. The sleep is max(server-directed, jittered
+    * exponential backoff): a `Retry-After` on 429/503 is honored (the
+    * server knows its own recovery horizon), and the backoff carries full
+    * jitter in [backoff/2, backoff] so a fleet of executors that all hit
+    * the same blip does not retry in lockstep and re-stampede the server.
+    * Auth rejections and other 4xx fail fast (retrying them can't
+    * succeed). */
   def fetchPage(url: String, lastEventId: String, timeoutMs: Long,
                 auth: Option[String] = None, maxAttempts: Int = 3,
                 retryBackoffMs: Long = 200L,
@@ -112,8 +141,16 @@ object HttpFeedClient {
       } catch {
         case e: java.io.IOException => // transient: connect/read/5xx/429
           lastErr = e
-          if (attempt < maxAttempts)
-            Thread.sleep(retryBackoffMs * (1L << (attempt - 1)))
+          if (attempt < maxAttempts) {
+            val backoff = retryBackoffMs * (1L << (attempt - 1))
+            val jittered = backoff / 2 +
+              java.util.concurrent.ThreadLocalRandom.current().nextLong(backoff / 2 + 1)
+            val directed = e match {
+              case t: TransientHttpException => t.retryAfterMs.getOrElse(0L)
+              case _ => 0L
+            }
+            Thread.sleep(math.max(directed, jittered))
+          }
       }
     }
     throw new java.io.IOException(
@@ -143,7 +180,8 @@ object HttpFeedClient {
           s"HTTP $code from $url — the feed requires credentials " +
             "(reference README.md:321-328); pass bearerToken or basicUser/basicPass")
       if (code >= 500 || code == 429)
-        throw new java.io.IOException(s"HTTP $code from $url (transient)")
+        throw new TransientHttpException(s"HTTP $code from $url (transient)",
+          Option(conn.getHeaderField("Retry-After")).flatMap(parseRetryAfterMs))
       if (code >= 400)
         throw new IllegalStateException(
           s"HTTP $code from $url — non-retryable client error")
@@ -177,6 +215,62 @@ object HttpFeedClient {
     cursor
   }
 
+  /** Synthesized cursor that positions strictly BEFORE every event whose
+    * sequence prefix is `seq` (and strictly after every smaller sequence):
+    * `lpad(seq, width, '0') ‖ "::"` is a proper prefix of any real id with
+    * that sequence, so it sorts first. The server must honor cursor
+    * POSITIONS even for ids absent from the feed (`README.md:153-154`),
+    * which is what makes synthesized cursors legal wire values. */
+  private[graft] def seqCursor(seq: Long, width: Int): String = {
+    val s = seq.toString
+    ("0" * math.max(0, width - s.length)) + s + graft.udf.SeqId.Sep
+  }
+
+  /** Parse a sequence-prefixed id (`README.md:159`,
+    * e.g. `0000001000001::uuid`) into (sequence, pad width); None for
+    * opaque/UUIDv6 ids. */
+  private[graft] def parseSeqId(id: String): Option[(Long, Int)] = {
+    val cut = id.indexOf(graft.udf.SeqId.Sep)
+    if (cut <= 0 || cut > 18) None
+    else {
+      val prefix = id.substring(0, cut)
+      if (prefix.forall(c => c >= '0' && c <= '9'))
+        try Some((prefix.toLong, cut)) catch { case _: NumberFormatException => None }
+      else None
+    }
+  }
+
+  /** O(log feed) head-sequence probe for sequence-prefixed feeds: gallop
+    * then binary-search over synthesized [[seqCursor]] probes, using the
+    * predicate "the page after cursor(s) is non-empty ⟺ headSeq ≥ s".
+    * `knownSeq` must be the sequence of an event known to exist (the
+    * predicate is true there). Returns the head's sequence WITHOUT paging
+    * the feed — the replacement for the O(feed) [[drainPageHistogram]]
+    * walk when ids carry the spec's sequence prefix (`README.md:159`).
+    * A concurrent append can land between probes; any pin the search
+    * settles on is a consistent bounded-replay snapshot (the same
+    * guarantee the serial walk gives — its head is equally a moment in
+    * time). */
+  def probeHeadSeq(url: String, knownSeq: Long, width: Int,
+                   auth: Option[String] = None): Long = {
+    def nonEmptyAfter(seq: Long): Boolean =
+      !fetchPage(url, seqCursor(seq, width), 0, auth,
+        cache = Some(sharedCache)).isEmpty
+    var lo = knownSeq // invariant: P(lo) true (headSeq >= lo)
+    var step = 1L
+    var hi = -1L
+    while (hi < 0) {
+      val cand = lo + step
+      if (nonEmptyAfter(cand)) { lo = cand; step *= 2 }
+      else hi = cand
+    }
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (nonEmptyAfter(mid)) lo = mid else hi = mid
+    }
+    lo
+  }
+
   /** Planning walk for a parallel backfill: the same drain-to-head loop as
     * [[drainHead]], but recording each page's (lastId, eventCount) — the
     * page histogram an equi-depth partition planner needs (the
@@ -184,7 +278,9 @@ object HttpFeedClient {
     * live feed instead of a parquet mirror). Costs nothing extra: finding
     * the head ALREADY requires paging the whole range (the protocol has no
     * head endpoint, `README.md:79-82`), so the split points ride along on
-    * the walk the planner was paying for anyway. */
+    * the walk the planner was paying for anyway. Used as the FALLBACK for
+    * opaque/UUIDv6 ids; sequence-prefixed feeds plan in O(log feed) via
+    * [[probeHeadSeq]] instead. */
   def drainPageHistogram(url: String, fromId: String, timeoutMs: Long,
                          maxPages: Int = 100000,
                          auth: Option[String] = None): IndexedSeq[(String, Int)] = {

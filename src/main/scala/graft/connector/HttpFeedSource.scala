@@ -189,11 +189,21 @@ class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
       // that kept the default — stay ONE ordered partition; fanning out
       // trades intra-batch arrival order for parallelism, which stateful
       // downstreams (that repartition by key) never observed anyway.
+      //
+      // Coverage guard: fan out ONLY when the slice's last boundary IS
+      // `e`. A checkpointed (s, e] written by a DIFFERENT run (e.g. a
+      // ProcessingTime run restarted as AvailableNow, or a server
+      // pageSize change between runs) can put `e` BETWEEN this walk's
+      // recorded page boundaries — a slice ending at the largest
+      // boundary <= e would silently drop the rows in (slice.last, e]
+      // that the WAL already records as consumed. The single-partition
+      // fallback reads exactly (s, e] regardless of page alignment, so
+      // exactly-once survives any checkpoint/walk mismatch.
       val slice =
         if (opts.backfillPartitions > 1)
           availableNowPages.filter(p => p._1 > s && p._1 <= e)
         else IndexedSeq.empty
-      if (slice.nonEmpty)
+      if (slice.nonEmpty && slice.last._1 == e)
         HttpFeedBackfill.equiDepthPartitions(opts, s, slice)
       else
         Array(HttpFeedInputPartition(opts.url, s, e, auth = opts.auth))
@@ -234,16 +244,72 @@ class HttpFeedBatch(opts: HttpFeedOptions, limit: Option[Int] = None) extends Ba
     }
   }
 
-  /** Equi-depth parallel backfill: the `feed_backfill_partition_plan`
-    * operator's split wired into the source. The planning walk records the
-    * page histogram (free — finding the head already pages the whole
-    * range), then [[HttpFeedBackfill.equiDepthPartitions]] emits the
-    * page-aligned (startId, endId] ranges. */
-  private def planBackfillPartitions(): Array[InputPartition] = {
-    val pages = HttpFeedClient.drainPageHistogram(opts.url, opts.startId, 0,
-      auth = opts.auth)
-    if (pages.isEmpty) Array.empty
-    else HttpFeedBackfill.equiDepthPartitions(opts, opts.startId, pages)
+  /** Parallel-backfill plan: the `feed_backfill_partition_plan` operator's
+    * split wired into the source, with two strategies picked by the feed's
+    * id scheme (the spec blesses both, `README.md:156-159`):
+    *
+    *  1. **Sequence-prefixed ids — O(log feed) plan.** Seq prefixes are
+    *     positionally interpretable (`README.md:159`) and the server must
+    *     honor cursors for ABSENT ids (`README.md:153-154`), so the head
+    *     is found by binary-searching synthesized `lpad(seq)::` cursors
+    *     ([[HttpFeedClient.probeHeadSeq]]) and (start, head] splits by
+    *     sequence arithmetic — ZERO histogram walk. This kills the one
+    *     serial O(feed) driver stage the connector had: planning a
+    *     1000-executor backfill now costs ~2·log₂(feed) requests instead
+    *     of paging the whole feed through the driver before any executor
+    *     starts (BASELINE.md records the old Amdahl ceiling).
+    *  2. **Opaque/UUIDv6 ids — histogram fallback.** Positions are not
+    *     synthesizable, so the planning walk records the page histogram
+    *     (free — finding the head already pages the whole range) and
+    *     [[HttpFeedBackfill.equiDepthPartitions]] emits page-aligned
+    *     ranges. */
+  private def planBackfillPartitions(): Array[InputPartition] =
+    planSeqSplit().getOrElse {
+      val pages = HttpFeedClient.drainPageHistogram(opts.url, opts.startId, 0,
+        auth = opts.auth)
+      if (pages.isEmpty) Array.empty
+      else HttpFeedBackfill.equiDepthPartitions(opts, opts.startId, pages)
+    }
+
+  /** Sequence-arithmetic split, or None when the feed's ids are not
+    * sequence-prefixed. Scheme detection samples the first page (one
+    * request — both its first and last id must parse with the same pad
+    * width); a feed is a single totally-ordered id stream (`README.md:9`,
+    * :150-151), so one scheme governs the whole feed — a mid-stream scheme
+    * switch would already have broken the server's own ordering contract.
+    *
+    * Sequences may have gaps (a DB sequence is monotonic, not dense), so
+    * equi-WIDTH seq ranges approximate equi-DEPTH row buckets; each range
+    * is exact-by-construction in COVERAGE (the union telescopes to
+    * (startId, cursor(head+1)]) and only approximate in balance — the
+    * right trade at scale, where the alternative is the serial walk. */
+  private def planSeqSplit(): Option[Array[InputPartition]] = {
+    val first = HttpFeedClient.fetchPage(opts.url, opts.startId, 0, opts.auth,
+      cache = Some(HttpFeedClient.sharedCache))
+    if (first.isEmpty) return Some(Array.empty)
+    for {
+      (firstSeq, w1) <- HttpFeedClient.parseSeqId(first.events.head.get("id").asText())
+      (lastSeq, w2) <- HttpFeedClient.parseSeqId(first.lastId.get)
+      if w1 == w2
+    } yield {
+      val headSeq = HttpFeedClient.probeHeadSeq(opts.url, lastSeq, w1, opts.auth)
+      // split (loSeq, headSeq] into equi-width seq ranges; boundary id for
+      // sequence b is cursor(b + 1) = "after all events with seq <= b"
+      val loSeq = firstSeq - 1
+      val n = opts.backfillPartitions.toLong
+      val bounds = ((1L until n).map(i => loSeq + (headSeq - loSeq) * i / n)
+        :+ headSeq).distinct.filter(_ > loSeq)
+      val parts = Array.newBuilder[InputPartition]
+      var prevId = opts.startId
+      bounds.foreach { b =>
+        val endId = HttpFeedClient.seqCursor(b + 1, w1)
+        if (endId > prevId) {
+          parts += HttpFeedInputPartition(opts.url, prevId, endId, auth = opts.auth)
+          prevId = endId
+        }
+      }
+      parts.result()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new HttpFeedReaderFactory
@@ -305,6 +371,14 @@ class HttpFeedReaderFactory extends PartitionReaderFactory {
   * cursor loop (`README.md:95-109`), stopping at the empty page or once the
   * bound is passed. Rows beyond endId (data that arrived after the batch
   * was planned) are excluded so the batch is exactly the planned range.
+  *
+  * Compaction racing a planned range is safe: cursor POSITIONS survive
+  * deletion (`README.md:153-154`), so if the server compacts between
+  * planning and reading, the task still terminates, stays within
+  * (startId, endId], and returns exactly the rows that survive in that
+  * range — the batch legitimately shrinks, it never hangs, loses a
+  * survivor, or spills past its bound (pinned by HttpSourceSuite's
+  * compaction-between-planning-and-reading test).
   */
 class HttpFeedPartitionReader(p: HttpFeedInputPartition)
     extends PartitionReader[InternalRow] {

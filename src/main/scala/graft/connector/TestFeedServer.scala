@@ -81,11 +81,15 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
 
   private val failCount = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var failCode = 503
+  @volatile private var failRetryAfterSec: Option[Long] = None
 
   /** Failure injection: the next `n` requests answer `code` with no body
-    * (for client retry tests). */
-  def failNext(n: Int, code: Int = 503): Unit = {
+    * (for client retry tests); `retryAfterSec` adds a `Retry-After`
+    * header (delta-seconds form) to those failures. */
+  def failNext(n: Int, code: Int = 503,
+               retryAfterSec: Option[Long] = None): Unit = {
     failCode = code
+    failRetryAfterSec = retryAfterSec
     failCount.set(n)
   }
 
@@ -121,6 +125,8 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
   private def handle(ex: HttpExchange): Unit = {
     requests.incrementAndGet()
     if (failCount.getAndUpdate(c => math.max(0, c - 1)) > 0) {
+      failRetryAfterSec.foreach(s =>
+        ex.getResponseHeaders.set("Retry-After", s.toString))
       ex.sendResponseHeaders(failCode, -1)
       ex.close()
       return

@@ -194,7 +194,13 @@ object Pipeline {
     * pair is one zip/least/sum lambda over two doc-width vectors: the
     * SQL mirror of the Spark plan's packed two-pointer kernel. The
     * wguard bounds the vector width loudly, like the bitset blocks.
-    * Digest-equal to the join form at sf0.01/sf0.1 (BASELINE.md r13). */
+    * Digest-equal to the join form at sf0.01/sf0.1 (BASELINE.md r13).
+    *
+    * The `z[1]`/`z[2]` extraction below is POSITIONAL by necessity:
+    * `list_zip` produces UNNAMED structs on DuckDB 1.0.x, where named
+    * extraction (`z['list_1']`) THROWS. Both oracle runners
+    * (tools/check.py, tools/check_sf1.py) assert the 1.0. pin at import
+    * time, so an engine bump fails loudly before this SQL ever runs. */
   private val weightedJaccardSql: String =
     """WITH tok AS (SELECT doc_id, lang, tk, count(*) AS tf
       |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tk

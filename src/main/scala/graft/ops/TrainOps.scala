@@ -56,8 +56,13 @@ object TrainOps {
       // sweep reclaims them after the building query finishes
       val pairs = Pipeline.queries("dedup_ngram_jaccard")(s, d)
         .select(col("d1"), col("d2")).localCheckpoint()
+      // Run CC OUTSIDE the pinning block: the distributed path eagerly
+      // localCheckpoints up to ~30 per-iteration intermediates, and
+      // pinning them would leave dead blocks the hygiene sweep can never
+      // reclaim. Only the FINAL labels (the shared artifact) are pinned.
+      val cc = connectedComponents(pairs)
       graft.api.QueryHygiene.pinning(s) {
-        connectedComponents(pairs).localCheckpoint()
+        cc.localCheckpoint()
       }
     })
 

@@ -148,6 +148,128 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("server honors synthesized seq-prefix cursors for absent ids (README.md:153-154,159)") {
+    val events = (1L to 40L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      // `lpad(25)::` is NOT an id in the feed — it is a pure position,
+      // sorting before every real id with sequence 25. The server must
+      // honor positions even for absent ids, which is what makes the
+      // O(log) backfill planner's synthesized probe cursors legal.
+      val cursor = SeqId.encodeFn(25L, "")
+      val page = HttpFeedClient.fetchPage(server.url, cursor, 0)
+      assert(page.events.head.get("id").asText() === events(24)._1) // seq 25
+      // and a probe STRICTLY past the head returns the empty page
+      assert(HttpFeedClient.fetchPage(server.url, SeqId.encodeFn(41L, ""), 0).isEmpty)
+      // the head-seq binary search lands exactly on the last sequence
+      assert(HttpFeedClient.probeHeadSeq(server.url, 1L, SeqId.Width) === 40L)
+    } finally server.stop()
+  }
+
+  test("seq-prefixed feed plans backfill in O(log feed) requests, byte-identical to the single read (README.md:159)") {
+    val events = (1L to 3000L).map(i => envelopeJson(i, s"s${i % 13}"))
+    val server = new TestFeedServer(events, pageSize = 10) // 300 pages
+    try {
+      val fanned = spark.read.format("http-feed")
+        .option("url", server.url).option("backfillPartitions", "8").load()
+      val before = server.requestCount
+      assert(fanned.rdd.getNumPartitions === 8) // forces planInputPartitions
+      val planRequests = server.requestCount - before
+      // 1 first-page scheme probe + gallop + bisect ≈ 2·log₂(3000) ≈ 25;
+      // the histogram walk this replaced needed one request PER PAGE (300+)
+      assert(planRequests <= 40,
+        s"plan cost $planRequests requests — the O(feed) serial walk is back")
+      val single = spark.read.format("http-feed").option("url", server.url).load()
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.withColumn("ext_c", map_entries(col("extensions")).cast("string"))
+          .drop("extensions").orderBy("id").collect().map(_.mkString("|")).toSeq
+      assert(canon(fanned) === canon(single))
+      // equi-width seq arithmetic over dense sequences = balanced buckets
+      val sizes = fanned.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(sizes.length === 8 && sizes.forall(s => s >= 300 && s <= 450),
+        s"unbalanced seq-split buckets: ${sizes.mkString(",")}")
+    } finally server.stop()
+  }
+
+  test("opaque (UUIDv6) ids fall back to the histogram-walk backfill plan") {
+    import graft.udf.Uuid6
+    def uuidEnvelope(seq: Long): (String, String) = {
+      val ts = 1700000000000000L + seq * 1000000L
+      val id = Uuid6.encodeStr(ts, clockSeq = 1, node = f"$seq%012x")
+      (id, s"""{"specversion":"1.0","id":"$id","type":"t.example","source":"srv",""" +
+        s""""time_us":$ts,"subject":"s${seq % 7}","method":"PUT",""" +
+        s""""datacontenttype":"application/json","data":"{\\"v\\":$seq}"}""")
+    }
+    val events = (1L to 120L).map(uuidEnvelope)
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val fanned = spark.read.format("http-feed")
+        .option("url", server.url).option("backfillPartitions", "5").load()
+      assert(fanned.rdd.getNumPartitions === 5)
+      val ids = fanned.collect().map(_.getAs[String]("id")).sorted.toSeq
+      assert(ids === events.map(_._1))
+    } finally server.stop()
+  }
+
+  test("compaction between planning and reading: reads terminate, stay in range, return the compacted rows (README.md:153-154)") {
+    val events = (1L to 200L).map(i => envelopeJson(i, s"s${i % 5}"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val fanned = spark.read.format("http-feed")
+        .option("url", server.url).option("backfillPartitions", "4").load()
+      val fannedRdd = fanned.rdd
+      val single = spark.read.format("http-feed").option("url", server.url).load()
+      val singleRdd = single.rdd
+      // force BOTH plans now, against the uncompacted feed
+      assert(fannedRdd.getNumPartitions === 4)
+      assert(singleRdd.getNumPartitions === 1)
+      // the server compacts every third event away before executors read
+      val removed = events.collect {
+        case (id, _) if SeqId.decodeFn(id).exists(_ % 3 == 0) => id
+      }.toSet
+      server.compact(removed)
+      // executors start cold in a real cluster (plan-time fetches happened
+      // on the driver); drop the local-mode JVM-shared cache to match
+      HttpFeedClient.sharedCache.clear()
+      val survivors = events.map(_._1).filterNot(removed).sorted
+      // planned cursor ranges stay valid: positions survive deletion, so
+      // each task re-pages its (startId, endId] against the live feed and
+      // returns exactly the surviving rows in range — no hang, no spill
+      // past the planned head, no loss of surviving rows
+      val fannedIds = fannedRdd.collect().map(_.getAs[String]("id")).sorted.toSeq
+      val singleIds = singleRdd.collect().map(_.getAs[String]("id")).sorted.toSeq
+      assert(fannedIds === survivors)
+      assert(singleIds === survivors)
+    } finally server.stop()
+  }
+
+  test("Retry-After on 429 is honored: the retry sleeps at least the server-directed interval") {
+    val events = (1L to 5L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      server.failNext(1, 429, retryAfterSec = Some(1L))
+      val t0 = System.nanoTime()
+      val page = HttpFeedClient.fetchPage(server.url, "", 0, retryBackoffMs = 10L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(!page.isEmpty && page.events.length === 5)
+      assert(sec >= 1.0, f"retry slept only $sec%.3f s — Retry-After was ignored")
+    } finally server.stop()
+  }
+
+  test("Retry-After parser: delta-seconds and HTTP-date forms (RFC 9110)") {
+    assert(HttpFeedClient.parseRetryAfterMs("7") === Some(7000L))
+    assert(HttpFeedClient.parseRetryAfterMs("0") === Some(0L))
+    assert(HttpFeedClient.parseRetryAfterMs("") === None)
+    assert(HttpFeedClient.parseRetryAfterMs("soon") === None)
+    assert(HttpFeedClient.parseRetryAfterMs(null) === None)
+    val fmt = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+    val future = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).plusSeconds(30)
+    assert(HttpFeedClient.parseRetryAfterMs(future.format(fmt))
+      .exists(ms => ms > 20000L && ms <= 30000L))
+    val past = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).minusSeconds(30)
+    assert(HttpFeedClient.parseRetryAfterMs(past.format(fmt)) === Some(0L))
+  }
+
   test("startId option resumes strictly after the cursor (README.md:68-73)") {
     val events = (1L to 30L).map(i => envelopeJson(i, s"s$i"))
     val server = new TestFeedServer(events, pageSize = 10)
