@@ -79,6 +79,26 @@ object ConnectorBench {
       } finally server.stop()
     }
 
+    // 1b) backfill PLAN cost on the 1000-page fixture: requests + seconds
+    // spent before any executor starts. Seq-prefixed ids plan in
+    // O(log feed) via the synthesized-cursor head probe; the old
+    // histogram walk paid one request per page (the Amdahl stage
+    // BASELINE.md bounded at <=1.52x speedup for N=8).
+    locally {
+      val server = new TestFeedServer(events, pageSize = 100) // 1000 pages at 100k
+      try {
+        val df = spark.read.format("http-feed").option("url", server.url)
+          .option("backfillPartitions", "8").load()
+        val before = server.requestCount
+        val (nParts, sec) = timed { df.rdd.getNumPartitions } // plan only
+        val planRequests = server.requestCount - before
+        results("plan_requests_1000p_n8") = planRequests.toDouble
+        results("plan_seconds_1000p_n8") = sec
+        println(f"backfill plan (1000 pages, N=8): $planRequests%d requests, " +
+          f"$sec%6.3f s, $nParts%d partitions (histogram walk would be ~1000 requests)")
+      } finally server.stop()
+    }
+
     // 2) Trigger.AvailableNow streaming replay (1k pages)
     locally {
       val server = new TestFeedServer(events, pageSize = 1000)
@@ -95,6 +115,82 @@ object ConnectorBench {
         println(f"stream AvailableNow pageSize=1000: $sec%7.2f s  " +
           f"${nEvents / sec}%9.0f events/s")
       } finally server.stop()
+    }
+
+    // 2b) steady-state micro-batch ingest under long poll — the mode a
+    // subscriber actually runs in (appends arrive continuously; each
+    // micro-batch long-polls, drains to head, commits). Measures
+    // sustained events/s and append→sink latency: an appender thread
+    // stamps each envelope with its append wall-clock as an extension
+    // attribute; the foreachBatch sink diffs against arrival wall-clock.
+    // Steady state is single-partition BY DESIGN (a micro-batch is small;
+    // fan-out is for backfill) — the point of this row is to document
+    // that the single ordered partition keeps up with a producer at
+    // thousands of events/s with sub-second delivery.
+    locally {
+      val server = new TestFeedServer(Seq.empty, pageSize = 1000)
+      val ckpt = java.nio.file.Files.createTempDirectory("connbench_steady").toString
+      val latUs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val rate = sys.env.getOrElse("GRAFT_CONNBENCH_RATE", "2000").toInt // events/s
+      val chunk = math.max(1, rate / 20) // appended every 50 ms
+      val warmupMs = 3000L
+      val measureMs = 15000L
+      @volatile var stopAppend = false
+      val seq = new java.util.concurrent.atomic.AtomicLong(0)
+      val appender = new Thread(() => {
+        while (!stopAppend) {
+          val nowUs = System.currentTimeMillis() * 1000L
+          val batch = (1 to chunk).map { _ =>
+            val i = seq.incrementAndGet()
+            val id = SeqId.encodeFn(i, f"u${i % 997}%04d")
+            val json =
+              s"""{"specversion":"1.0","id":"$id","type":"t.bench","source":"srv",""" +
+                s""""time_us":$nowUs,"subject":"s${i % 64}","method":"PUT",""" +
+                s""""datacontenttype":"application/json","append_us":"$nowUs",""" +
+                s""""data":"{\\"v\\":$i}"}"""
+            (id, json)
+          }
+          server.append(batch)
+          Thread.sleep(50)
+        }
+      })
+      appender.setDaemon(true)
+      try {
+        import org.apache.spark.sql.functions.{col, element_at}
+        val t0 = System.currentTimeMillis()
+        val measureFromUs = (t0 + warmupMs) * 1000L
+        val q = spark.readStream.format("http-feed").option("url", server.url)
+          .option("timeoutMs", "2000").load()
+          .select(element_at(col("extensions"), "append_us").cast("long").as("append_us"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val arriveUs = System.currentTimeMillis() * 1000L
+            df.collect().foreach { r =>
+              val a = r.getLong(0)
+              if (a >= measureFromUs) latUs.add(arriveUs - a)
+            }
+          }.start()
+        appender.start()
+        Thread.sleep(warmupMs + measureMs)
+        stopAppend = true
+        appender.join()
+        q.processAllAvailable() // drain the tail so the last appends count
+        q.stop()
+        val ls = latUs.iterator()
+        val arr = { val b = Array.newBuilder[Long]; while (ls.hasNext) b += ls.next().longValue(); b.result().sorted }
+        require(arr.nonEmpty, "steady-state run sank no measured events")
+        val evs = arr.length / (measureMs / 1000.0)
+        val p50 = arr((arr.length - 1) / 2) / 1000.0
+        val p99 = arr(math.min(arr.length - 1, (arr.length * 99) / 100)) / 1000.0
+        results("steady_events_per_s") = evs
+        results("steady_latency_p50_ms") = p50
+        results("steady_latency_p99_ms") = p99
+        println(f"steady-state ingest @ $rate%d ev/s offered: $evs%9.0f events/s sustained, " +
+          f"append→sink p50 $p50%6.1f ms  p99 $p99%6.1f ms (${arr.length} events measured)")
+      } finally {
+        stopAppend = true
+        server.stop()
+      }
     }
 
     // 3) long-poll latency under the 5000 ms contract: an idle feed holds
