@@ -194,6 +194,43 @@ object SpecOps {
     // The one global window runs over the PAGE-histogram relation
     // (bounded: |feed| / page size rows), never event rows — the 2-pass
     // global-rank discipline.
+    // Sequence-arithmetic backfill split (round 15; the O(log feed)
+    // planner of `HttpFeedBatch.planSeqSplit` as a relational operator):
+    // for sequence-prefixed ids (README.md:159) the N=8 partition bounds
+    // need only min/max — bound(i) = lo + span·i div 8 — NO page
+    // histogram, no pass over the id space. The query then AUDITS the
+    // plan against the data: each event maps to its bucket by the exact
+    // integer inverse pno = ((e−lo)·8 + span − 1) div span, and the
+    // output carries per-bucket depth plus the synthesized `lpad(seq)::`
+    // boundary cursors a consumer would put on the wire (legal for
+    // absent ids, README.md:153-154). Coverage/disjointness/balance laws
+    // in SpecOpsSuite; contrast with `feed_backfill_partition_plan`,
+    // which plans equi-DEPTH from the page histogram when ids are opaque.
+    // Scale shape: one map-side-combinable min/max aggregate + a
+    // broadcast scalar + map-only bucket assignment + an 8-group
+    // aggregate — data rows never meet a window or a sort.
+    "feed_backfill_seq_plan" -> ((s, d) => {
+      val n = 8
+      val ev = Tables.events(s, d).select(col("event_id"))
+      val mm = ev.agg((min("event_id") - 1).as("lo_seq"),
+        (max("event_id") - min("event_id") + 1).as("span"))
+      ev.crossJoin(broadcast(mm))
+        .withColumn("pno",
+          expr(s"((event_id - lo_seq) * $n + span - 1) div span"))
+        .groupBy("pno", "lo_seq", "span")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .withColumn("bound_lo", expr(s"lo_seq + (span * (pno - 1)) div $n"))
+        .withColumn("bound_hi", expr(s"lo_seq + (span * pno) div $n"))
+        .withColumn("cursor_start",
+          concat(lpad((col("bound_lo") + 1).cast("string"), 13, "0"), lit("::")))
+        .withColumn("cursor_end",
+          concat(lpad((col("bound_hi") + 1).cast("string"), 13, "0"), lit("::")))
+        .select(col("pno"), col("n_events"), col("first_id"), col("last_id"),
+          col("bound_lo"), col("bound_hi"), col("cursor_start"), col("cursor_end"))
+        .orderBy("pno")
+    }),
+
     "feed_backfill_partition_plan" -> ((s, d) => {
       val pages = Tables.events(s, d)
         .groupBy(expr("event_id div 100").as("page"))
@@ -319,6 +356,25 @@ object SpecOps {
         |    AS n_inversions,
         |  max(CASE WHEN us < pmax THEN pmax - us END) AS max_back_us
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "feed_backfill_seq_plan" ->
+      """WITH mm AS (SELECT min(event_id) - 1 AS lo_seq,
+        |    max(event_id) - min(event_id) + 1 AS span FROM events),
+        |e AS (SELECT event_id, lo_seq, span,
+        |    ((event_id - lo_seq) * 8 + span - 1) // span AS pno
+        |  FROM events, mm),
+        |g AS (SELECT pno, lo_seq, span,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    min(event_id) AS first_id, max(event_id) AS last_id
+        |  FROM e GROUP BY 1, 2, 3),
+        |b AS (SELECT pno, n_events, first_id, last_id,
+        |    CAST(lo_seq + (span * (pno - 1)) // 8 AS BIGINT) AS bound_lo,
+        |    CAST(lo_seq + (span * pno) // 8 AS BIGINT) AS bound_hi
+        |  FROM g)
+        |SELECT pno, n_events, first_id, last_id, bound_lo, bound_hi,
+        |  lpad(CAST(bound_lo + 1 AS VARCHAR), 13, '0') || '::' AS cursor_start,
+        |  lpad(CAST(bound_hi + 1 AS VARCHAR), 13, '0') || '::' AS cursor_end
+        |FROM b ORDER BY pno""".stripMargin,
 
     "feed_backfill_partition_plan" ->
       """WITH p AS (SELECT event_id // 100 AS page, count(*) AS n,

@@ -264,6 +264,50 @@ class SpecOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("feed_backfill_seq_plan: coverage, telescoping bounds, exact bucket inverse, dense-seq balance") {
+    val ev = graft.io.Tables.events(spark, d)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val total = ev.length.toLong
+    val rows = SparkEntry.queries("feed_backfill_seq_plan")(spark, d).collect()
+      .map(r => (r.getAs[Long]("pno"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("first_id"), r.getAs[Long]("last_id"),
+        r.getAs[Long]("bound_lo"), r.getAs[Long]("bound_hi"),
+        r.getAs[String]("cursor_start"), r.getAs[String]("cursor_end")))
+    assert(rows.map(_._1).toSeq === (1L to 8L), "8 buckets, 1..8")
+    assert(rows.map(_._2).sum === total, "buckets must cover every event")
+    // bounds telescope: bucket i's hi IS bucket i+1's lo — the union is
+    // exactly (lo_seq, head] with no gap and no overlap
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._6 === b._5, "bounds must telescope")
+      case _ =>
+    }
+    // every bucket's observed ids fall inside its (bound_lo, bound_hi]
+    rows.foreach { case (pno, _, first, last, lo, hi, _, _) =>
+      assert(first > lo && last <= hi, s"bucket $pno ids escape its bounds")
+    }
+    // brute-force inverse: assigning each id by linear scan over the
+    // bounds reproduces the query's depths exactly
+    val bounds = rows.map(_._6)
+    val brute = ev.groupBy(e => bounds.indexWhere(e <= _) + 1)
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (pno, n, _, _, _, _, _, _) =>
+      assert(brute(pno.toInt) === n, s"bucket $pno depth mismatch vs brute force")
+    }
+    // dense sequences ⇒ equi-width ≈ equi-depth: within 1 of the ideal
+    val target = total / 8.0
+    rows.foreach { case (pno, n, _, _, _, _, _, _) =>
+      assert(math.abs(n - target) <= target / 4 + 1,
+        s"bucket $pno depth $n far from dense-seq target $target")
+    }
+    // boundary cursors are the wire form: lpad-13 seq + '::', sorting
+    // strictly between the seqs they separate
+    rows.foreach { case (_, _, _, _, lo, hi, cs, ce) =>
+      assert(cs === f"${lo + 1}%013d::" && ce === f"${hi + 1}%013d::")
+      assert(f"$lo%013d" < cs && cs < f"${lo + 1}%013dx")
+      assert(f"$hi%013d" < ce && ce < f"${hi + 1}%013dx")
+    }
+  }
+
   test("text_rake_keywords ≡ brute-force RAKE in plain Scala") {
     val stop = graft.api.Curation.Stopwords.toSet
     val docs = graft.io.Tables.documents(spark, d)
