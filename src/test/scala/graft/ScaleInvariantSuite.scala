@@ -79,7 +79,8 @@ class ScaleInvariantSuite extends AnyFunSuite {
     "corpus_shuffle_order", "train_shard_manifest", "quality_pipeline_e2e",
     "q15_top_supplier",  // × single-row max-revenue bound
     "q22_idle_customers", // × single-row positive-balance average
-    "q11_important_stock" // × single-row global shipped-value total
+    "q11_important_stock", // × single-row global shipped-value total
+    "feed_backfill_seq_plan" // × single-row (lo_seq, span) min/max aggregate
   )
 
   /** Plans where an unpartitioned window is the DESIGN: it runs over a
