@@ -117,6 +117,55 @@ object ConnectorBench {
       } finally server.stop()
     }
 
+    // 2a) AvailableNow backfill fan-out on the 1000-page fixture: since
+    // round 16 the prepare pins the head via the O(log feed) seq probe
+    // (the old histogram prepare paid one request per page BEFORE any
+    // read — on seq feeds the whole walk is gone), and the pinned
+    // backlog splits by sequence arithmetic. Total requests ≈ read pages
+    // + 2·log₂(feed); the pre-round-16 run paid ≈ 2× the page count.
+    locally {
+      val server = new TestFeedServer(events, pageSize = 100) // 1000 pages
+      val ckpt = java.nio.file.Files.createTempDirectory("connbench_an8").toString
+      try {
+        val (_, sec) = timed {
+          val q = spark.readStream.format("http-feed").option("url", server.url)
+            .option("backfillPartitions", "8").load()
+            .writeStream.format("noop").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        results("stream_an_p100_n8") = sec
+        results("stream_an_p100_n8_requests") = server.requestCount.toDouble
+        println(f"stream AvailableNow pageSize=100 N=8: $sec%7.2f s  " +
+          f"${nEvents / sec}%9.0f events/s  (${server.requestCount} requests; " +
+          "histogram prepare alone was ~1000)")
+      } finally server.stop()
+    }
+
+    // 2c) cold-resume offset probe (micro-batch catch-up after downtime):
+    // latestOffset over a 1000-page backlog. The old drainHead paid one
+    // serial request per page on the driver before the read re-paged the
+    // same range; the seq-aware probe pays O(log backlog).
+    locally {
+      val server = new TestFeedServer(events, pageSize = 100)
+      try {
+        val stream = new graft.connector.HttpFeedMicroBatchStream(
+          graft.connector.HttpFeedOptions(server.url, 0L, "", None, 1))
+        val before = server.requestCount
+        val (end, sec) = timed {
+          stream.latestOffset(graft.connector.HttpFeedOffset(""),
+            org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+        }
+        val reqs = server.requestCount - before
+        require(end.asInstanceOf[graft.connector.HttpFeedOffset]
+          .lastEventId == events.last._1, "cold-resume probe missed the head")
+        results("cold_resume_probe_requests_1000p") = reqs.toDouble
+        results("cold_resume_probe_seconds_1000p") = sec
+        println(f"cold-resume latestOffset (1000-page backlog): $reqs%d requests, " +
+          f"$sec%6.3f s (serial drain was ~1001 requests)")
+      } finally server.stop()
+    }
+
     // 2b) steady-state micro-batch ingest under long poll — the mode a
     // subscriber actually runs in (appends arrive continuously; each
     // micro-batch long-polls, drains to head, commits). Measures

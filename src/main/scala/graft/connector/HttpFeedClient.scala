@@ -119,15 +119,21 @@ object HttpFeedClient {
     * to `maxAttempts` — a 1000-executor job must survive a server blip
     * without failing tasks. The sleep is max(server-directed, jittered
     * exponential backoff): a `Retry-After` on 429/503 is honored (the
-    * server knows its own recovery horizon), and the backoff carries full
-    * jitter in [backoff/2, backoff] so a fleet of executors that all hit
-    * the same blip does not retry in lockstep and re-stampede the server.
+    * server knows its own recovery horizon) but CLAMPED to
+    * `maxRetryAfterMs` — a misbehaving server directing `Retry-After:
+    * 99999999` (or a far-future HTTP-date) must not park an executor
+    * task for hours per attempt; past the ceiling the client retries on
+    * its own schedule and ultimately fails the task, which is the
+    * recoverable outcome. The backoff carries full jitter in
+    * [backoff/2, backoff] so a fleet of executors that all hit the same
+    * blip does not retry in lockstep and re-stampede the server.
     * Auth rejections and other 4xx fail fast (retrying them can't
     * succeed). */
   def fetchPage(url: String, lastEventId: String, timeoutMs: Long,
                 auth: Option[String] = None, maxAttempts: Int = 3,
                 retryBackoffMs: Long = 200L,
-                cache: Option[PageCache] = None): Page = {
+                cache: Option[PageCache] = None,
+                maxRetryAfterMs: Long = 60000L): Page = {
     val cached = cache.flatMap(_.get(url, lastEventId, auth))
     if (cached.isDefined) return cached.get
     var lastErr: Throwable = null
@@ -146,7 +152,8 @@ object HttpFeedClient {
             val jittered = backoff / 2 +
               java.util.concurrent.ThreadLocalRandom.current().nextLong(backoff / 2 + 1)
             val directed = e match {
-              case t: TransientHttpException => t.retryAfterMs.getOrElse(0L)
+              case t: TransientHttpException =>
+                math.min(t.retryAfterMs.getOrElse(0L), maxRetryAfterMs)
               case _ => 0L
             }
             Thread.sleep(math.max(directed, jittered))
@@ -240,11 +247,64 @@ object HttpFeedClient {
     }
   }
 
+  /** One (seqFirst, seqLast, eventCount) density sample — the sequence
+    * span one fetched page covered. Probe pages yield these for free;
+    * the gappy-feed balance refinement integrates them into a live-
+    * density model instead of paying extra requests. */
+  private[graft] final case class SeqSample(seqFirst: Long, seqLast: Long, count: Int)
+
+  /** Plan-time validation that the server resolves synthesized seq-prefix
+    * cursors POSITIONALLY (one request): fetch the page after
+    * `cursor(knownSeq)` — `knownSeq` must be the sequence of an event
+    * known to exist — and require the first returned event to carry
+    * exactly that sequence. The spec's position-respect clause
+    * (`README.md:153-154`) is stated for DELETED ids, and its seq-prefix
+    * example only says the sequence is "interpreted when querying" — so a
+    * compliant server may PARSE the sequence out of `lastEventId` and
+    * return `seq > cursorSeq` instead of comparing ids as strings. Such a
+    * server skips every event OF the cursor's own sequence, which would
+    * silently lose the boundary sequence at every synthesized partition
+    * bound. One request distinguishes the two server types: positional
+    * resolution returns `knownSeq` itself first; seq-parsing resolution
+    * returns a later sequence (or the empty page when `knownSeq` is the
+    * head). On mismatch — or any error — every seq-arithmetic plan falls
+    * back to the real-id histogram walk, which is correct on both server
+    * types. */
+  private[graft] def validateSeqCursor(url: String, knownSeq: Long, width: Int,
+                                           auth: Option[String] = None): Boolean =
+    try {
+      val page = fetchPage(url, seqCursor(knownSeq, width), 0, auth,
+        cache = Some(sharedCache))
+      page.events.headOption.flatMap(e => parseSeqId(e.get("id").asText()))
+        .exists { case (s, w) => s == knownSeq && w == width }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Detect AND validate a feed's sequence-prefix id scheme from one
+    * already-fetched page (`README.md:159`): both the page's first and
+    * last id must parse with the same pad width (a feed is one totally-
+    * ordered id stream, `README.md:9`, so one scheme governs the whole
+    * feed), and [[validateSeqCursor]] must confirm — with one extra
+    * request — that the server resolves synthesized cursors positionally.
+    * Returns (width, lastSeqOnPage); None sends the caller to the
+    * histogram-walk plan. */
+  private[graft] def detectSeqScheme(url: String, page: Page,
+                                         auth: Option[String]): Option[(Int, Long)] =
+    for {
+      firstEvent <- page.events.headOption
+      (_, w1) <- parseSeqId(firstEvent.get("id").asText())
+      lastId <- page.lastId
+      (s2, w2) <- parseSeqId(lastId)
+      if w1 == w2 && validateSeqCursor(url, s2, w2, auth)
+    } yield (w2, s2)
+
   /** O(log feed) head-sequence probe for sequence-prefixed feeds: gallop
     * then binary-search over synthesized [[seqCursor]] probes, using the
     * predicate "the page after cursor(s) is non-empty ⟺ headSeq ≥ s".
     * `knownSeq` must be the sequence of an event known to exist (the
-    * predicate is true there). Returns the head's sequence WITHOUT paging
+    * predicate is true there), and the caller must have validated the
+    * server's positional cursor semantics ([[validateSeqCursor]]) — on a
+    * seq-parsing server the predicate is off by one and the probe would
+    * land one below the head. Returns the head's sequence WITHOUT paging
     * the feed — the replacement for the O(feed) [[drainPageHistogram]]
     * walk when ids carry the spec's sequence prefix (`README.md:159`).
     * A concurrent append can land between probes; any pin the search
@@ -252,23 +312,84 @@ object HttpFeedClient {
     * guarantee the serial walk gives — its head is equally a moment in
     * time). */
   def probeHeadSeq(url: String, knownSeq: Long, width: Int,
-                   auth: Option[String] = None): Long = {
-    def nonEmptyAfter(seq: Long): Boolean =
-      !fetchPage(url, seqCursor(seq, width), 0, auth,
-        cache = Some(sharedCache)).isEmpty
+                   auth: Option[String] = None): Long =
+    probeHeadSeqSampled(url, knownSeq, width, auth)._1
+
+  /** [[probeHeadSeq]] plus the density samples its probe pages yield for
+    * free: every non-empty probe page covers a known sequence span with a
+    * known event count. The gallop's geometric stride samples the whole
+    * backlog and the bisection concentrates near the head, so the samples
+    * double as a zero-extra-request gap detector for the balance
+    * refinement ([[HttpFeedBackfill.densityQuantileBounds]]). */
+  private[graft] def probeHeadSeqSampled(url: String, knownSeq: Long, width: Int,
+      auth: Option[String] = None): (Long, IndexedSeq[SeqSample]) = {
+    val samples = new ArrayBuffer[SeqSample]()
+    def nonEmptyAfter(seq: Long): Boolean = {
+      val page = fetchPage(url, seqCursor(seq, width), 0, auth,
+        cache = Some(sharedCache))
+      for {
+        first <- page.events.headOption.flatMap(e => parseSeqId(e.get("id").asText()))
+        last <- page.lastId.flatMap(parseSeqId)
+      } samples += SeqSample(first._1, last._1, page.events.length)
+      !page.isEmpty
+    }
+    // Probes are capped at the width's capacity, 10^width − 1: a wider
+    // candidate does not zero-pad to `width`, so its cursor breaks the
+    // lexicographic≡numeric ordering the whole search rests on (a 19-digit
+    // cursor sorts BEFORE an 18-digit id sharing its first 18 digits and
+    // the search silently overshoots). The cap is also semantically the
+    // true head bound: a fixed-width feed cannot carry a wider sequence
+    // without breaking its own id ordering (which is why the spec lpads).
+    var maxSeq = 1L
+    for (_ <- 0 until width) maxSeq *= 10 // width ≤ 18 ⇒ 10^width fits a Long
+    maxSeq -= 1
     var lo = knownSeq // invariant: P(lo) true (headSeq >= lo)
     var step = 1L
     var hi = -1L
-    while (hi < 0) {
-      val cand = lo + step
+    while (hi < 0 && lo < maxSeq) {
+      val cand = if (step > maxSeq - lo) maxSeq else lo + step
       if (nonEmptyAfter(cand)) { lo = cand; step *= 2 }
       else hi = cand
     }
-    while (hi - lo > 1) {
+    while (hi > 0 && hi - lo > 1) {
       val mid = lo + (hi - lo) / 2
       if (nonEmptyAfter(mid)) lo = mid else hi = mid
     }
-    lo
+    (lo, samples.toIndexedSeq)
+  }
+
+  /** Seq-aware drain-to-head — the catch-up path of `latestOffset`. The
+    * steady-state cost is IDENTICAL to [[drainHead]] (one long-poll page
+    * + one empty-page confirm); only when a SECOND page is non-empty —
+    * a real backlog, e.g. a consumer resuming after downtime — does it
+    * switch to the O(log backlog) synthesized-cursor probe instead of
+    * serially paging the whole backlog through the driver (and the one
+    * partition would then re-page the same range to read it: the old
+    * cost was 2× the backlog). Scheme detection + validation and the
+    * probe all ride on [[detectSeqScheme]] / [[probeHeadSeqSampled]];
+    * opaque ids or a seq-parsing server keep the plain serial walk.
+    * Returns a REAL event id (the head page's last id), never a
+    * synthesized cursor, so checkpointed offsets stay ordinary ids. */
+  def probeHead(url: String, fromId: String, timeoutMs: Long,
+                auth: Option[String] = None): String = {
+    val p1 = fetchPage(url, fromId, timeoutMs, auth)
+    if (p1.isEmpty) return fromId
+    val c1 = p1.lastId.get
+    val p2 = fetchPage(url, c1, 0, auth)
+    if (p2.isEmpty) return c1 // at head after one page: same 2 requests as drainHead
+    val c2 = p2.lastId.get
+    detectSeqScheme(url, p2, auth) match {
+      case Some((w, lastSeq)) =>
+        val headSeq = probeHeadSeq(url, lastSeq, w, auth)
+        // resolve the real head id: ≤ one page of events share the head
+        // sequence, then the empty-page confirm. If a concurrent
+        // compaction emptied everything at/after the head cursor, fall
+        // back to the real id we actually saw — a lower bound of head is
+        // always a safe `latestOffset` (the next batch picks up the rest).
+        val h = drainHead(url, seqCursor(headSeq, w), 0, auth = auth)
+        if (h == seqCursor(headSeq, w)) c2 else h
+      case None => drainHead(url, c2, 0, auth = auth)
+    }
   }
 
   /** Planning walk for a parallel backfill: the same drain-to-head loop as

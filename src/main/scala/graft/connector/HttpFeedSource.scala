@@ -148,29 +148,68 @@ class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
 
   @volatile private var availableNowEnd: Option[HttpFeedOffset] = None
   @volatile private var availableNowPages: IndexedSeq[(String, Int)] = IndexedSeq.empty
+  /** (pad width, first sequence after opts.startId) when the AvailableNow
+    * pin used the validated seq scheme — the fan-out's split inputs. */
+  @volatile private var availableNowSeq: Option[(Int, Long)] = None
 
   override def initialOffset(): Offset = HttpFeedOffset(opts.startId)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** Trigger.AvailableNow: pin the head once; batches never pass it. The
-    * walk records the page histogram (free — same requests either way) so
-    * a `backfillPartitions=N` replay can fan the pinned backlog out the
-    * same way the bounded batch read does: an AvailableNow run over a
-    * year of history IS the backfill job, just driven through the
-    * streaming engine for its checkpoint/restart semantics. */
+  /** Trigger.AvailableNow: pin the head once; batches never pass it. An
+    * AvailableNow run over a year of history IS the backfill job, just
+    * driven through the streaming engine for its checkpoint/restart
+    * semantics — so the pin uses the same two-strategy plan as the
+    * bounded batch read:
+    *
+    *  1. **Seq-prefixed ids (validated)** — O(log feed) requests: one
+    *     scheme-detect page, one positional-cursor validation probe
+    *     ([[HttpFeedClient.validateSeqCursor]]), the gallop+bisect head
+    *     probe, and a ≤2-request real-head-id resolve. No histogram walk:
+    *     the fan-out later splits any (s, e] by sequence arithmetic alone.
+    *  2. **Opaque/UUIDv6 ids — histogram walk.** The walk records the
+    *     page histogram (free — same requests either way) so a
+    *     `backfillPartitions=N` replay can fan the pinned backlog out the
+    *     same way the bounded batch read does. */
   override def prepareForTriggerAvailableNow(): Unit = {
-    val pages = HttpFeedClient.drainPageHistogram(opts.url, opts.startId,
-      opts.timeoutMs, auth = opts.auth)
-    availableNowPages = pages
-    availableNowEnd = Some(HttpFeedOffset(
-      pages.lastOption.map(_._1).getOrElse(opts.startId)))
+    availableNowSeq = None
+    availableNowPages = IndexedSeq.empty
+    // the first request long-polls like the old walk did: an idle feed
+    // waits up to timeoutMs for data before pinning an empty range
+    val first = HttpFeedClient.fetchPage(opts.url, opts.startId,
+      opts.timeoutMs, opts.auth, cache = Some(HttpFeedClient.sharedCache))
+    if (first.isEmpty) {
+      availableNowEnd = Some(HttpFeedOffset(opts.startId))
+      return
+    }
+    HttpFeedClient.detectSeqScheme(opts.url, first, opts.auth) match {
+      case Some((w, lastSeq)) =>
+        val headSeq = HttpFeedClient.probeHeadSeq(opts.url, lastSeq, w, opts.auth)
+        val headId = HttpFeedClient.drainHead(opts.url,
+          HttpFeedClient.seqCursor(headSeq, w), 0, auth = opts.auth)
+        val firstSeq =
+          HttpFeedClient.parseSeqId(first.events.head.get("id").asText()).get._1
+        availableNowSeq = Some((w, firstSeq))
+        availableNowEnd = Some(HttpFeedOffset(headId))
+      case None =>
+        val pages = HttpFeedClient.drainPageHistogram(opts.url, opts.startId,
+          0, auth = opts.auth)
+        availableNowPages = pages
+        availableNowEnd = Some(HttpFeedOffset(
+          pages.lastOption.map(_._1).getOrElse(opts.startId)))
+    }
   }
 
+  /** Steady state: one long-poll page + one empty-page confirm — identical
+    * to the pre-round-16 drain. Catch-up after downtime (a backlog past
+    * [[HttpFeedClient.probeHead]]'s serial-page budget) switches to the
+    * O(log backlog) synthesized-cursor probe on validated seq feeds
+    * instead of serially paging the whole backlog through the driver
+    * (which the single read partition would then re-page a second time). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     availableNowEnd.getOrElse {
       val from = start.asInstanceOf[HttpFeedOffset].lastEventId
-      HttpFeedOffset(HttpFeedClient.drainHead(opts.url, from, opts.timeoutMs,
+      HttpFeedOffset(HttpFeedClient.probeHead(opts.url, from, opts.timeoutMs,
         auth = opts.auth))
     }
 
@@ -182,31 +221,47 @@ class HttpFeedMicroBatchStream(opts: HttpFeedOptions)
     val e = end.asInstanceOf[HttpFeedOffset].lastEventId
     if (s == e) Array.empty
     else {
-      // Opt-in fan-out of a pinned AvailableNow backlog: the batch's page
-      // slice comes from the recorded walk (page lastIds increase along
-      // the walk and batch bounds are page-aligned by construction, so
-      // the slice is exact). Steady-state micro-batches — and consumers
-      // that kept the default — stay ONE ordered partition; fanning out
-      // trades intra-batch arrival order for parallelism, which stateful
-      // downstreams (that repartition by key) never observed anyway.
+      // Opt-in fan-out of a pinned AvailableNow backlog. Steady-state
+      // micro-batches — and consumers that kept the default — stay ONE
+      // ordered partition; fanning out trades intra-batch arrival order
+      // for parallelism, which stateful downstreams (that repartition by
+      // key) never observed anyway.
       //
-      // Coverage guard: fan out ONLY when the slice's last boundary IS
-      // `e`. A checkpointed (s, e] written by a DIFFERENT run (e.g. a
-      // ProcessingTime run restarted as AvailableNow, or a server
-      // pageSize change between runs) can put `e` BETWEEN this walk's
-      // recorded page boundaries — a slice ending at the largest
-      // boundary <= e would silently drop the rows in (slice.last, e]
-      // that the WAL already records as consumed. The single-partition
-      // fallback reads exactly (s, e] regardless of page alignment, so
-      // exactly-once survives any checkpoint/walk mismatch.
-      val slice =
-        if (opts.backfillPartitions > 1)
-          availableNowPages.filter(p => p._1 > s && p._1 <= e)
-        else IndexedSeq.empty
-      if (slice.nonEmpty && slice.last._1 == e)
-        HttpFeedBackfill.equiDepthPartitions(opts, s, slice)
-      else
-        Array(HttpFeedInputPartition(opts.url, s, e, auth = opts.auth))
+      // Coverage guard (both strategies): fan out ONLY when the plan can
+      // end EXACTLY at `e`. A checkpointed (s, e] written by a DIFFERENT
+      // run (e.g. a ProcessingTime run restarted as AvailableNow, or a
+      // server pageSize change between runs) can put `e` outside this
+      // run's pinned plan — a fan-out ending short of `e` would silently
+      // drop rows the WAL already records as consumed. The single-
+      // partition fallback reads exactly (s, e] regardless, so
+      // exactly-once survives any checkpoint/plan mismatch.
+      //
+      // Seq strategy: `e` must BE this run's pinned end (then sequence
+      // arithmetic splits (s, e] with no further requests; the final
+      // partition ends at `e` itself by construction). Histogram
+      // strategy: the page slice's last boundary must be `e` (batch
+      // bounds are page-aligned by construction, so the slice is exact).
+      val seqFan: Option[Array[InputPartition]] =
+        if (opts.backfillPartitions > 1 && availableNowEnd.exists(_.lastEventId == e))
+          availableNowSeq.flatMap { case (w, firstSeq) =>
+            val lo = if (s.isEmpty) Some(firstSeq - 1)
+                     else HttpFeedBackfill.seqBoundOf(s, w)
+            val hi = HttpFeedBackfill.seqBoundOf(e, w)
+            for { l <- lo; h <- hi; if h > l } yield
+              HttpFeedBackfill.seqRangePartitions(opts, s, e,
+                HttpFeedBackfill.uniformSeqBounds(l, h, opts.backfillPartitions), w)
+          }
+        else None
+      seqFan.getOrElse {
+        val slice =
+          if (opts.backfillPartitions > 1)
+            availableNowPages.filter(p => p._1 > s && p._1 <= e)
+          else IndexedSeq.empty
+        if (slice.nonEmpty && slice.last._1 == e)
+          HttpFeedBackfill.equiDepthPartitions(opts, s, slice)
+        else
+          Array(HttpFeedInputPartition(opts.url, s, e, auth = opts.auth))
+      }
     }
   }
 
@@ -272,43 +327,43 @@ class HttpFeedBatch(opts: HttpFeedOptions, limit: Option[Int] = None) extends Ba
     }
 
   /** Sequence-arithmetic split, or None when the feed's ids are not
-    * sequence-prefixed. Scheme detection samples the first page (one
-    * request — both its first and last id must parse with the same pad
-    * width); a feed is a single totally-ordered id stream (`README.md:9`,
-    * :150-151), so one scheme governs the whole feed — a mid-stream scheme
-    * switch would already have broken the server's own ordering contract.
+    * sequence-prefixed OR the server fails the positional-cursor
+    * validation probe ([[HttpFeedClient.validateSeqCursor]] — a server
+    * that PARSES the sequence out of `lastEventId` would skip the
+    * boundary sequence at every synthesized partition bound; it gets the
+    * real-id histogram plan instead, which is correct on both server
+    * types). Scheme detection samples the first page (one request — both
+    * its first and last id must parse with the same pad width); a feed is
+    * a single totally-ordered id stream (`README.md:9`, :150-151), so one
+    * scheme governs the whole feed — a mid-stream scheme switch would
+    * already have broken the server's own ordering contract.
     *
     * Sequences may have gaps (a DB sequence is monotonic, not dense), so
     * equi-WIDTH seq ranges approximate equi-DEPTH row buckets; each range
     * is exact-by-construction in COVERAGE (the union telescopes to
-    * (startId, cursor(head+1)]) and only approximate in balance — the
-    * right trade at scale, where the alternative is the serial walk. */
+    * (startId, headId]) and only approximate in balance. When the probe
+    * pages themselves disagree about live density (heavily-compacted
+    * feeds), [[HttpFeedBackfill.densityQuantileBounds]] refines the
+    * boundaries from a piecewise density model at O(N) extra requests —
+    * still no O(feed) walk. */
   private def planSeqSplit(): Option[Array[InputPartition]] = {
     val first = HttpFeedClient.fetchPage(opts.url, opts.startId, 0, opts.auth,
       cache = Some(HttpFeedClient.sharedCache))
     if (first.isEmpty) return Some(Array.empty)
-    for {
-      (firstSeq, w1) <- HttpFeedClient.parseSeqId(first.events.head.get("id").asText())
-      (lastSeq, w2) <- HttpFeedClient.parseSeqId(first.lastId.get)
-      if w1 == w2
-    } yield {
-      val headSeq = HttpFeedClient.probeHeadSeq(opts.url, lastSeq, w1, opts.auth)
-      // split (loSeq, headSeq] into equi-width seq ranges; boundary id for
-      // sequence b is cursor(b + 1) = "after all events with seq <= b"
+    HttpFeedClient.detectSeqScheme(opts.url, first, opts.auth).map { case (w, lastSeq) =>
+      val (headSeq, probeSamples) =
+        HttpFeedClient.probeHeadSeqSampled(opts.url, lastSeq, w, opts.auth)
+      // resolve the real head id (≤ one page shares the head sequence +
+      // the empty-page confirm): partitions end at real ids when possible
+      val headId = HttpFeedClient.drainHead(opts.url,
+        HttpFeedClient.seqCursor(headSeq, w), 0, auth = opts.auth)
+      val firstSeq =
+        HttpFeedClient.parseSeqId(first.events.head.get("id").asText()).get._1
       val loSeq = firstSeq - 1
-      val n = opts.backfillPartitions.toLong
-      val bounds = ((1L until n).map(i => loSeq + (headSeq - loSeq) * i / n)
-        :+ headSeq).distinct.filter(_ > loSeq)
-      val parts = Array.newBuilder[InputPartition]
-      var prevId = opts.startId
-      bounds.foreach { b =>
-        val endId = HttpFeedClient.seqCursor(b + 1, w1)
-        if (endId > prevId) {
-          parts += HttpFeedInputPartition(opts.url, prevId, endId, auth = opts.auth)
-          prevId = endId
-        }
-      }
-      parts.result()
+      val samples = HttpFeedClient.SeqSample(firstSeq, lastSeq,
+        first.events.length) +: probeSamples
+      val bounds = HttpFeedBackfill.seqSplitBounds(opts, loSeq, headSeq, w, samples)
+      HttpFeedBackfill.seqRangePartitions(opts, opts.startId, headId, bounds, w)
     }
   }
 
@@ -327,7 +382,139 @@ class HttpFeedBatch(opts: HttpFeedOptions, limit: Option[Int] = None) extends Ba
   * one task. Rows arrive partition-ordered, not globally ordered; a
   * consumer needing the feed's total order sorts by id, which at this
   * scale it had to do anyway after any shuffle. */
-private[connector] object HttpFeedBackfill {
+private[graft] object HttpFeedBackfill {
+
+  /** Sequence covered through-and-including by an offset id under the seq
+    * scheme: a real id `lpad(k)::suffix` covers through k; a synthesized
+    * bare cursor `lpad(k)::` positions strictly BEFORE sequence k, so it
+    * covers only through k − 1. None when the id does not parse with the
+    * feed's pad width (→ caller falls back to a single partition). */
+  def seqBoundOf(id: String, width: Int): Option[Long] =
+    HttpFeedClient.parseSeqId(id).collect {
+      case (k, w) if w == width =>
+        if (id.length == width + graft.udf.SeqId.Sep.length) k - 1 else k
+    }
+
+  /** Overflow-safe equi-width internal boundaries for (loSeq, hiSeq]:
+    * bound(i) = ⌊loSeq + span·i/n⌋ computed as
+    * `loSeq + span/n·i + span%n·i/n` — exact (span = q·n + r ⇒
+    * span·i/n = q·i + ⌊r·i/n⌋, and r·i < n² ≤ 2⁶² for Int partition
+    * counts) where the naive `span·i` wraps Long for 18-digit sequence
+    * bases ([[HttpFeedClient.parseSeqId]] admits prefixes to 18 digits). */
+  def uniformSeqBounds(loSeq: Long, hiSeq: Long, n: Int): IndexedSeq[Long] = {
+    val span = hiSeq - loSeq
+    val nn = n.toLong
+    (1L until nn).map(i => loSeq + span / nn * i + span % nn * i / nn)
+  }
+
+  /** Pick the internal split boundaries for (loSeq, headSeq]: uniform
+    * sequence arithmetic when the probe pages saw roughly one live
+    * density everywhere, or quantile boundaries from a probed density
+    * model when they did not (heavily-compacted/gappy feeds, where
+    * equi-width ranges give skewed partition depths). The gap check is
+    * FREE: the head-probe's own pages sampled the backlog (gallop =
+    * geometric stride over the whole span, bisection = concentrated near
+    * the head), so disagreement among them is direct evidence of
+    * non-uniform live density. */
+  def seqSplitBounds(opts: HttpFeedOptions, loSeq: Long, headSeq: Long,
+                     width: Int,
+                     samples: IndexedSeq[HttpFeedClient.SeqSample]): IndexedSeq[Long] = {
+    // span-1 samples (a probe that landed on the head's own sequence)
+    // carry no density information — keeping them would false-flag every
+    // sparse-but-uniform feed as gappy
+    val densities = samples.collect {
+      case s if s.seqLast > s.seqFirst && s.count > 0 =>
+        s.count.toDouble / (s.seqLast - s.seqFirst + 1)
+    }
+    val gappy = densities.nonEmpty && densities.max > 3.0 * densities.min
+    if (gappy)
+      densityQuantileBounds(opts, loSeq, headSeq, width)
+    else
+      uniformSeqBounds(loSeq, headSeq, opts.backfillPartitions)
+  }
+
+  /** Balance refinement for gappy/compacted seq feeds at O(K) extra
+    * requests (K = max(16, 2N) — bounded, never the O(feed) walk): probe
+    * one page at the start of each of K equal-width grid segments of
+    * (loSeq, headSeq]. Each probe page is an EXACT local measurement —
+    * `count` events over a known sequence span — so the segments form a
+    * piecewise-constant live-density model (leading gap [gridStart,
+    * firstLiveSeq) is exactly empty; the page's density extends through
+    * the segment). The N−1 internal boundaries then sit at the model
+    * CDF's N-quantiles, interpolated within their segment. Approximate in
+    * balance (the model is sampled), exact in coverage (boundaries only
+    * feed [[seqRangePartitions]], whose union telescopes regardless). */
+  def densityQuantileBounds(opts: HttpFeedOptions, loSeq: Long, headSeq: Long,
+                            width: Int): IndexedSeq[Long] = {
+    val n = opts.backfillPartitions
+    val k = math.max(16, 2 * n)
+    val grid = uniformSeqBounds(loSeq, headSeq, k)
+    val segStarts = loSeq +: grid
+    val segEnds = grid :+ headSeq
+    // (firstLiveSeq, density, mass) per grid segment (segStart, segEnd]
+    val segs = segStarts.zip(segEnds).map { case (g0, g1) =>
+      if (g1 <= g0) (g1, 0.0, 0.0)
+      else {
+        val page = HttpFeedClient.fetchPage(opts.url,
+          HttpFeedClient.seqCursor(g0 + 1, width), 0, opts.auth,
+          cache = Some(HttpFeedClient.sharedCache))
+        val sample = for {
+          firstEvent <- page.events.headOption
+          (f, _) <- HttpFeedClient.parseSeqId(firstEvent.get("id").asText())
+          lastId <- page.lastId
+          (l, _) <- HttpFeedClient.parseSeqId(lastId)
+        } yield (f, l, page.events.length)
+        sample match {
+          case Some((f, l, c)) if f <= g1 =>
+            val d = c.toDouble / math.max(1L, l - f + 1)
+            (f, d, d * (g1 - f + 1))
+          case _ => (g1, 0.0, 0.0) // segment is entirely a gap
+        }
+      }
+    }
+    val total = segs.iterator.map(_._3).sum
+    if (total <= 0) return uniformSeqBounds(loSeq, headSeq, n)
+    (1 until n).map { i =>
+      val q = total * i / n
+      var cum = 0.0
+      var bound = headSeq
+      var found = false
+      segs.zip(segEnds).foreach { case ((f, d, m), g1) =>
+        if (!found) {
+          if (cum + m >= q && d > 0) {
+            val within = math.max(1L, math.round((q - cum) / d))
+            bound = math.min(g1, f - 1 + within)
+            found = true
+          } else cum += m
+        }
+      }
+      math.min(math.max(bound, loSeq + 1), headSeq)
+    }
+  }
+
+  /** Emit the (startId, endId] partitions for a seq-arithmetic split:
+    * internal boundary b becomes the synthesized cursor(b+1) — "after all
+    * events with seq ≤ b", a legal wire value per the positional-cursor
+    * contract the planner VALIDATED at detect time — and the final
+    * partition ends at `endId` itself (a real id when the head resolve
+    * succeeded). Deduped/clamped so the union telescopes exactly to
+    * (startId, endId] whatever the boundary quality. */
+  def seqRangePartitions(opts: HttpFeedOptions, startId: String, endId: String,
+                         internalBounds: IndexedSeq[Long],
+                         width: Int): Array[InputPartition] = {
+    val parts = Array.newBuilder[InputPartition]
+    var prevId = startId
+    internalBounds.distinct.sorted.foreach { b =>
+      val bid = HttpFeedClient.seqCursor(b + 1, width)
+      if (bid > prevId && bid < endId) {
+        parts += HttpFeedInputPartition(opts.url, prevId, bid, auth = opts.auth)
+        prevId = bid
+      }
+    }
+    parts += HttpFeedInputPartition(opts.url, prevId, endId, auth = opts.auth)
+    parts.result()
+  }
+
   def equiDepthPartitions(opts: HttpFeedOptions, startId: String,
                           pages: IndexedSeq[(String, Int)]): Array[InputPartition] = {
     val total = pages.iterator.map(_._2.toLong).sum

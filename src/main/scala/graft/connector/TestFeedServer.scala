@@ -25,7 +25,18 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
                      /** Misbehavior injection: force this Cache-Control on
                        * every response regardless of the spec's rules (for
                        * cache-isolation defense-in-depth tests). */
-                     forceCacheControl: Option[String] = None) {
+                     forceCacheControl: Option[String] = None,
+                     /** Alternative cursor semantics a spec-compliant server
+                       * MAY implement for seq-prefixed ids: PARSE the
+                       * sequence out of `lastEventId` and return events with
+                       * `seq > cursorSeq` (the spec only mandates position-
+                       * respect for DELETED ids and says the seq prefix is
+                       * "interpreted when querying"). Identical to the
+                       * lexicographic server for REAL ids, but a synthesized
+                       * never-existed cursor `lpad(k)::` skips every seq-k
+                       * event — the case the planner's validation probe must
+                       * detect and route to the histogram plan. */
+                     seqParsingCursors: Boolean = false) {
 
   // (id, envelopeJson), kept sorted by id (ids are the total order key)
   private var events: Vector[(String, String)] = initial.sortBy(_._1).toVector
@@ -117,9 +128,20 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
   private def visible(auth: Option[String]): Vector[(String, String)] =
     principalFilter.fold(events)(f => events.filter(e => f(auth, e._2)))
 
+  /** Events strictly after the cursor — lexicographic id order by default,
+    * or parsed-sequence order when `seqParsingCursors` is set. */
+  private def after(evs: Vector[(String, String)],
+                    lastEventId: String): Vector[(String, String)] =
+    if (!seqParsingCursors || lastEventId.isEmpty)
+      evs.dropWhile(_._1 <= lastEventId)
+    else graft.udf.SeqId.decodeFn(lastEventId) match {
+      case Some(k) => evs.filter(e => graft.udf.SeqId.decodeFn(e._1).exists(_ > k))
+      case None => evs.dropWhile(_._1 <= lastEventId)
+    }
+
   private def pageAfter(lastEventId: String, auth: Option[String]): Vector[String] =
     lock.synchronized {
-      visible(auth).dropWhile(_._1 <= lastEventId).take(pageSize).map(_._2)
+      after(visible(auth), lastEventId).take(pageSize).map(_._2)
     }
 
   private def handle(ex: HttpExchange): Unit = {
@@ -152,7 +174,7 @@ class TestFeedServer(initial: Seq[(String, String)], pageSize: Int = 100,
       lock.synchronized {
         while (page.isEmpty && System.currentTimeMillis() < deadline) {
           lock.wait(math.max(1, deadline - System.currentTimeMillis()))
-          page = visible(authHdr).dropWhile(_._1 <= lastId).take(pageSize).map(_._2)
+          page = after(visible(authHdr), lastId).take(pageSize).map(_._2)
         }
       }
     }

@@ -917,6 +917,211 @@ class HttpSourceSuite extends AnyFunSuite {
       }
     }
   }
+
+  // ──────────────────────────── round 16 ────────────────────────────
+
+  private def canonRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.withColumn("ext_c", map_entries(col("extensions")).cast("string"))
+      .drop("extensions").orderBy("id").collect().map(_.mkString("|")).toSeq
+
+  test("Retry-After is clamped: an hours-long directive cannot park a task") {
+    val events = (1L to 5L).map(i => envelopeJson(i, s"s$i"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      server.failNext(1, 503, retryAfterSec = Some(99999999L))
+      val t0 = System.nanoTime()
+      val page = HttpFeedClient.fetchPage(server.url, "", 0,
+        retryBackoffMs = 10L, maxRetryAfterMs = 400L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(!page.isEmpty && page.events.length === 5)
+      assert(sec < 5.0, f"clamp ignored: slept $sec%.1f s on a bogus Retry-After")
+      assert(sec >= 0.3, f"a directive UNDER the clamp must still be honored ($sec%.3f s)")
+    } finally server.stop()
+  }
+
+  test("uniformSeqBounds: overflow-safe and exact for 18-digit sequence spans") {
+    import graft.connector.HttpFeedBackfill
+    val lo = 0L
+    val hi = Long.MaxValue - 1 // naive span·i wraps negative from i=2
+    val bounds = HttpFeedBackfill.uniformSeqBounds(lo, hi, 16)
+    assert(bounds.length === 15)
+    assert(bounds === bounds.sorted && bounds.distinct.length === 15,
+      s"bounds must be strictly increasing: ${bounds.mkString(",")}")
+    assert(bounds.forall(b => b > lo && b < hi))
+    // exactness: ⌊span·i/n⌋ vs BigInt on adversarial spans
+    for (span <- Seq(999999999999999999L, Long.MaxValue - 7, (1L << 62) + 12345L);
+         n <- Seq(2, 7, 16, 31); i <- 1 until n) {
+      val expect = (BigInt(100) + BigInt(span) * i / n).toLong
+      assert(HttpFeedBackfill.uniformSeqBounds(100L, 100L + span, n)(i - 1) === expect,
+        s"span=$span n=$n i=$i")
+    }
+  }
+
+  test("18-digit sequence bases backfill end-to-end without Long overflow in the split") {
+    def bigEnvelope(seq: Long): (String, String) = {
+      val id = f"$seq%018d::u${seq % 1000}%04d"
+      (id, s"""{"specversion":"1.0","id":"$id","type":"t.big","source":"srv",""" +
+        s""""time_us":1700000000000000,"subject":"s${seq % 3}","method":"PUT",""" +
+        s""""datacontenttype":"application/json","data":"{\\"v\\":1}"}""")
+    }
+    val base = 100000000000000000L   // 1e17
+    val stride = 4000000000000000L   // span ≈ 8e17: span·(n−1) overflows Long at n=16
+    val events = (0L until 200L).map(i => bigEnvelope(base + i * stride))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val fanned = spark.read.format("http-feed")
+        .option("url", server.url).option("backfillPartitions", "16").load()
+      val ids = fanned.collect().map(_.getAs[String]("id")).sorted.toSeq
+      assert(ids === events.map(_._1))
+      assert(fanned.rdd.getNumPartitions >= 8,
+        "split silently degraded — overflow scrambled the bounds")
+    } finally server.stop()
+  }
+
+  test("seq-parsing cursor server: the validation probe detects it and the planner falls back — no row loss") {
+    val events = (1L to 120L).map(i => envelopeJson(i, s"s${i % 7}"))
+    val server = new TestFeedServer(events, pageSize = 10, seqParsingCursors = true)
+    try {
+      // This server type resolves a synthesized never-existed cursor by
+      // PARSING its sequence: `lpad(25)::` returns seq > 25, skipping the
+      // seq-25 event a lexicographic server would return first…
+      val probe = HttpFeedClient.fetchPage(server.url, SeqId.encodeFn(25L, ""), 0)
+      assert(SeqId.decodeFn(probe.events.head.get("id").asText()) === Some(26L))
+      // …which is exactly what the one-request validation probe detects:
+      assert(!HttpFeedClient.validateSeqCursor(server.url, 25L, SeqId.Width))
+      // the fanned plan therefore uses the real-id histogram walk and
+      // still returns every row (pre-validation seq arithmetic lost the
+      // boundary sequence at every synthesized partition bound here)
+      val fanned = spark.read.format("http-feed")
+        .option("url", server.url).option("backfillPartitions", "4").load()
+      val single = spark.read.format("http-feed").option("url", server.url).load()
+      assert(fanned.rdd.getNumPartitions === 4)
+      assert(canonRows(fanned) === canonRows(single))
+      assert(fanned.count() === 120)
+    } finally server.stop()
+  }
+
+  test("AvailableNow on a seq feed: O(log feed) pin, seq-arithmetic fan-out, byte-identical to the single run") {
+    val events = (1L to 3000L).map(i => envelopeJson(i, s"s${i % 13}"))
+    def runAvailableNow(parts: Int): (Seq[String], Int, Int) = {
+      val server = new TestFeedServer(events, pageSize = 10) // 300 pages
+      try {
+        val seenParts = new java.util.concurrent.atomic.AtomicInteger(0)
+        val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val q = spark.readStream.format("http-feed")
+          .option("url", server.url).option("timeoutMs", "100")
+          .option("backfillPartitions", parts.toString).load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val rdd = batch.withColumn("ext_c",
+              map_entries(col("extensions")).cast("string")).drop("extensions").rdd
+            seenParts.addAndGet(rdd.getNumPartitions)
+            rdd.collect().foreach(r => rows.add(r.mkString("|")))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000))
+        import scala.jdk.CollectionConverters._
+        (rows.asScala.toSeq.sorted, seenParts.get(), server.requestCount)
+      } finally server.stop()
+    }
+    val (fanRows, fanParts, fanRequests) = runAvailableNow(8)
+    assert(fanParts === 8)
+    assert(fanRows.length === 3000)
+    // pin ≈ 2·log₂(3000) + one fanned read of ~300 pages; the retired
+    // histogram prepare paid the 300 pages a SECOND time before any read
+    assert(fanRequests <= 430,
+      s"AvailableNow paid $fanRequests requests — the O(feed) prepare walk is back")
+    val (oneRows, oneParts, _) = runAvailableNow(1)
+    assert(oneParts === 1)
+    assert(fanRows === oneRows, "fan-out changed the delivered bytes")
+  }
+
+  test("AvailableNow seq pin: fan-out only for the pinned end; foreign checkpoint ends stay single-partition") {
+    import graft.connector.{HttpFeedMicroBatchStream, HttpFeedOffset, HttpFeedOptions, HttpFeedInputPartition}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val events = (1L to 500L).map(i => envelopeJson(i, s"s${i % 3}"))
+    val server = new TestFeedServer(events, pageSize = 10)
+    try {
+      val stream = new HttpFeedMicroBatchStream(
+        HttpFeedOptions(server.url, 100L, "", None, 8))
+      stream.prepareForTriggerAvailableNow()
+      val end = stream.latestOffset(HttpFeedOffset(""), ReadLimit.allAvailable())
+      // the pin resolves the REAL head id, not a synthesized cursor
+      assert(end.asInstanceOf[HttpFeedOffset].lastEventId === events.last._1)
+      val parts = stream.planInputPartitions(HttpFeedOffset(""), end)
+        .map(_.asInstanceOf[HttpFeedInputPartition])
+      assert(parts.length === 8)
+      // ranges telescope exactly over (start, head]
+      assert(parts.head.startId === "")
+      assert(parts.last.endId === events.last._1)
+      parts.sliding(2).foreach { case Array(a, b) => assert(a.endId === b.startId) }
+      // resume mid-feed from a checkpointed REAL id: still fans, still exact
+      val mid = events(249)._1
+      val partsMid = stream.planInputPartitions(HttpFeedOffset(mid), end)
+        .map(_.asInstanceOf[HttpFeedInputPartition])
+      assert(partsMid.length === 8)
+      assert(partsMid.head.startId === mid && partsMid.last.endId === events.last._1)
+      // an end written by a DIFFERENT run is NOT this pin: fanning out
+      // against it could end short of `e` — single partition instead
+      val foreign = stream.planInputPartitions(
+        HttpFeedOffset(""), HttpFeedOffset(events(300)._1))
+      assert(foreign.length === 1)
+    } finally server.stop()
+  }
+
+  test("micro-batch catch-up after downtime: latestOffset probes the head in O(log backlog) requests") {
+    import graft.connector.{HttpFeedMicroBatchStream, HttpFeedOffset, HttpFeedOptions}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val events = (1L to 3000L).map(i => envelopeJson(i, s"s${i % 13}"))
+    val server = new TestFeedServer(events, pageSize = 10) // 300-page backlog
+    try {
+      val stream = new HttpFeedMicroBatchStream(
+        HttpFeedOptions(server.url, 0L, "", None, 1))
+      val before = server.requestCount
+      val end = stream.latestOffset(HttpFeedOffset(""), ReadLimit.allAvailable())
+      val cold = server.requestCount - before
+      assert(end.asInstanceOf[HttpFeedOffset].lastEventId === events.last._1)
+      assert(cold <= 60,
+        s"cold resume paid $cold requests — the O(backlog) serial drain is back")
+      // steady state at head: ONE request (the empty page), same as before
+      val before2 = server.requestCount
+      val same = stream.latestOffset(end.asInstanceOf[HttpFeedOffset], ReadLimit.allAvailable())
+      assert(same.asInstanceOf[HttpFeedOffset].lastEventId === events.last._1)
+      assert(server.requestCount - before2 === 1)
+      // steady state with a small append: two requests (page + confirm)
+      val extra = (3001L to 3005L).map(i => envelopeJson(i, s"s$i"))
+      server.append(extra)
+      val before3 = server.requestCount
+      val adv = stream.latestOffset(end.asInstanceOf[HttpFeedOffset], ReadLimit.allAvailable())
+      assert(adv.asInstanceOf[HttpFeedOffset].lastEventId === extra.last._1)
+      assert(server.requestCount - before3 === 2)
+    } finally server.stop()
+  }
+
+  test("gappy/compacted seq feed: density-probed boundaries balance partition depths within 1.5×") {
+    // 90% of the low range compacted away: live seqs are every 20th of
+    // 1..8000 (400 events) plus ALL of 8001..10000 (2000 events)
+    val events = ((20L to 8000L by 20L) ++ (8001L to 10000L))
+      .map(i => envelopeJson(i, s"s${i % 5}"))
+    val server = new TestFeedServer(events, pageSize = 50)
+    try {
+      val before = server.requestCount
+      val fanned = spark.read.format("http-feed")
+        .option("url", server.url).option("backfillPartitions", "4").load()
+      assert(fanned.rdd.getNumPartitions === 4) // forces the plan
+      val planRequests = server.requestCount - before
+      assert(planRequests <= 80,
+        s"balance refinement cost $planRequests requests — must stay O(N + log feed)")
+      val sizes = fanned.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(sizes.sum === events.length)
+      // uniform span division gives ~100/100/125/2075 here (16× skew)
+      assert(sizes.min > 0 && sizes.max.toDouble / sizes.min <= 1.5,
+        s"skewed buckets: ${sizes.mkString(",")}")
+      val single = spark.read.format("http-feed").option("url", server.url).load()
+      assert(canonRows(fanned) === canonRows(single))
+    } finally server.stop()
+  }
 }
 
 /** Test-local transformWithState processor for the e2e composition test:
