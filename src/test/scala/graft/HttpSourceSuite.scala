@@ -1099,6 +1099,31 @@ class HttpSourceSuite extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("auth-protected feed: seq-split backfill threads credentials through every probe") {
+    val events = (1L to 300L).map(i => envelopeJson(i, s"s${i % 7}"))
+    val server = new TestFeedServer(events, pageSize = 10,
+      requiredAuth = Some("Bearer s3cr3t"))
+    try {
+      // every plan request — scheme detect, validation probe, gallop/bisect
+      // head probes, head-id resolve — and every reader page must carry the
+      // Authorization header, or the 401 fails the plan outright
+      val fanned = spark.read.format("http-feed")
+        .option("url", server.url).option("bearerToken", "s3cr3t")
+        .option("backfillPartitions", "4").load()
+      assert(fanned.rdd.getNumPartitions === 4)
+      val ids = fanned.collect().map(_.getAs[String]("id")).sorted.toSeq
+      assert(ids === events.map(_._1))
+      // and without credentials the read still fails fast
+      val denied = intercept[Exception] {
+        spark.read.format("http-feed").option("url", server.url)
+          .option("backfillPartitions", "4").load().count()
+      }
+      def root(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+      assert(root(denied).isInstanceOf[SecurityException])
+    } finally server.stop()
+  }
+
   test("gappy/compacted seq feed: density-probed boundaries balance partition depths within 1.5×") {
     // 90% of the low range compacted away: live seqs are every 20th of
     // 1..8000 (400 events) plus ALL of 8001..10000 (2000 events)
