@@ -13,7 +13,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val explain = args.headOption.contains("--explain")
+    val explain = args.headOption.contains("--explain") ||
+      args.headOption.contains("--explainf")
+    // --explainf: FormattedMode (the `.explain("formatted")` shape the
+    // optimization-round plan dumps under plans/ use); --explain stays
+    // SimpleMode to match docs/PLANS.md.
+    val formatted = args.headOption.contains("--explainf")
     val names = (if (explain) args.drop(1) else args).toSeq
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -30,7 +35,8 @@ object Profile {
         val df = SparkEntry.queries(n)(spark, d)
         println(s"===== $n =====")
         println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.SimpleMode))
+          if (formatted) org.apache.spark.sql.execution.FormattedMode
+          else org.apache.spark.sql.execution.SimpleMode))
       } else {
         // time construction + count: streaming fixtures (and adaptive
         // plan probes) do real work eagerly while the query is BUILT —

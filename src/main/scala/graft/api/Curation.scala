@@ -179,8 +179,10 @@ object Curation {
                     bench: DataFrame, benchId: Column, benchText: Column,
                     n: Int): DataFrame = {
     graft.catalyst.GraftExtensions.install(corpus.sparkSession)
-    val c = corpus.select(corpusId.as("doc_id"),
-      explode(call_function("ngram_shingles", corpusText, lit(n))).as("g"))
+    val c = graft.io.Tables.fanOut(corpus.select(corpusId.as("doc_id"),
+        corpusText.as("_graft_text")))
+      .select(col("doc_id"),
+        explode(call_function("ngram_shingles", col("_graft_text"), lit(n))).as("g"))
     val b = bench.select(benchId.as("bdoc"),
       explode(call_function("ngram_shingles", benchText, lit(n))).as("g"))
     c.join(broadcast(b), "g")

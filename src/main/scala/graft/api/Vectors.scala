@@ -14,6 +14,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Vectors {
 
+  /** Scale-adaptive fan-out for a CPU-heavy kernel input — see
+    * [[graft.io.Tables.fanOut]] (shared by the dedup/text kernels too). */
+  private def fanOut(df: DataFrame): DataFrame = graft.io.Tables.fanOut(df)
+
   /** In-order double dot product of two vector columns. */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
@@ -34,7 +38,7 @@ object Vectors {
   def knn(data: DataFrame, id: Column, vec: Column,
           queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
     graft.catalyst.GraftExtensions.install(data.sparkSession)
-    val d = data.select(id.cast("long").as("id"), vec.as("v"))
+    val d = fanOut(data.select(id.cast("long").as("id"), vec.as("v")))
     val q = queries.select(qid.cast("long").as("qid"), qvec.as("qv"))
     // null distances (null/ragged vectors) must sort LAST, not rank 1
     val w = Window.partitionBy("qid").orderBy(col("dist").asc_nulls_last, col("id"))
@@ -66,7 +70,7 @@ object Vectors {
                    queries: DataFrame, qid: Column, qvec: Column,
                    k: Int, scale: Long = 100000L): DataFrame = {
     graft.catalyst.GraftExtensions.install(data.sparkSession)
-    val d = data.select(id.cast("long").as("id"), quantize(vec, scale).as("v"))
+    val d = fanOut(data.select(id.cast("long").as("id"), quantize(vec, scale).as("v")))
     val q = queries.select(qid.cast("long").as("qid"),
       quantize(qvec, scale).as("qv"))
     val w = Window.partitionBy("qid").orderBy(col("dist").asc_nulls_last, col("id"))

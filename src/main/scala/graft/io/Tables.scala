@@ -60,6 +60,31 @@ object Tables {
     t.withColumn("ts_us", tsUs)
   }
 
+  /** Scale-adaptive fan-out before a CPU-heavy per-row kernel (shingling,
+    * tokenize+explode, bitset/minhash encode, vector-distance pair
+    * generation): when the input plan has FEWER partitions than the
+    * session's shuffle width, round-robin repartition it to that width.
+    *
+    * Why: a small parquet file is one row group = ONE scan task no matter
+    * how many cores exist, so everything fused into the scan stage —
+    * including a pair join whose probe side is that scan — runs serially
+    * while the rest of the box idles (the guide's "input skew" case:
+    * repartition right after the read). The trigger is the MEASURED
+    * partition count, not a constant: at 100 TB the same scan already has
+    * ≥ width splits and this is a no-op — the big side is never shuffled.
+    * The rows moved when it does fire are at most (width − 1) partitions'
+    * worth of a relation that was about to be rescanned by a kernel doing
+    * orders of magnitude more work per row than one shuffle write+read.
+    * Results are partitioning-independent by the repo's determinism
+    * discipline (merge-order-independent aggregates, total output
+    * orders), so this changes WHERE rows are computed, never what. */
+  def fanOut(df: DataFrame): DataFrame = {
+    if (sys.env.getOrElse("SPARK_GRAFT_FANOUT", "1") == "0") return df
+    val width = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
+
   /** Float canonicalization (determinism rule 1): floor(x*scale) as BIGINT.
     * Identical semantics in Spark and DuckDB; `round` is banned (HALF_UP vs
     * half-even divergence).
