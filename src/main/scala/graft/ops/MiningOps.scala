@@ -241,17 +241,27 @@ object MiningOps {
     }),
 
     // Market-basket pair mining: co-occurrence support for part pairs
-    // within an order, plus integer-ppm lift. The self-join is on the
-    // ORDER key, so candidate volume is Σ(items-per-order)² — bounded by
-    // basket size, never |parts|²; counts/lift come from aggregates.
+    // within an order, plus integer-ppm lift. Pair generation is
+    // ORDER-LOCAL (the GraphOps edge-build / basket_rules_lift shape):
+    // one collect_set aggregate per order — which also dedups, so no
+    // separate distinct shuffle — then both-index explode inside the
+    // basket array; candidate volume is Σ(items-per-order)², bounded by
+    // basket size, never |parts|². Versus the former ok-keyed self-join
+    // this removes the two join re-shuffles of the (ok, pk) relation
+    // (the baskets relation is derived once and reused for the singleton
+    // counts and the order count too).
     "basket_pair_support" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val itemCnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
-      val nOrders = li.select(countDistinct(col("ok")).as("no"))
-      val a = li.select(col("ok"), col("pk").as("p1"))
-      val b = li.select(col("ok"), col("pk").as("p2"))
-      a.join(b, "ok").filter(col("p1") < col("p2"))
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+        .localCheckpoint() // reused: pairs, singleton counts, order count
+      val itemCnt = baskets.select(explode(col("pks")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+      val nOrders = baskets.agg(count(lit(1)).as("no"))
+      baskets
+        .select(explode(col("pks")).as("p1"), col("pks"))
+        .select(col("p1"), explode(col("pks")).as("p2"))
+        .filter(col("p1") < col("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
         .join(itemCnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
         .join(itemCnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
@@ -269,15 +279,19 @@ object MiningOps {
     // TakeOrderedAndProject. The lift denominator uses the singleton
     // counts (independence baseline c1·c2·c3/n²).
     "basket_triple_support" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val itemCnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
-      val nOrders = li.select(countDistinct(col("ok")).as("no"))
-      val a = li.select(col("ok"), col("pk").as("p1"))
-      val b = li.select(col("ok"), col("pk").as("p2"))
-      val c3 = li.select(col("ok"), col("pk").as("p3"))
-      a.join(b, "ok").filter(col("p1") < col("p2"))
-        .join(c3, "ok").filter(col("p2") < col("p3"))
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+        .localCheckpoint() // reused: triples, singleton counts, order count
+      val itemCnt = baskets.select(explode(col("pks")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+      val nOrders = baskets.agg(count(lit(1)).as("no"))
+      baskets
+        .select(explode(col("pks")).as("p1"), col("pks"))
+        .select(col("p1"), explode(col("pks")).as("p2"), col("pks"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2"), explode(col("pks")).as("p3"))
+        .filter(col("p2") < col("p3"))
         .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2) // Apriori cut before the expensive joins
         .join(itemCnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
