@@ -199,7 +199,9 @@ object CorpusOps {
       val spans = transform(
         sequence(lit(1), greatest(size(toks) - 7, lit(0))),
         i => md5(concat_ws(" ", slice(toks, i, lit(8)))))
-      Tables.documents(s, d)
+      // fanOut: ~one md5 per corpus token, all pre-shuffle — a
+      // single-split scan would hash the whole corpus on one task
+      Tables.fanOut(Tables.documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(spans).as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_occur"),

@@ -48,7 +48,12 @@ object MiningOps {
     // threshold math is integer (⌈4n/5⌉ = (4n+4) div 5).
     "dedup_containment" -> ((s, d) => {
       graft.catalyst.GraftExtensions.install(s)
-      val docs = Tables.documents(s, d)
+      // fanOut BEFORE the shingling projection: the checkpointed relation
+      // is ALSO the probe side of the ordered all-pairs verify below, so
+      // a single-split scan would run both the shingle kernel and the
+      // ≈N²/2 popcount enumeration on one task (Tables.fanOut scaladoc).
+      val docs = Tables.fanOut(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text")))
         .select(col("doc_id"), col("lang"),
           call_function("ngram_shingles", col("text"), lit(5)).as("gs"))
         .localCheckpoint() // feeds the dictionary probe and both strategies
@@ -116,7 +121,8 @@ object MiningOps {
     // Verification-only (SparkEntry.verifyOnly).
     "dedup_containment_prefix" -> ((s, d) => {
       graft.catalyst.GraftExtensions.install(s)
-      val docs = Tables.documents(s, d)
+      val docs = Tables.fanOut(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text")))
         .select(col("doc_id"), col("lang"),
           call_function("ngram_shingles", col("text"), lit(5)).as("gs"))
         .localCheckpoint()
