@@ -313,6 +313,29 @@ object StreamOps {
     evRowsCollected(s, d); ()
   }
 
+  /** Scope the RocksDB state-store provider (required by
+    * transformWithState) to `body`'s query, with CHANGELOG checkpointing:
+    * each micro-batch commit uploads the delta instead of a full SST
+    * snapshot — the production setting for frequent small commits, and
+    * measurably cheaper here where a 2-3-batch fixture otherwise pays a
+    * full snapshot per batch. Same save/restore discipline as the
+    * provider conf (session-global; see the NOTE on stream_readmodel_tws). */
+  private def withRocksDB[T](s: SparkSession)(body: => T): T = {
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val oldProvider = s.conf.get(pk,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    val oldChangelog = s.conf.get(ck, "false")
+    s.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(ck, "true")
+    try body
+    finally {
+      s.conf.set(pk, oldProvider)
+      s.conf.set(ck, oldChangelog)
+    }
+  }
+
   /** Run a streaming DataFrame into an in-memory sink table and return the
     * table once its contents stabilize — the stabilization loop covers the
     * trailing no-data micro-batch that finalizes watermark-closed windows
@@ -340,7 +363,11 @@ object StreamOps {
       var cur = s.table(name).count()
       var spins = 0
       while (cur != prev && spins < 200) {
-        prev = cur; Thread.sleep(50)
+        // first recheck without the pause: processAllAvailable has just
+        // confirmed the stream idle, so in the common already-stable case
+        // the extra paa+count pair is pure confirmation; the 50 ms pause
+        // only matters once an actually-trailing batch was observed
+        prev = cur; if (spins > 0) Thread.sleep(50)
         q.processAllAvailable()
         cur = s.table(name).count(); spins += 1
       }
@@ -452,11 +479,7 @@ object StreamOps {
       val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
-      val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDB(s) {
         val src = ms.toDF()
           .withColumn("ets", timestamp_millis(expr("ts_us div 1000")))
           .withWatermark("ets", "10 minutes")
@@ -470,8 +493,7 @@ object StreamOps {
           q.processAllAvailable()        // batch boundary: open sessions carry
           ms.addData(b2.toSeq)
         }.orderBy("user_id", "start_us")
-      } finally
-        s.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
+      }
     }),
 
     // Cross-batch idempotency (README.md:113-114): dedup on id within the
@@ -510,16 +532,12 @@ object StreamOps {
       val sorted = ces.sortBy(_.id)
       val (b1, b2) = sorted.splitAt(sorted.length / 2)
       val ms = MemoryStream[CloudEvent](s)
-      // NOTE: this save/restore mutates the SESSION-global provider conf;
-      // a streaming query started concurrently on the same session would
-      // pick RocksDB up silently. Fine for the single-threaded fixture
-      // driver — use spark.newSession() to scope it if fixtures ever run
-      // concurrently (same pattern in stream_session_timers).
-      val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      // NOTE: withRocksDB's save/restore mutates the SESSION-global
+      // provider conf; a streaming query started concurrently on the same
+      // session would pick RocksDB up silently. Fine for the
+      // single-threaded fixture driver — use spark.newSession() to scope
+      // it if fixtures ever run concurrently.
+      withRocksDB(s) {
         val model = ms.toDS()
           .groupByKey(_.subject.getOrElse(""))
           .transformWithState(new LatestStateProcessor, TimeMode.None(),
@@ -533,8 +551,7 @@ object StreamOps {
         finalReadModel(emitted)
           .select(col("subject"), col("id"), col("event_type"), col("method"))
           .orderBy("subject")
-      } finally
-        s.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
+      }
     }),
 
     // Streaming last-touch attribution (batch twin: attribution_touch):
@@ -549,11 +566,7 @@ object StreamOps {
       val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
-      val oldProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDB(s) {
         val credits = ms.toDS()
           .groupByKey(_.user_id)
           .transformWithState(new LastTouchProcessor, TimeMode.None(),
@@ -567,8 +580,7 @@ object StreamOps {
         emitted.groupBy("touch")
           .agg(count(lit(1)).as("n_purchases"), sum("vc").as("sum_value_c"))
           .orderBy("touch")
-      } finally
-        s.conf.set("spark.sql.streaming.stateStore.providerClass", oldProvider)
+      }
     }),
 
     // Streaming quantile-sketch maintenance (batch twin: quantile_hist):
