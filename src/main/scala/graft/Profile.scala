@@ -15,11 +15,12 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val explain = args.headOption.contains("--explain") ||
       args.headOption.contains("--explainf")
+    val phases = args.headOption.contains("--phases")
     // --explainf: FormattedMode (the `.explain("formatted")` shape the
     // optimization-round plan dumps under plans/ use); --explain stays
     // SimpleMode to match docs/PLANS.md.
     val formatted = args.headOption.contains("--explainf")
-    val names = (if (explain) args.drop(1) else args).toSeq
+    val names = (if (explain || phases) args.drop(1) else args).toSeq
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,7 +32,41 @@ object Profile {
       graft.streaming.StreamOps.warmup(spark)
     }
     names.foreach { n =>
-      if (explain) {
+      if (phases) {
+        // Split one bench-shaped run (QueryHygiene.run around build+count)
+        // into its fixed-cost phases, for the per-key-constant audit:
+        //   hyg0  = QueryHygiene's pre-body catalog snapshot
+        //   build = the query closure (DataFrame construction; streaming
+        //           fixtures do real work here)
+        //   plan  = analysis + optimization + physical planning
+        //   exec1 = first count (includes codegen compile + run)
+        //   exec2 = second count in the same session (warm plan/codegen)
+        //   hyg1  = QueryHygiene's post-body sweep
+        def ms(t0: Long, t1: Long): String = f"${(t1 - t0) / 1e6}%8.1f"
+        val sc = spark.sparkContext
+        val t0 = System.nanoTime()
+        val before = sc.getPersistentRDDs.keySet
+        val viewsBefore = spark.sessionState.catalog.getTempViewNames().toSet
+        val t1 = System.nanoTime()
+        val df = SparkEntry.queries(n)(spark, d)
+        val t2 = System.nanoTime()
+        df.queryExecution.executedPlan // force analyze+optimize+plan
+        val t3 = System.nanoTime()
+        df.count()
+        val t4 = System.nanoTime()
+        df.count()
+        val t5 = System.nanoTime()
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before(id)) rdd.unpersist(blocking = false)
+        }
+        spark.sessionState.catalog.getTempViewNames()
+          .filterNot(viewsBefore)
+          .foreach(v => spark.catalog.dropTempView(v))
+        val t6 = System.nanoTime()
+        println(f"PHASES $n%-28s hyg0=${ms(t0, t1)} build=${ms(t1, t2)} " +
+          f"plan=${ms(t2, t3)} exec1=${ms(t3, t4)} exec2=${ms(t4, t5)} " +
+          f"hyg1=${ms(t5, t6)} total=${ms(t0, t6)} ms")
+      } else if (explain) {
         val df = SparkEntry.queries(n)(spark, d)
         println(s"===== $n =====")
         println(df.queryExecution.explainString(

@@ -53,16 +53,22 @@ object QueryHygiene {
   def run[T](spark: SparkSession, name: String)(body: => T): T = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val viewsBefore = spark.catalog.listTables().collect()
-      .filter(_.isTemporary).map(_.name).toSet
+    // SessionCatalog.getTempViewNames is a synchronized driver-side map
+    // read; the public spark.catalog.listTables() builds and collects a
+    // whole Dataset per call — 50-120 ms, which a ~400-query sequential
+    // sweep pays twice per query (~1 min of pure harness overhead).
+    // Every view these operators register is a LOCAL temp view
+    // (createOrReplaceTempView / the memory sink), so the local-view
+    // listing sees exactly the same set the old filter kept.
+    val viewsBefore = spark.sessionState.catalog.getTempViewNames().toSet
     try body
     finally {
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!before(id) && !pinned.contains(id)) rdd.unpersist(blocking = false)
       }
-      spark.catalog.listTables().collect()
-        .filter(t => t.isTemporary && !viewsBefore(t.name))
-        .foreach(t => spark.catalog.dropTempView(t.name))
+      spark.sessionState.catalog.getTempViewNames()
+        .filterNot(viewsBefore)
+        .foreach(v => spark.catalog.dropTempView(v))
     }
   }
 }
