@@ -72,7 +72,10 @@ object Bench {
         () => Seq("lineitem", "orders", "customer", "part", "supplier",
           "events", "documents", "embeddings").foreach(t =>
           spark.read.parquet(s"$sfDir/$t.parquet").count())),
-      ("_build_graph_adjacency", "graph_",
+      // rec_coverage_metrics composes graph_cn_recommend off the adjacency
+      // cache, so it is a consumer too (full runs always build; this only
+      // fixes attribution under a SPARK_GRAFT_ONLY subset)
+      ("_build_graph_adjacency", "graph_,rec_coverage_metrics",
         () => { graft.ops.GraphOps.adjacency(spark, sfDir).count(); () }),
       ("_build_graph_common_neighbors", "graph_",
         () => { graft.ops.GraphOps.commonNeighbors(spark, sfDir).count(); () }),

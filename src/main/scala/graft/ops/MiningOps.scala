@@ -256,6 +256,11 @@ object MiningOps {
     // this removes the two join re-shuffles of the (ok, pk) relation
     // (the baskets relation is derived once and reused for the singleton
     // counts and the order count too).
+    // NULL contract: collect_set drops NULL item keys, so a NULL pk never
+    // reaches itemCnt or a pair (the former (ok,pk).distinct() kept it in
+    // itemCnt only — pairs always excluded NULLs via p1 < p2). l_partkey
+    // is NOT NULL by the TPC-H schema; pointing this op at a nullable
+    // item key means "NULL items don't count", stated here explicitly.
     "basket_pair_support" -> ((s, d) => {
       val baskets = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -283,7 +288,8 @@ object MiningOps {
     // distinct set — never a global self-join), counts are one
     // map-side-combinable aggregate, and the global cut is a
     // TakeOrderedAndProject. The lift denominator uses the singleton
-    // counts (independence baseline c1·c2·c3/n²).
+    // counts (independence baseline c1·c2·c3/n²). Same NULL contract as
+    // basket_pair_support: collect_set drops NULL item keys.
     "basket_triple_support" -> ((s, d) => {
       val baskets = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))

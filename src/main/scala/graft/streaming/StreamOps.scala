@@ -343,6 +343,11 @@ object StreamOps {
     * `processAllAvailable` between `addData` calls to force real
     * cross-micro-batch state transitions.
     */
+  /** Env-gated phase timer for the fixture-constant audit (dev only):
+    * SPARK_GRAFT_STREAM_DEBUG=1 prints where each runToMemory call's wall
+    * time goes (query start / feed+first-drain / stabilization / stop). */
+  private val streamDebug = sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1")
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
                   mode: OutputMode)(feed: StreamingQuery => Unit): DataFrame = {
     // Stateful shuffle width is pinned in the query's offset log at start;
@@ -353,12 +358,16 @@ object StreamOps {
     val old = s.conf.get("spark.sql.shuffle.partitions", "200")
     s.conf.set("spark.sql.shuffle.partitions", "1")
     val ckpt = scratchDir(s"graft_${name}_ckpt")
+    val t0 = System.nanoTime()
     val q = df.writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
       .outputMode(mode).start()
+    val t1 = System.nanoTime()
+    var t2 = t1; var t3 = t1; var nspins = 0
     try {
       feed(q)
       q.processAllAvailable()
+      t2 = System.nanoTime()
       var prev = -1L
       var cur = s.table(name).count()
       var spins = 0
@@ -366,15 +375,28 @@ object StreamOps {
         // first recheck without the pause: processAllAvailable has just
         // confirmed the stream idle, so in the common already-stable case
         // the extra paa+count pair is pure confirmation; the 50 ms pause
-        // only matters once an actually-trailing batch was observed
+        // only matters once an actually-trailing batch was observed.
+        // DEPENDENCY: the pause-free first recheck assumes
+        // processAllAvailable blocks until watermark-required no-data
+        // batches ran (spark.sql.streaming.noDataMicroBatches.enabled,
+        // default true — never overridden here). If that conf were off,
+        // the loop could observe one count-equal round before the
+        // finalizing batch and exit with watermark-closed windows unsent.
         prev = cur; if (spins > 0) Thread.sleep(50)
         q.processAllAvailable()
         cur = s.table(name).count(); spins += 1
       }
+      t3 = System.nanoTime(); nspins = spins
     } finally {
       q.stop()
       s.conf.set("spark.sql.shuffle.partitions", old)
       deleteRecursively(ckpt) // memory sink holds the rows; checkpoint is done
+      if (streamDebug) {
+        val t4 = System.nanoTime()
+        def ms(a: Long, b: Long) = f"${(b - a) / 1e6}%7.1f"
+        println(s"STREAMPHASES $name start=${ms(t0, t1)} feed=${ms(t1, t2)} " +
+          s"stabilize=${ms(t2, t3)} spins=$nspins stop=${ms(t3, t4)} ms")
+      }
     }
     s.table(name)
   }
