@@ -364,12 +364,30 @@ object StreamOps {
       .outputMode(mode).start()
     val t1 = System.nanoTime()
     var t2 = t1; var t3 = t1; var nspins = 0
+    // Stability probe: the sink's row count, read directly off the
+    // driver-resident MemorySink (allData.size == the memory table's
+    // count in every output mode — Append/Update append per batch,
+    // Complete truncates to the latest batch, and the table serves
+    // exactly those rows). The previous s.table(name).count() compiled
+    // and ran a fresh aggregate QUERY per probe — 100-150 ms each, paid
+    // 2-3× per fixture by the stabilization loop for a number the
+    // driver already holds. Falls back to the table count if the sink
+    // isn't the expected shape.
+    val sinkRows: () => Long = q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery.sink match {
+          case m: org.apache.spark.sql.execution.streaming.sources.MemorySink =>
+            () => m.allData.size.toLong
+          case _ => () => s.table(name).count()
+        }
+      case _ => () => s.table(name).count()
+    }
     try {
       feed(q)
       q.processAllAvailable()
       t2 = System.nanoTime()
       var prev = -1L
-      var cur = s.table(name).count()
+      var cur = sinkRows()
       var spins = 0
       while (cur != prev && spins < 200) {
         // first recheck without the pause: processAllAvailable has just
@@ -384,7 +402,7 @@ object StreamOps {
         // finalizing batch and exit with watermark-closed windows unsent.
         prev = cur; if (spins > 0) Thread.sleep(50)
         q.processAllAvailable()
-        cur = s.table(name).count(); spins += 1
+        cur = sinkRows(); spins += 1
       }
       t3 = System.nanoTime(); nspins = spins
     } finally {
@@ -394,8 +412,10 @@ object StreamOps {
       if (streamDebug) {
         val t4 = System.nanoTime()
         def ms(a: Long, b: Long) = f"${(b - a) / 1e6}%7.1f"
+        val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
         println(s"STREAMPHASES $name start=${ms(t0, t1)} feed=${ms(t1, t2)} " +
-          s"stabilize=${ms(t2, t3)} spins=$nspins stop=${ms(t3, t4)} ms")
+          s"stabilize=${ms(t2, t3)} spins=$nspins batches=$batches " +
+          s"stop=${ms(t3, t4)} ms")
       }
     }
     s.table(name)
