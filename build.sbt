@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Opt-in JVM flag passthrough for measurement experiments (GC logging /
+// GC choice A/Bs). Unset = no change; the bench contract is untouched.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

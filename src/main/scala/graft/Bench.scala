@@ -68,10 +68,20 @@ object Bench {
     // Skipped under a SPARK_GRAFT_ONLY filter that selects none of their
     // consumers (local iteration stays cheap); the contract run is full.
     val builds: Seq[(String, String, () => Unit)] = Seq(
+      // the 8 table warms are independent single-scan jobs; submit them
+      // from a small thread pool so each scan's task tail back-fills the
+      // cores the previous scan left idle (guide §2.6 "overlap
+      // independent jobs") instead of serializing 8 scheduler round-trips
       ("_build_table_scan_warm", "",
-        () => Seq("lineitem", "orders", "customer", "part", "supplier",
-          "events", "documents", "embeddings").foreach(t =>
-          spark.read.parquet(s"$sfDir/$t.parquet").count())),
+        () => {
+          val tables = Seq("lineitem", "orders", "customer", "part",
+            "supplier", "events", "documents", "embeddings")
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+          try tables.map(t => pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = spark.read.parquet(s"$sfDir/$t.parquet").count()
+            })).foreach(_.get())
+          finally pool.shutdown()
+        }),
       // rec_coverage_metrics composes graph_cn_recommend off the adjacency
       // cache, so it is a consumer too (full runs always build; this only
       // fixes attribution under a SPARK_GRAFT_ONLY subset)

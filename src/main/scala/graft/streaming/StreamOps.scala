@@ -997,19 +997,29 @@ object StreamOps {
       def pos(idCol: Column, seedCol: Column): Column =
         graft.api.Sampling.hashBucket(
           concat(idCol.cast("string"), lit(":"), seedCol.cast("string")), bits)
-      val posSet: Map[Long, Long] = members
+      val posSet: Array[Long] = members
         .select(col("k"), explode(sequence(lit(0), lit(2))).as("seed"))
         .withColumn("pos", pos(col("k"), col("seed")))
         .select(col("pos").cast("long")).distinct()
-        .as[Long].collect().map(_ -> 1L).toMap
-      val mapLit = typedLit(posSet)
-      // the set-bit positions as a map literal (≤ 3·|members| ≤ m
-      // entries — the same information as the packed words, in the form
-      // a projection can probe without column-shift arithmetic); routing
-      // stays a pure per-row expression: no join, no state
-      def probe(seed: Int): Column =
-        coalesce(element_at(mapLit,
-          pos(col("user_id"), lit(seed)).cast("long")), lit(0L)) === lit(1L)
+        .as[Long].collect()
+      // the filter as its literal PACKED-WORD form (bits/64 longs — the
+      // actual 16384-bit sketch): the former ≤3·|members|-entry map
+      // literal carried thousands of entries that streaming re-planning
+      // re-analyzed and re-serialized EVERY micro-batch; the 256-word
+      // array is the constant-size representation a deployment would
+      // broadcast, probed by two shifts and a mask. Routing stays a pure
+      // per-row expression: no join, no state, identical membership.
+      val words = new Array[Long](bits / 64)
+      posSet.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+      val wordsLit = typedLit(words.toSeq)
+      def probe(seed: Int): Column = {
+        val p = pos(col("user_id"), lit(seed)) // 0..bits-1, BIGINT
+        val word = element_at(wordsLit,
+          shiftrightunsigned(p, 6).cast("int") + lit(1))
+        call_function("shiftrightunsigned", word,
+          p.bitwiseAND(lit(63L)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }
       val rows = evRowsCollected(s, d).sortBy(r => (r.ts_us, r.event_id))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Ev](s)
