@@ -57,7 +57,8 @@ object Profile {
         df.count()
         val t5 = System.nanoTime()
         sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!before(id)) rdd.unpersist(blocking = false)
+          if (!before(id) && !graft.api.QueryHygiene.isPinned(id))
+            rdd.unpersist(blocking = false)
         }
         spark.sessionState.catalog.getTempViewNames()
           .filterNot(viewsBefore)
