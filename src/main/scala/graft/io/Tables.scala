@@ -77,6 +77,14 @@ object Tables {
     t.withColumn("ts_us", tsUs)
   }
 
+  /** Relations estimated below this are left alone: repartitioning a
+    * panel-sized input to a large cluster's shuffle width produces
+    * width-many near-empty tasks whose dispatch costs more than the
+    * serial kernel (measured in round 16: every panel-bounded call site
+    * lost). Small enough that the corpus fixtures the fan-out was
+    * measured winning on (≥ ~0.5 MB at the bench SF) stay above it. */
+  private val MinFanOutBytes = 64L * 1024
+
   /** Scale-adaptive fan-out before a CPU-heavy per-row kernel (shingling,
     * tokenize+explode, bitset/minhash encode, vector-distance pair
     * generation): when the input plan has FEWER partitions than the
@@ -95,14 +103,6 @@ object Tables {
     * Results are partitioning-independent by the repo's determinism
     * discipline (merge-order-independent aggregates, total output
     * orders), so this changes WHERE rows are computed, never what. */
-  /** Relations estimated below this are left alone: repartitioning a
-    * panel-sized input to a large cluster's shuffle width produces
-    * width-many near-empty tasks whose dispatch costs more than the
-    * serial kernel (measured in round 16: every panel-bounded call site
-    * lost). Small enough that the corpus fixtures the fan-out was
-    * measured winning on (≥ ~0.5 MB at the bench SF) stay above it. */
-  private val MinFanOutBytes = 64L * 1024
-
   def fanOut(df: DataFrame): DataFrame = {
     if (sys.env.getOrElse("SPARK_GRAFT_FANOUT", "1") == "0") return df
     // Guards for arbitrary caller inputs (the public Vectors/Curation
